@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver testdata tables (TESTDATA.md).
+  *
+  * Scale posture: each table is a plain parquet directory read; Catalyst
+  * pushes filters/projections into the scan, so every query in
+  * [[SparkEntry.queries]] should show `PushedFilters`/pruned `ReadSchema`
+  * in its physical plan. At cluster scale these reads parallelize per
+  * parquet row-group with no driver involvement.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame   = load(spark, sfDir, "lineitem")
+  def orders(spark: SparkSession, sfDir: String): DataFrame     = load(spark, sfDir, "orders")
+  def customer(spark: SparkSession, sfDir: String): DataFrame   = load(spark, sfDir, "customer")
+  def supplier(spark: SparkSession, sfDir: String): DataFrame   = load(spark, sfDir, "supplier")
+  def part(spark: SparkSession, sfDir: String): DataFrame       = load(spark, sfDir, "part")
+  def nation(spark: SparkSession, sfDir: String): DataFrame     = load(spark, sfDir, "nation")
+  def region(spark: SparkSession, sfDir: String): DataFrame     = load(spark, sfDir, "region")
+  def events(spark: SparkSession, sfDir: String): DataFrame     = load(spark, sfDir, "events")
+  def documents(spark: SparkSession, sfDir: String): DataFrame  = load(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
+}
