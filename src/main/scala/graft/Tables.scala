@@ -25,7 +25,16 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame       = load(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame     = load(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame     = load(spark, sfDir, "region")
-  def events(spark: SparkSession, sfDir: String): DataFrame     = load(spark, sfDir, "events")
+  /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark's parquet
+    * reader rejects. Read nanos as long and convert to a micros timestamp
+    * (integer division — the values are whole microseconds; doing this in
+    * double would lose precision past 2^53).
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, sfDir, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  }
   def documents(spark: SparkSession, sfDir: String): DataFrame  = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
 }
