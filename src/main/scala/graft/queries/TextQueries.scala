@@ -1,0 +1,165 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Scalar string functions (SURVEY.md §2.8) + the text-analysis operators
+  * a training-data pipeline needs: token counting, quality scoring,
+  * language-ID heuristic, document fingerprinting.
+  *
+  * All operators are pure column expressions (whole-stage codegen, no
+  * UDFs) — at 100 TB they run scan-local with zero shuffles except the
+  * final write. Documents text is single-space-separated lowercase
+  * tokens (verified), so `split(text, ' ')` matches DuckDB
+  * `string_split` exactly.
+  */
+object TextQueries {
+
+  /** Common stopword markers per language for the lang-ID heuristic. */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of"),
+    "de" -> Seq("der", "und", "das"),
+    "fr" -> Seq("le", "la", "et"),
+    "es" -> Seq("el", "los", "y"))
+
+  val qs: Seq[Q] = Seq(
+
+    // ---- scalar string functions over customer (trim/lower/nullif/…;
+    // reference: stg_accounts.sql:14-31)
+    Q.sql(
+      "q_string_funcs",
+      """SELECT c_custkey,
+        |       lower(c_name) AS lname, upper(c_name) AS uname,
+        |       substr(c_name, 1, 8) AS name8,
+        |       CAST(length(c_name) AS INT) AS name_len,
+        |       replace(c_name, '#', '_') AS name_us,
+        |       nullif(trim(c_mktsegment), 'BUILDING') AS seg_nb,
+        |       concat_ws('-', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_nat,
+        |       lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS id10,
+        |       CAST(strpos(c_name, '#') AS INT) AS hash_pos
+        |FROM customer""".stripMargin
+    ) { (s, dir) =>
+      Tables.customer(s, dir).select(
+        col("c_custkey"),
+        lower(col("c_name")).as("lname"), upper(col("c_name")).as("uname"),
+        substring(col("c_name"), 1, 8).as("name8"),
+        length(col("c_name")).as("name_len"),
+        regexp_replace(col("c_name"), "#", "_").as("name_us"),
+        nullif(trim(col("c_mktsegment")), lit("BUILDING")).as("seg_nb"),
+        concat_ws("-", col("c_mktsegment"), col("c_nationkey").cast("string")).as("seg_nat"),
+        lpad(col("c_custkey").cast("string"), 10, "0").as("id10"),
+        instr(col("c_name"), "#").as("hash_pos"))
+    },
+
+    // ---- record_hash content hashing (reference: stg_accounts.sql:33-46)
+    // Dates formatted explicitly — cast-to-string differs across engines
+    // (SURVEY §7.4 risk 3). Doubles cast directly: both engines print
+    // shortest-roundtrip decimal in this value range (verified).
+    Q.sql(
+      "q_record_hash",
+      """SELECT o_orderkey,
+        |       md5(concat_ws('|',
+        |         coalesce(CAST(o_orderkey AS VARCHAR), ''),
+        |         coalesce(o_orderstatus, ''),
+        |         coalesce(CAST(o_totalprice AS VARCHAR), ''),
+        |         coalesce(strftime(o_orderdate, '%Y-%m-%d'), ''),
+        |         coalesce(o_orderpriority, ''))) AS record_hash
+        |FROM orders""".stripMargin
+    ) { (s, dir) =>
+      Tables.orders(s, dir).select(
+        col("o_orderkey"),
+        md5(concat_ws("|",
+          coalesce(col("o_orderkey").cast("string"), lit("")),
+          coalesce(col("o_orderstatus"), lit("")),
+          coalesce(col("o_totalprice").cast("string"), lit("")),
+          coalesce(date_format(col("o_orderdate"), "yyyy-MM-dd"), lit("")),
+          coalesce(col("o_orderpriority"), lit("")))).as("record_hash"))
+    },
+
+    // ---- token counting + quality scoring (length/stopword/type-token)
+    Q.sql(
+      "q_text_stats",
+      """SELECT doc_id, lang,
+        |       CAST(length(text) AS INT) AS n_chars_calc,
+        |       CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+        |       CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_uniq_tokens,
+        |       round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |             / len(string_split(text, ' ')), 4) AS ttr,
+        |       CAST(len(list_filter(string_split(text, ' '),
+        |            t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS INT) AS n_stop,
+        |       round(CAST(len(list_filter(string_split(text, ' '),
+        |            t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+        |             / len(string_split(text, ' ')), 4) AS stop_ratio
+        |FROM documents""".stripMargin
+    ) { (s, dir) =>
+      val toks = split(col("text"), " ")
+      val stops = Seq("the", "a", "of", "and", "to").map(lit)
+      val nStop = size(filter(toks, t => t.isInCollection(Seq("the", "a", "of", "and", "to"))))
+      Tables.documents(s, dir).select(
+        col("doc_id"), col("lang"),
+        length(col("text")).as("n_chars_calc"),
+        size(toks).as("n_tokens"),
+        size(array_distinct(toks)).as("n_uniq_tokens"),
+        round(size(array_distinct(toks)).cast("double") / size(toks), 4).as("ttr"),
+        nStop.as("n_stop"),
+        round(nStop.cast("double") / size(toks), 4).as("stop_ratio"))
+    },
+
+    // ---- language-ID heuristic: stopword-marker scores + argmax
+    // (real multilingual discrimination exercised in LangIdSpec; this
+    // corpus is synthetic English-vocab text so scores skew 'en')
+    Q.sql(
+      "q_text_langid", {
+        val scoreCols = langMarkers.map { case (l, ms) =>
+          val in = ms.map(m => s"'$m'").mkString(", ")
+          s"CAST(len(list_filter(string_split(text, ' '), t -> t IN ($in))) AS INT) AS ${l}_score"
+        }.mkString(",\n       ")
+        s"""WITH scored AS (
+           |  SELECT doc_id, lang,
+           |       $scoreCols
+           |  FROM documents)
+           |SELECT doc_id, lang, en_score, de_score, fr_score, es_score,
+           |       CASE WHEN en_score >= de_score AND en_score >= fr_score AND en_score >= es_score THEN 'en'
+           |            WHEN de_score >= fr_score AND de_score >= es_score THEN 'de'
+           |            WHEN fr_score >= es_score THEN 'fr'
+           |            ELSE 'es' END AS predicted_lang
+           |FROM scored""".stripMargin
+      }
+    ) { (s, dir) =>
+      val toks = split(col("text"), " ")
+      val scored = Tables.documents(s, dir).select(
+        Seq(col("doc_id"), col("lang")) ++ langMarkers.map { case (l, ms) =>
+          size(filter(toks, t => t.isInCollection(ms))).as(s"${l}_score")
+        }: _*)
+      scored.withColumn("predicted_lang",
+        when(col("en_score") >= col("de_score") && col("en_score") >= col("fr_score") &&
+          col("en_score") >= col("es_score"), "en")
+          .when(col("de_score") >= col("fr_score") && col("de_score") >= col("es_score"), "de")
+          .when(col("fr_score") >= col("es_score"), "fr")
+          .otherwise("es"))
+    },
+
+    // ---- document fingerprint: min-hash over word 5-gram shingles
+    // (winnowing-style content fingerprint; equal fingerprints ⇒ shared
+    // rare shingle, near-dup signal)
+    Q.sql(
+      "q_text_fingerprint",
+      """SELECT doc_id,
+        |       CASE WHEN len(string_split(text, ' ')) >= 5 THEN
+        |         list_min(list_transform(
+        |           generate_series(1, len(string_split(text, ' ')) - 4),
+        |           i -> md5(array_to_string(string_split(text, ' ')[i:i+4], ' '))))
+        |       ELSE md5(text) END AS fingerprint
+        |FROM documents""".stripMargin
+    ) { (s, dir) =>
+      val toks = split(col("text"), " ")
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        when(size(toks) >= 5,
+          array_min(transform(
+            sequence(lit(1), size(toks) - 4),
+            i => md5(concat_ws(" ", slice(toks, i, lit(5)))))))
+          .otherwise(md5(col("text"))).as("fingerprint"))
+    }
+  )
+}
