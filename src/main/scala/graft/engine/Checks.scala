@@ -1,0 +1,47 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** dbt's generic test library as violation-returning DataFrame builders
+  * (test protocol: pass ⇔ empty result, SURVEY.md §2.11). Reference:
+  * `/root/reference/models/staging/schema.yml:4-27`,
+  * `models/reporting/facts/schema.yml:1-44`.
+  *
+  * Scale: `notNull`/`acceptedValues` are scan-local filters (pushed to
+  * parquet). `unique` is one hash-aggregate shuffle on the key.
+  * `relationships` is a left-anti join — broadcast when the parent is a
+  * dim, shuffled otherwise; for a 100 TB child a bloom-filter pre-pass
+  * would cut the shuffle, noted as the scale-out variant.
+  */
+object Checks {
+
+  def notNull(cols: String*): Check =
+    Check(s"not_null(${cols.mkString(",")})",
+      df => df.filter(cols.map(c => col(c).isNull).reduce(_ || _)))
+
+  def unique(col0: String): Check = uniqueCombination(col0)
+
+  /** dbt_utils.unique_combination_of_columns
+    * (`models/reporting/schema.yml:44-46`). */
+  def uniqueCombination(cols: String*): Check =
+    Check(s"unique(${cols.mkString(",")})",
+      df => df.groupBy(cols.map(col): _*).count().filter(col("count") > 1))
+
+  /** relationships: child FK values ⊆ parent key values. */
+  def relationships(childCol: String, parent: DataFrame, parentCol: String): Check =
+    Check(s"relationships($childCol -> $parentCol)",
+      df => df.filter(col(childCol).isNotNull)
+        .join(parent.select(col(parentCol).as(childCol)), Seq(childCol), "left_anti"))
+
+  def acceptedValues(col0: String, values: Seq[Any]): Check =
+    Check(s"accepted_values($col0)",
+      df => df.filter(col(col0).isNotNull && !col(col0).isin(values: _*)))
+
+  /** Singular test: arbitrary violation query over the model. */
+  def singular(name: String)(q: DataFrame => DataFrame): Check = Check(name, q)
+
+  /** Numeric reconciliation helper used by the reference's singular tests
+    * (`tests/test_waterfall_ties_out.sql:20-22`): |a-b| > tol rows. */
+  def tiesOut(a: Column, b: Column, tol: Double = 1e-4): Column = abs(a - b) > tol
+}

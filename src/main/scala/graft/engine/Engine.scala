@@ -1,0 +1,141 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Paths}
+import scala.collection.mutable
+
+/** Outcome of one node in a build (≈ one line of `dbt build` output). */
+final case class NodeResult(
+    name: String,
+    status: String, // "ok" | "test_failed" | "skipped_upstream" | "error"
+    rows: Long,
+    failedChecks: Seq[String] = Nil,
+    error: Option[String] = None)
+
+final case class BuildReport(results: Seq[NodeResult]) {
+  def ok: Boolean = results.forall(_.status == "ok")
+  def apply(name: String): NodeResult = results.find(_.name == name).get
+}
+
+/** The warehouse runtime: model registry + DAG scheduler + materializer —
+  * the Spark re-expression of dbt-core's parse/compile/materialize/test
+  * lifecycle (SURVEY.md §3.2) minus Jinja (models are plain Scala).
+  *
+  * Storage: one parquet directory per materialized model under
+  * `warehouseDir` ("<dir>/<model>"). Sources are caller-provided
+  * DataFrames. Refs resolve materialized models by re-reading their
+  * parquet (so a downstream node sees exactly the persisted bytes, as dbt
+  * does) and View models by re-composing their logical plan (Catalyst
+  * fuses them into the consumer — column pruning/predicate pushdown reach
+  * through, SURVEY.md §4).
+  *
+  * Scale posture: the DAG runs node-at-a-time on the driver but every
+  * node's work is a distributed Spark job; nothing is collected except
+  * incremental watermarks (single scalar). `DeleteInsert` models write
+  * with dynamic partition overwrite so a 100 TB fact restates only the
+  * window's partitions. Independent DAG branches could be dispatched
+  * concurrently from the driver — single-threaded here to match the
+  * reference (`threads: 1`, `/root/reference/README.md:99`).
+  */
+final class Engine(
+    spark: SparkSession,
+    warehouseDir: String,
+    sources: Map[String, DataFrame],
+    models: Seq[Model]) {
+
+  private val byName: Map[String, Model] = models.map(m => m.name -> m).toMap
+  require(byName.size == models.size, "duplicate model names")
+
+  private def path(name: String): String = s"$warehouseDir/$name"
+  private def exists(name: String): Boolean =
+    Files.exists(Paths.get(path(name), "_SUCCESS"))
+
+  /** Kahn topological order; fails fast on cycles or unknown refs. */
+  private[engine] def topoOrder: Seq[String] = {
+    val indeg = mutable.Map(models.map(m => m.name -> 0): _*)
+    val out = mutable.Map.empty[String, List[String]].withDefaultValue(Nil)
+    for (m <- models; d <- m.deps) {
+      if (!byName.contains(d) && !sources.contains(d))
+        throw new IllegalArgumentException(s"model ${m.name}: unknown ref '$d'")
+      if (byName.contains(d)) { indeg(m.name) += 1; out(d) ::= m.name }
+    }
+    val q = mutable.Queue(models.map(_.name).filter(indeg(_) == 0).sorted: _*)
+    val order = mutable.ArrayBuffer.empty[String]
+    while (q.nonEmpty) {
+      val n = q.dequeue(); order += n
+      for (c <- out(n).sorted) { indeg(c) -= 1; if (indeg(c) == 0) q.enqueue(c) }
+    }
+    if (order.size != models.size)
+      throw new IllegalArgumentException(
+        s"cycle among: ${models.map(_.name).diff(order).mkString(", ")}")
+    order.toSeq
+  }
+
+  /** Resolve a ref the way a downstream model sees it. */
+  def ref(name: String): DataFrame =
+    if (sources.contains(name)) sources(name)
+    else byName.get(name) match {
+      case Some(m) if m.materialization == Materialization.View =>
+        m.build(spark, ref)
+      case Some(_) => spark.read.parquet(path(name))
+      case None => throw new IllegalArgumentException(s"unknown ref '$name'")
+    }
+
+  /** Materialize one model per its strategy; returns rows now in target. */
+  private def materialize(m: Model): Long = {
+    val df = m.build(spark, ref)
+    m.materialization match {
+      case Materialization.View => df.count()
+      case Materialization.Table =>
+        df.write.mode("overwrite").parquet(path(m.name))
+        spark.read.parquet(path(m.name)).count()
+      case Materialization.IncrementalAppend(wm) =>
+        if (!exists(m.name)) df.write.mode("overwrite").parquet(path(m.name))
+        else {
+          // High-water mark: single scalar off parquet min/max footer stats.
+          val prev = spark.read.parquet(path(m.name)).agg(max(col(wm))).first()
+          if (prev.isNullAt(0)) df.write.mode("append").parquet(path(m.name))
+          else df.filter(col(wm) > lit(prev.get(0)))
+            .write.mode("append").parquet(path(m.name))
+        }
+        spark.read.parquet(path(m.name)).count()
+      case Materialization.DeleteInsert(pcol) =>
+        // df is expected to contain ONLY the restatement window's rows
+        // (the model's own window predicate, as in the reference's
+        // incremental branch). Dynamic overwrite replaces exactly the
+        // partitions present in df.
+        val mode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try df.write.mode("overwrite").partitionBy(pcol).parquet(path(m.name))
+        finally mode.foreach(
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
+        spark.read.parquet(path(m.name)).count()
+    }
+  }
+
+  /** `dbt build`: topo-ordered materialize + inline tests; a node whose
+    * checks fail blocks its transitive downstream (SURVEY.md §3.2 step 5).
+    */
+  def build(): BuildReport = {
+    val blocked = mutable.Set.empty[String]
+    val results = topoOrder.map { name =>
+      val m = byName(name)
+      if (m.deps.exists(blocked)) {
+        blocked += name
+        NodeResult(name, "skipped_upstream", 0)
+      } else try {
+        val rows = materialize(m)
+        val failed = m.checks.filter(c => !c.violations(ref(name)).isEmpty).map(_.name)
+        if (failed.nonEmpty) { blocked += name; NodeResult(name, "test_failed", rows, failed) }
+        else NodeResult(name, "ok", rows)
+      } catch {
+        case e: Exception =>
+          blocked += name
+          NodeResult(name, "error", 0, error = Some(e.getMessage))
+      }
+    }
+    BuildReport(results)
+  }
+}

@@ -1,0 +1,70 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** How a model's result is persisted — the Spark re-expression of the
+  * reference's dbt materializations (`/root/reference/dbt_project.yml:14-31`
+  * and per-model `config(...)` headers).
+  */
+sealed trait Materialization
+
+object Materialization {
+
+  /** Unmaterialized: downstream refs recompute the plan (Catalyst fuses it).
+    * Reference: `models/intermediate/int_accounts_current.sql:1`
+    * (`materialized='view'`). At scale a view costs nothing — it is just a
+    * logical subtree; Catalyst prunes/pushes through it.
+    */
+  case object View extends Materialization
+
+  /** Full rebuild on every run.
+    * Reference: `models/reporting/dimensions/dim_date.sql:1` etc.
+    */
+  case object Table extends Materialization
+
+  /** Incremental append: on first run write everything; afterwards append
+    * only rows with `watermarkCol > max(watermarkCol)` already in the target.
+    * Reference: `models/staging/stg_accounts.sql:1-11` (high-water-mark
+    * `is_incremental()` filter on `ingested_at`).
+    *
+    * Scale: the watermark is a single scalar collected from a
+    * max-aggregate over the target's `watermarkCol` — parquet footer
+    * statistics make this a metadata-only scan in practice; the filtered
+    * source append never shuffles.
+    */
+  final case class IncrementalAppend(watermarkCol: String) extends Materialization
+
+  /** Incremental delete+insert over a partitioned table: recompute only the
+    * partitions inside the restatement window and overwrite exactly those
+    * via dynamic partition overwrite (no row-level deletes on parquet).
+    * Reference: `models/reporting/facts/fct_subscription_month.sql:1-5,14-22`
+    * (delete+insert on `['subscription_id','month_start_date']` with a
+    * rolling `reprocess_months` window).
+    *
+    * `partitionCol` must be the window grain (month start date here). At
+    * 100 TB this touches only `reprocess_months` partitions per run — cost
+    * is proportional to the restatement window, not table size.
+    */
+  final case class DeleteInsert(partitionCol: String) extends Materialization
+}
+
+/** Column-level / singular data checks, dbt-test-protocol: a check compiles
+  * to a DataFrame of VIOLATING rows; pass ⇔ empty. Reference:
+  * `models/staging/schema.yml` and the singular tests under `tests/`
+  * (SURVEY.md §2.11).
+  */
+final case class Check(name: String, violations: DataFrame => DataFrame)
+
+/** One node of the warehouse DAG: the Spark analogue of a dbt model.
+  * `build` is a pure function from resolved upstream DataFrames to this
+  * model's DataFrame — testable with no I/O (SURVEY.md §7.1).
+  *
+  * @param deps  upstream model/source names (the `ref()`/`source()` edges,
+  *              e.g. `int_subscriptions_current.sql:8`)
+  */
+final case class Model(
+    name: String,
+    deps: Seq[String],
+    materialization: Materialization,
+    checks: Seq[Check] = Nil)(
+    val build: (SparkSession, String => DataFrame) => DataFrame)

@@ -1,0 +1,105 @@
+package graft.engine
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+import java.sql.{Date, Timestamp}
+
+class EngineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def eng(dir: String, models: Seq[Model]) = new Engine(
+    spark, dir,
+    sources = Map("raw_orders" -> Seq(
+      (1L, "A", 10.0, Timestamp.valueOf("2024-01-01 00:00:00")),
+      (2L, "B", 20.0, Timestamp.valueOf("2024-01-02 00:00:00")),
+      (3L, "A", 30.0, Timestamp.valueOf("2024-01-03 00:00:00"))
+    ).toDF("id", "status", "amount", "ingested_at")),
+    models = models)
+
+  test("topo order respects deps and rejects cycles/unknown refs") {
+    def m(name: String, deps: String*) =
+      Model(name, deps, Materialization.View)((_, r) => deps.map(r).reduceOption(_ union _).getOrElse(spark.range(1).toDF))
+    val dir = tmpDir("eng")
+    val order = eng(dir, Seq(m("c", "b"), m("b", "a"), m("a"), m("d", "a"))).topoOrder
+    assert(order.indexOf("a") < order.indexOf("b"))
+    assert(order.indexOf("b") < order.indexOf("c"))
+    assert(order.indexOf("a") < order.indexOf("d"))
+    intercept[IllegalArgumentException] {
+      eng(dir, Seq(m("x", "y"), m("y", "x"))).topoOrder
+    }
+    intercept[IllegalArgumentException] {
+      eng(dir, Seq(m("x", "nope"))).topoOrder
+    }
+  }
+
+  test("table + view materialization, checks gate downstream") {
+    val dir = tmpDir("eng")
+    val staged = Model("staged", Seq("raw_orders"), Materialization.Table,
+      checks = Seq(Checks.notNull("id"), Checks.unique("id")))(
+      (_, r) => r("raw_orders"))
+    val agg = Model("agg", Seq("staged"), Materialization.View)(
+      (_, r) => r("staged").groupBy($"status").agg(sum($"amount").as("total")))
+    val rpt = eng(dir, Seq(staged, agg)).build()
+    assert(rpt.ok, rpt.results.mkString("; "))
+    assert(rpt("staged").rows == 3)
+    assert(rpt("agg").rows == 2)
+
+    // failing check blocks downstream
+    val badStaged = Model("staged", Seq("raw_orders"), Materialization.Table,
+      checks = Seq(Checks.acceptedValues("status", Seq("A"))))((_, r) => r("raw_orders"))
+    val rpt2 = eng(tmpDir("eng"), Seq(badStaged, agg)).build()
+    assert(rpt2("staged").status == "test_failed")
+    assert(rpt2("staged").failedChecks == Seq("accepted_values(status)"))
+    assert(rpt2("agg").status == "skipped_upstream")
+  }
+
+  test("incremental append: only rows past the high-water mark land") {
+    val dir = tmpDir("eng")
+    var batch = Seq((1L, Timestamp.valueOf("2024-01-01 00:00:00"), 1.0))
+      .toDF("id", "ingested_at", "v")
+    val m = Model("log", Seq(), Materialization.IncrementalAppend("ingested_at"))(
+      (_, _) => batch)
+    val e = new Engine(spark, dir, Map.empty, Seq(m))
+    assert(e.build()("log").rows == 1)
+    // second batch re-sends row 1 (same watermark — must NOT duplicate) + adds row 2
+    batch = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
+      (2L, Timestamp.valueOf("2024-01-02 00:00:00"), 2.0)).toDF("id", "ingested_at", "v")
+    assert(e.build()("log").rows == 2)
+    // idempotent re-run
+    assert(e.build()("log").rows == 2)
+  }
+
+  test("delete+insert restates only the window's partitions (≡ full refresh)") {
+    val dir = tmpDir("eng")
+    def fact(rows: Seq[(Long, String, Double)]) = rows.toDF("id", "month", "v")
+    // run 1: full history
+    var current = fact(Seq((1L, "2024-01-01", 1.0), (2L, "2024-02-01", 2.0), (3L, "2024-03-01", 3.0)))
+    val m = Model("fct", Seq(), Materialization.DeleteInsert("month"))((_, _) => current)
+    val e = new Engine(spark, dir, Map.empty, Seq(m))
+    assert(e.build()("fct").rows == 3)
+    // run 2: restate only months >= 2024-02 with corrected values + a new month
+    current = fact(Seq((2L, "2024-02-01", 20.0), (3L, "2024-03-01", 30.0), (4L, "2024-04-01", 4.0)))
+    assert(e.build()("fct").rows == 4)
+    val got = spark.read.parquet(s"$dir/fct")
+      .select($"id", $"v").as[(Long, Double)].collect().toMap
+    // January untouched, Feb/Mar overwritten, April added
+    assert(got == Map(1L -> 1.0, 2L -> 20.0, 3L -> 30.0, 4L -> 4.0))
+  }
+
+  test("csv loader stamps lineage and appends batches") {
+    val dir = tmpDir("csv")
+    val csv = s"$dir/accounts.csv"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(csv),
+      "account_id,name\n1,Acme\n2,Globex\n")
+    val t1 = Timestamp.valueOf("2024-01-01 00:00:00")
+    val t2 = Timestamp.valueOf("2024-01-02 00:00:00")
+    assert(CsvLoader.load(spark, csv, s"$dir/raw", t1, "append") == 2)
+    assert(CsvLoader.load(spark, csv, s"$dir/raw", t2, "append") == 4)
+    val df = spark.read.parquet(s"$dir/raw")
+    assert(df.columns.toSet == Set("account_id", "name", "ingested_at", "source_file"))
+    assert(df.filter($"ingested_at" === lit(t2)).count() == 2)
+    assert(CsvLoader.load(spark, csv, s"$dir/raw", t2, "replace") == 2)
+  }
+}
