@@ -1,0 +1,235 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** The reference's finance business logic rebuilt end-to-end (SURVEY.md
+  * §3.4): subscription-month periodic snapshot fact
+  * (`fct_subscription_month.sql`), account-month movement classification
+  * (`fct_account_month.sql:79-153`), and the MRR waterfall mart
+  * (`mart_mrr_waterfall_month.sql`). The testdata has no subscriptions
+  * table, so one is derived deterministically from `orders` — the SAME
+  * derivation CTE on the Spark and DuckDB sides.
+  *
+  * Numeric determinism: MRR = floor(o_totalprice/100) — whole-dollar
+  * doubles, so sums are exact integers regardless of partial-aggregation
+  * order and the movement classification's =/>/< compares are exact in
+  * both engines (SURVEY.md §7.4 risk 3 applied to money).
+  *
+  * Scale notes:
+  *  - The months fan-out uses `explode(sequence(start_month, end_month))`
+  *    per subscription instead of a range join — scan-local generation, no
+  *    join at all, so it scales linearly with fact rows (the range-join
+  *    formulation is demonstrated separately in q_range_join_spine).
+  *  - The only driver-side value is the global max month (one scalar agg,
+  *    parquet-stats-cheap; reference does the same via scalar subquery,
+  *    `fct_subscription_month.sql:49-50`).
+  *  - Movement classification is two window functions over
+  *    (account_id, month) — one shuffle by account_id; the waterfall is a
+  *    single hash aggregate on month.
+  */
+object FinanceQueries {
+
+  /** Deterministic subscriptions table derived from orders. */
+  private def subscriptions(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).select(
+      col("o_orderkey").as("subscription_id"),
+      col("o_custkey").as("account_id"),
+      col("o_orderdate").cast("date").as("start_date"),
+      when(col("o_orderkey") % 3 === 0, lit(null).cast("date"))
+        .otherwise(date_add(col("o_orderdate").cast("date"),
+          (lit(30) + col("o_orderkey") % 500).cast("int"))).as("end_date"),
+      floor(col("o_totalprice") / 100).cast("double").as("mrr_amount"),
+      (col("o_orderkey") % 20 === 0).as("is_trial"))
+
+  private val subsSql =
+    """subs AS (
+      |  SELECT o_orderkey AS subscription_id,
+      |         o_custkey  AS account_id,
+      |         CAST(o_orderdate AS DATE) AS start_date,
+      |         CASE WHEN o_orderkey % 3 = 0 THEN NULL
+      |              ELSE CAST(o_orderdate AS DATE) + CAST(30 + o_orderkey % 500 AS INT)
+      |         END AS end_date,
+      |         CAST(floor(o_totalprice / 100) AS DOUBLE) AS mrr_amount,
+      |         (o_orderkey % 20 = 0) AS is_trial
+      |  FROM orders)""".stripMargin
+
+  /** fct_subscription_month: one row per subscription × active month with
+    * EOM-activity flag and trial-aware MRR.
+    * Reference: `fct_subscription_month.sql:44-92`. */
+  private def fctSubscriptionMonth(s: SparkSession, dir: String): DataFrame = {
+    val subs = subscriptions(s, dir)
+    // global max month — single scalar, the reference's scalar subquery
+    val maxMonth = subs
+      .agg(max(date_trunc("month", coalesce(col("end_date"), col("start_date"))).cast("date")))
+      .first().getDate(0)
+    val spine = subs
+      .withColumn("start_month", date_trunc("month", col("start_date")).cast("date"))
+      .withColumn("end_month_b",
+        least(coalesce(date_trunc("month", col("end_date")).cast("date"), lit(maxMonth)), lit(maxMonth)))
+      .withColumn("month_start_date",
+        explode(sequence(col("start_month"), col("end_month_b"), expr("interval 1 month"))))
+    val nextMonth = add_months(col("month_start_date"), 1)
+    val active = (col("start_date") < nextMonth) &&
+      (col("end_date").isNull || col("end_date") >= date_sub(nextMonth, 1))
+    spine.select(
+      col("subscription_id"), col("account_id"), col("month_start_date"),
+      active.as("is_active_at_eom"),
+      when(active && !col("is_trial"), col("mrr_amount")).otherwise(0.0).as("mrr_eom"),
+      (col("month_start_date") === col("start_month")).as("is_start_month"),
+      (col("month_start_date") === col("end_month_b")).as("is_end_month"))
+  }
+
+  private val fctSubMonthSql =
+    s"""WITH $subsSql,
+       |bounds AS (
+       |  SELECT CAST(date_trunc('month', max(coalesce(end_date, start_date))) AS DATE) AS max_m
+       |  FROM subs),
+       |spine AS (
+       |  SELECT s.*, CAST(date_trunc('month', start_date) AS DATE) AS start_month,
+       |         least(coalesce(CAST(date_trunc('month', end_date) AS DATE), b.max_m), b.max_m) AS end_month_b,
+       |         CAST(unnest(generate_series(CAST(date_trunc('month', start_date) AS DATE),
+       |              least(coalesce(CAST(date_trunc('month', end_date) AS DATE), b.max_m), b.max_m),
+       |              INTERVAL 1 MONTH)) AS DATE) AS month_start_date
+       |  FROM subs s CROSS JOIN bounds b),
+       |base AS (
+       |  SELECT *,
+       |         (start_date < CAST(month_start_date + INTERVAL 1 MONTH AS DATE)
+       |          AND (end_date IS NULL OR end_date >= CAST(month_start_date + INTERVAL 1 MONTH AS DATE) - 1))
+       |           AS is_active_at_eom
+       |  FROM spine)
+       |SELECT subscription_id, account_id, month_start_date, is_active_at_eom,
+       |       CASE WHEN is_active_at_eom AND NOT is_trial THEN mrr_amount ELSE CAST(0.0 AS DOUBLE) END AS mrr_eom,
+       |       (month_start_date = start_month) AS is_start_month,
+       |       (month_start_date = end_month_b) AS is_end_month
+       |FROM base""".stripMargin
+
+  /** fct_account_month: account-month MRR begin/end + movement
+    * classification. Reference: `fct_account_month.sql:49-153`
+    * (monthly_mrr rollup, lag begin-MRR W2, has-paid-before running flag
+    * W3, multi-arm CASE P10). */
+  private def fctAccountMonth(s: SparkSession, dir: String): DataFrame = {
+    val monthly = fctSubscriptionMonth(s, dir)
+      .groupBy(col("account_id"), col("month_start_date"))
+      .agg(sum(col("mrr_eom")).as("m_mrr"))
+    // Account spine: every month from first activity to one month past
+    // last activity (so the churn-to-zero month exists; reference
+    // fct_account_month.sql:37-47 adds "+ interval 1 month").
+    val spine = monthly.groupBy(col("account_id"))
+      .agg(min(col("month_start_date")).as("first_m"), max(col("month_start_date")).as("last_m"))
+      .withColumn("month_start_date",
+        explode(sequence(col("first_m"), add_months(col("last_m"), 1), expr("interval 1 month"))))
+      .select("account_id", "month_start_date")
+    val w = Window.partitionBy(col("account_id")).orderBy(col("month_start_date"))
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    val joined = spine.join(monthly, Seq("account_id", "month_start_date"), "left")
+      .withColumn("mrr_end", coalesce(col("m_mrr"), lit(0.0)))
+      .withColumn("mrr_begin", coalesce(lag(col("mrr_end"), 1).over(w), lit(0.0)))
+      .withColumn("was_paid_before",
+        coalesce(max(when(col("mrr_end") > 0, 1).otherwise(0)).over(wPrev), lit(0)))
+    joined.select(
+      col("account_id"), col("month_start_date"), col("mrr_begin"), col("mrr_end"),
+      when(col("mrr_begin") === 0 && col("mrr_end") > 0 && col("was_paid_before") === 0, "new")
+        .when(col("mrr_begin") === 0 && col("mrr_end") > 0, "reactivation")
+        .when(col("mrr_begin") > 0 && col("mrr_end") === 0, "churn")
+        .when(col("mrr_end") > col("mrr_begin"), "expansion")
+        .when(col("mrr_end") < col("mrr_begin"), "contraction")
+        .otherwise("flat").as("movement"))
+  }
+
+  private val fctAcctMonthSql =
+    s"""WITH $subsSql,
+       |bounds AS (
+       |  SELECT CAST(date_trunc('month', max(coalesce(end_date, start_date))) AS DATE) AS max_m
+       |  FROM subs),
+       |fct AS (
+       |  SELECT s.account_id,
+       |         CAST(unnest(generate_series(CAST(date_trunc('month', start_date) AS DATE),
+       |              least(coalesce(CAST(date_trunc('month', end_date) AS DATE), b.max_m), b.max_m),
+       |              INTERVAL 1 MONTH)) AS DATE) AS month_start_date,
+       |         start_date, end_date, mrr_amount, is_trial
+       |  FROM subs s CROSS JOIN bounds b),
+       |monthly AS (
+       |  SELECT account_id, month_start_date,
+       |         sum(CASE WHEN start_date < CAST(month_start_date + INTERVAL 1 MONTH AS DATE)
+       |                   AND (end_date IS NULL OR end_date >= CAST(month_start_date + INTERVAL 1 MONTH AS DATE) - 1)
+       |                   AND NOT is_trial THEN mrr_amount ELSE CAST(0.0 AS DOUBLE) END) AS m_mrr
+       |  FROM fct GROUP BY 1, 2),
+       |spine AS (
+       |  SELECT account_id,
+       |         CAST(unnest(generate_series(min(month_start_date),
+       |              CAST(max(month_start_date) + INTERVAL 1 MONTH AS DATE),
+       |              INTERVAL 1 MONTH)) AS DATE) AS month_start_date
+       |  FROM monthly GROUP BY account_id),
+       |joined AS (
+       |  SELECT sp.account_id, sp.month_start_date, coalesce(m.m_mrr, 0.0) AS mrr_end
+       |  FROM spine sp LEFT JOIN monthly m
+       |    ON sp.account_id = m.account_id AND sp.month_start_date = m.month_start_date),
+       |flagged AS (
+       |  SELECT account_id, month_start_date, mrr_end,
+       |         coalesce(lag(mrr_end) OVER (PARTITION BY account_id ORDER BY month_start_date), 0.0) AS mrr_begin,
+       |         coalesce(max(CASE WHEN mrr_end > 0 THEN 1 ELSE 0 END)
+       |           OVER (PARTITION BY account_id ORDER BY month_start_date
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS was_paid_before
+       |  FROM joined)
+       |SELECT account_id, month_start_date, mrr_begin, mrr_end,
+       |       CASE WHEN mrr_begin = 0 AND mrr_end > 0 AND was_paid_before = 0 THEN 'new'
+       |            WHEN mrr_begin = 0 AND mrr_end > 0 THEN 'reactivation'
+       |            WHEN mrr_begin > 0 AND mrr_end = 0 THEN 'churn'
+       |            WHEN mrr_end > mrr_begin THEN 'expansion'
+       |            WHEN mrr_end < mrr_begin THEN 'contraction'
+       |            ELSE 'flat' END AS movement
+       |FROM flagged""".stripMargin
+
+  /** mart_mrr_waterfall_month: month-grain MRR movement rollup with
+    * conditional distinct account counts. Reference:
+    * `mart_mrr_waterfall_month.sql:29-51` (A3/A4/A6). */
+  private def waterfall(s: SparkSession, dir: String): DataFrame = {
+    val am = fctAccountMonth(s, dir)
+    def mrrOf(mv: String, c: org.apache.spark.sql.Column) =
+      sum(when(col("movement") === mv, c).otherwise(0.0))
+    am.groupBy(col("month_start_date")).agg(
+      sum(col("mrr_begin")).as("begin_mrr"),
+      sum(col("mrr_end")).as("end_mrr"),
+      mrrOf("new", col("mrr_end")).as("new_mrr"),
+      mrrOf("reactivation", col("mrr_end")).as("reactivation_mrr"),
+      mrrOf("expansion", col("mrr_end") - col("mrr_begin")).as("expansion_mrr"),
+      mrrOf("contraction", col("mrr_begin") - col("mrr_end")).as("contraction_mrr"),
+      mrrOf("churn", col("mrr_begin")).as("churn_mrr"),
+      countDistinct(when(col("movement") === "new", col("account_id"))).as("new_accounts"),
+      countDistinct(when(col("movement") === "churn", col("account_id"))).as("churned_accounts"),
+      countDistinct(when(col("movement") === "expansion", col("account_id"))).as("expansion_accounts"),
+      countDistinct(when(col("mrr_end") > 0, col("account_id"))).as("active_accounts"))
+  }
+
+  private val waterfallSql = {
+    val am = fctAcctMonthSql
+    s"""WITH am AS ($am)
+       |SELECT month_start_date,
+       |       sum(mrr_begin) AS begin_mrr,
+       |       sum(mrr_end)   AS end_mrr,
+       |       sum(CASE WHEN movement = 'new' THEN mrr_end ELSE 0.0 END) AS new_mrr,
+       |       sum(CASE WHEN movement = 'reactivation' THEN mrr_end ELSE 0.0 END) AS reactivation_mrr,
+       |       sum(CASE WHEN movement = 'expansion' THEN mrr_end - mrr_begin ELSE 0.0 END) AS expansion_mrr,
+       |       sum(CASE WHEN movement = 'contraction' THEN mrr_begin - mrr_end ELSE 0.0 END) AS contraction_mrr,
+       |       sum(CASE WHEN movement = 'churn' THEN mrr_begin ELSE 0.0 END) AS churn_mrr,
+       |       count(DISTINCT CASE WHEN movement = 'new' THEN account_id END) AS new_accounts,
+       |       count(DISTINCT CASE WHEN movement = 'churn' THEN account_id END) AS churned_accounts,
+       |       count(DISTINCT CASE WHEN movement = 'expansion' THEN account_id END) AS expansion_accounts,
+       |       count(DISTINCT CASE WHEN mrr_end > 0 THEN account_id END) AS active_accounts
+       |FROM am GROUP BY month_start_date""".stripMargin
+  }
+
+  /** Exposed for FinanceSpec's singular-test assertions. */
+  private[graft] def fctSubscriptionMonthDf = fctSubscriptionMonth _
+  private[graft] def fctAccountMonthDf = fctAccountMonth _
+  private[graft] def waterfallDf = waterfall _
+
+  val qs: Seq[Q] = Seq(
+    Q.sql("q_fct_subscription_month", fctSubMonthSql)(fctSubscriptionMonth),
+    Q.sql("q_fct_account_month", fctAcctMonthSql)(fctAccountMonth),
+    Q.sql("q_mrr_waterfall", waterfallSql)(waterfall)
+  )
+}
