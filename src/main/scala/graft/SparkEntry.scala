@@ -13,7 +13,8 @@ object SparkEntry {
   /** All registered operator demos, grouped by area. */
   def allQs: Seq[Q] =
     RelationalQueries.qs ++ WindowQueries.qs ++ DateQueries.qs ++
-      TextQueries.qs ++ FinanceQueries.qs
+      TextQueries.qs ++ FinanceQueries.qs ++ DedupQueries.qs ++
+      SimilarityQueries.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

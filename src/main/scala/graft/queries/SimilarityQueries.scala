@@ -1,0 +1,157 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (builder brief): brute-force cosine top-k as the exactness baseline,
+  * and an IVF-style inverted-file variant as the scale path.
+  *
+  * Engine-portable determinism: embeddings are quantized to integer
+  * centi-units, so dot products and squared norms are exact 64-bit
+  * integers in both engines; the only float op is the final
+  * `dot/sqrt(na·nb)` — computed identically (same operand bits, same IEEE
+  * ops) on both sides, so ordering and rounding agree.
+  *
+  * Scale notes:
+  *  - Brute force: queries are broadcast (tiny side), candidates stream —
+  *    a BroadcastNestedLoopJoin over the fact side, O(|Q|·N) but
+  *    scan-local and embarrassingly parallel; per-partition top-k then a
+  *    single k·|Q|-row final reduce via the rank window.
+  *  - IVF: centroids are an element-wise SUM per cluster (cosine is
+  *    scale-invariant, so sum ≡ mean — and stays integer-exact). Probing
+  *    searches only the assigned cluster: N/C of the data per query. At
+  *    100 TB, cluster-partitioned storage turns a query into a
+  *    partition-pruned scan.
+  */
+object SimilarityQueries {
+
+  private val Dims = 64
+  private val TopK = 10
+  private val NQueries = 5
+
+  /** vec_id, label, q (int array), nsq (squared norm). */
+  private def quantized(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).select(
+      col("vec_id"), col("label"),
+      transform(col("embedding"), x => round(x * 100, 0).cast("long")).as("q"))
+      .withColumn("nsq", aggregate(
+        transform(col("q"), x => x * x), lit(0L), (acc, x) => acc + x))
+
+  private val quantizedSql =
+    """e AS (
+      |  SELECT vec_id, label,
+      |         list_transform(embedding, x -> CAST(round(x * 100) AS BIGINT)) AS q,
+      |         list_sum(list_transform(list_transform(embedding,
+      |             x -> CAST(round(x * 100) AS BIGINT)), x -> x * x)) AS nsq
+      |  FROM embeddings)""".stripMargin
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  private def cosine(dotC: Column, na: Column, nb: Column): Column =
+    dotC / sqrt(na.cast("double") * nb.cast("double"))
+
+  val qs: Seq[Q] = Seq(
+
+    // ---- brute-force cosine top-k: exact baseline
+    Q.sql(
+      "q_ann_bruteforce_topk",
+      s"""WITH $quantizedSql,
+         |qs AS (SELECT * FROM e WHERE vec_id < $NQueries),
+         |pairs AS (
+         |  SELECT qs.vec_id AS query_id, c.vec_id AS vec_id,
+         |         list_sum(list_transform(generate_series(1, $Dims),
+         |                  i -> qs.q[i] * c.q[i])) AS dot,
+         |         qs.nsq AS nq, c.nsq AS nc
+         |  FROM qs JOIN e c ON c.vec_id <> qs.vec_id),
+         |ranked AS (
+         |  SELECT query_id, vec_id,
+         |         dot / sqrt(CAST(nq AS DOUBLE) * CAST(nc AS DOUBLE)) AS cos_raw,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY dot / sqrt(CAST(nq AS DOUBLE) * CAST(nc AS DOUBLE)) DESC, vec_id) AS rnk
+         |  FROM pairs)
+         |SELECT query_id, vec_id, CAST(rnk AS INT) AS rnk, round(cos_raw, 4) AS cos_sim
+         |FROM ranked WHERE rnk <= $TopK""".stripMargin
+    ) { (s, dir) =>
+      val e = quantized(s, dir)
+      val qs = e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("q").as("qq"), col("nsq").as("nq"))
+      val pairs = e.join(broadcast(qs), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          dot(col("qq"), col("q")).as("dot"), col("nq"), col("nsq").as("nc"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(cosine(col("dot"), col("nq"), col("nc")).desc, col("vec_id"))
+      pairs
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= TopK)
+        .select(col("query_id"), col("vec_id"), col("rnk"),
+          round(cosine(col("dot"), col("nq"), col("nc")), 4).as("cos_sim"))
+    },
+
+    // ---- IVF: integer centroids per label, probe nearest cluster only
+    Q.sql(
+      "q_ann_ivf_topk", {
+        val centroidSums = (1 to Dims).map(i => s"sum(q[$i])").mkString(", ")
+        s"""WITH $quantizedSql,
+           |cent AS (
+           |  SELECT label, [$centroidSums] AS c,
+           |         list_sum(list_transform([$centroidSums], x -> x * x)) AS ncsq
+           |  FROM e GROUP BY label),
+           |qs AS (SELECT * FROM e WHERE vec_id < $NQueries),
+           |assign AS (
+           |  SELECT query_id, label FROM (
+           |    SELECT qs.vec_id AS query_id, cent.label,
+           |           row_number() OVER (PARTITION BY qs.vec_id
+           |             ORDER BY list_sum(list_transform(generate_series(1, $Dims),
+           |                        i -> qs.q[i] * cent.c[i]))
+           |                      / sqrt(CAST(qs.nsq AS DOUBLE) * CAST(cent.ncsq AS DOUBLE)) DESC,
+           |                      cent.label) AS rnk
+           |    FROM qs CROSS JOIN cent) t WHERE rnk = 1),
+           |pairs AS (
+           |  SELECT qs.vec_id AS query_id, c.vec_id AS vec_id,
+           |         list_sum(list_transform(generate_series(1, $Dims),
+           |                  i -> qs.q[i] * c.q[i])) AS dot,
+           |         qs.nsq AS nq, c.nsq AS nc
+           |  FROM qs JOIN assign a ON qs.vec_id = a.query_id
+           |          JOIN e c ON c.label = a.label AND c.vec_id <> qs.vec_id)
+           |SELECT query_id, vec_id, CAST(rnk AS INT) AS rnk, round(cos_raw, 4) AS cos_sim
+           |FROM (
+           |  SELECT query_id, vec_id,
+           |         dot / sqrt(CAST(nq AS DOUBLE) * CAST(nc AS DOUBLE)) AS cos_raw,
+           |         row_number() OVER (PARTITION BY query_id
+           |           ORDER BY dot / sqrt(CAST(nq AS DOUBLE) * CAST(nc AS DOUBLE)) DESC, vec_id) AS rnk
+           |  FROM pairs) t
+           |WHERE rnk <= $TopK""".stripMargin
+      }
+    ) { (s, dir) =>
+      val e = quantized(s, dir)
+      // element-wise integer sum per label = unnormalized centroid
+      val cent = e.groupBy(col("label"))
+        .agg(array((1 to Dims).map(i => sum(element_at(col("q"), i))): _*).as("c"))
+        .withColumn("ncsq", aggregate(
+          transform(col("c"), x => x * x), lit(0L), (acc, x) => acc + x))
+      val qs = e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("q").as("qq"), col("nsq").as("nq"))
+      val wAssign = Window.partitionBy(col("query_id"))
+        .orderBy(cosine(dot(col("qq"), col("c")), col("nq"), col("ncsq")).desc, col("label"))
+      val assign = qs.crossJoin(broadcast(cent))
+        .withColumn("rnk", row_number().over(wAssign))
+        .filter(col("rnk") === 1)
+        .select(col("query_id"), col("qq"), col("nq"), col("label"))
+      val pairs = e.as("c").join(broadcast(assign.as("a")),
+          col("c.label") === col("a.label") && col("c.vec_id") =!= col("a.query_id"))
+        .select(col("query_id"), col("vec_id"),
+          dot(col("qq"), col("q")).as("dot"), col("nq"), col("nsq").as("nc"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(cosine(col("dot"), col("nq"), col("nc")).desc, col("vec_id"))
+      pairs
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= TopK)
+        .select(col("query_id"), col("vec_id"), col("rnk"),
+          round(cosine(col("dot"), col("nq"), col("nc")), 4).as("cos_sim"))
+    }
+  )
+}
