@@ -14,7 +14,7 @@ object SparkEntry {
   def allQs: Seq[Q] =
     RelationalQueries.qs ++ WindowQueries.qs ++ DateQueries.qs ++
       TextQueries.qs ++ FinanceQueries.qs ++ DedupQueries.qs ++
-      SimilarityQueries.qs
+      SimilarityQueries.qs ++ MultimodalQueries.qs ++ StreamingQueries.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

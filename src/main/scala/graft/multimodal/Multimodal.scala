@@ -1,0 +1,128 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) column plumbing (builder brief): media
+  * payloads are opaque `binary` columns with typed metadata; decode /
+  * feature-extract / resize / frame-sample run as distributed
+  * per-partition batch operators.
+  *
+  * The actual codec call is STUBBED ([[MediaDecoder.Stub]]) — the
+  * container has no image/audio libraries — but everything Spark-side is
+  * real and tested: the schema, the binary payload flow, the
+  * partition-local batch shape (bounded memory per task), and the typed
+  * feature output. Swapping in a real decoder is a one-class change.
+  *
+  * Scale notes:
+  *  - Payloads never hit the driver; [[featurize]] is
+  *    `mapPartitions` with an explicit batch size, so peak task memory is
+  *    `batchSize × payload` regardless of partition size.
+  *  - Feature extraction emits fixed-width vectors — downstream ANN
+  *    (SimilarityQueries) consumes them directly.
+  *  - On a real cluster, media tables should be stored with small row
+  *    groups (payload-heavy) and metadata in separate columns so
+  *    metadata-only queries never read payload bytes (columnar pruning).
+  */
+object Multimodal {
+
+  /** One media row: payload + typed metadata (schema contract). */
+  final case class MediaRow(
+      media_id: Long,
+      kind: String, // image | audio | video
+      payload: Array[Byte],
+      width: Int, // image/video
+      height: Int,
+      sample_rate: Int, // audio
+      n_frames: Int) // video
+
+  final case class MediaFeatures(
+      media_id: Long,
+      kind: String,
+      n_bytes: Int,
+      features: Array[Float])
+
+  /** Decoder seam. `decode` turns payload bytes into a raw sample/pixel
+    * buffer; real implementations (JPEG/PNG/PCM/frame extraction) plug in
+    * here. */
+  trait MediaDecoder extends Serializable {
+    def decode(kind: String, payload: Array[Byte]): Array[Byte]
+  }
+
+  object MediaDecoder {
+    /** STUB: identity "decode" — stands in for the codec (no media libs
+      * in this environment). Deterministic, so tests are stable. */
+    object Stub extends MediaDecoder {
+      def decode(kind: String, payload: Array[Byte]): Array[Byte] = payload
+    }
+  }
+
+  /** Derive a deterministic media table from `documents` (the testdata
+    * has no binary fixtures): payload = utf8 bytes of text, metadata
+    * derived from doc_id/n_chars. This is fixture synthesis, not a stub —
+    * the operators downstream treat payload as opaque bytes. */
+  def mediaFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+      col("text").cast("binary").as("payload"),
+      (lit(16) + col("doc_id") % 64).cast("int").as("width"),
+      (lit(16) + col("doc_id") % 48).cast("int").as("height"),
+      element_at(array(lit(8000), lit(16000), lit(44100)),
+        (col("doc_id") % 3 + 1).cast("int")).as("sample_rate"),
+      (col("n_chars") % 240 + 1).cast("int").as("n_frames"))
+
+  /** Distributed feature extraction: decode (stub) then compute a
+    * fixed-width feature vector from the raw buffer (byte-moment + coarse
+    * histogram — real math over real bytes). Runs partition-local in
+    * bounded batches. */
+  def featurize(
+      media: Dataset[MediaRow],
+      decoder: MediaDecoder = MediaDecoder.Stub,
+      batchSize: Int = 64,
+      nBuckets: Int = 8): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch => // bounded batch shape
+        batch.iterator.map { m =>
+          val raw = decoder.decode(m.kind, m.payload)
+          val hist = new Array[Float](nBuckets)
+          var sum = 0.0; var sumSq = 0.0
+          var i = 0
+          while (i < raw.length) {
+            val v = raw(i) & 0xff
+            hist(v * nBuckets / 256) += 1f
+            sum += v; sumSq += v.toDouble * v
+            i += 1
+          }
+          val n = math.max(raw.length, 1)
+          val mean = (sum / n).toFloat
+          val std = math.sqrt(math.max(sumSq / n - mean * mean, 0)).toFloat
+          val normHist = hist.map(_ / n)
+          MediaFeatures(m.media_id, m.kind, raw.length,
+            Array(mean, std) ++ normHist)
+        }
+      }
+    }
+  }
+
+  /** Resize plan (metadata op): target box with aspect preserved —
+    * integer math only, the pixel resample itself happens inside the
+    * decoder seam on a real deployment. */
+  def resizePlan(media: DataFrame, maxSide: Int): DataFrame = {
+    val longSide = greatest(col("width"), col("height"))
+    val scaleNum = least(longSide, lit(maxSide)) // scaled = dim*num/den
+    def fit(dim: org.apache.spark.sql.Column) = // 0-dim rows (audio) pass through
+      when(longSide > 0, (dim * scaleNum / longSide).cast("int")).otherwise(dim)
+    media.withColumn("out_width", fit(col("width")))
+      .withColumn("out_height", fit(col("height")))
+  }
+
+  /** Frame sampling for video rows: every `stride`-th frame index —
+    * generated scan-local (explode of a sequence), no shuffle. */
+  def frameSample(media: DataFrame, stride: Int): DataFrame =
+    media.filter(col("kind") === "video")
+      .select(col("media_id"), col("n_frames"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
+}

@@ -1,0 +1,57 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.streaming.Streaming
+
+/** Batch faces of the streaming operators ([[graft.streaming.Streaming]]):
+  * Spark's unified batch/stream semantics mean the SAME `windowedCounts`
+  * plan runs here over the events table and in StreamingSpec over a
+  * stream — the DuckDB oracle checks the one logical definition.
+  */
+object StreamingQueries {
+
+  val qs: Seq[Q] = Seq(
+
+    // ---- tumbling event-time window aggregate (batch face)
+    Q.sql(
+      "q_stream_tumbling_window",
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+        |       event_type, count(*) AS n,
+        |       round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin
+    ) { (s, dir) =>
+      Streaming.windowedCounts(Tables.events(s, dir))
+        .withColumn("sum_value", round(col("sum_value"), 2))
+    },
+
+    // ---- sessionization via typed stateful operator, run in batch mode
+    // (flatMapGroupsWithState works on batch Datasets too); oracle is the
+    // window-function sessionization — two independent formulations must
+    // agree on session boundaries and aggregates
+    Q.sql(
+      "q_stream_sessions",
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts, value,
+        |         CASE WHEN datediff('second', lag(ts) OVER w, ts) IS NULL
+        |               OR datediff('second', lag(ts) OVER w, ts) >= 1800 THEN 1 ELSE 0 END AS is_new
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM g)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |       CAST(count(*) AS INT) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM s GROUP BY user_id, session_seq""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      val events = Tables.events(s, dir)
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+        .as[Streaming.Event]
+      Streaming.sessionize(events, java.time.Duration.ofMinutes(30), emitTrailing = true)
+        .toDF()
+        .withColumn("sum_value", round(col("sum_value"), 2))
+    }
+  )
+}

@@ -1,0 +1,129 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import java.sql.Timestamp
+
+/** Structured Streaming surface (SURVEY.md §2.9): the reference's
+  * micro-batch incremental semantics re-expressed as real streams.
+  * The arrival log (`stg_*` + `ingested_at` watermark,
+  * `stg_accounts.sql:9-11`) maps to a file/`readStream` source with
+  * event-time watermarking; the rolling `reprocess_months` restatement
+  * window maps to allowed lateness.
+  *
+  * Scale notes:
+  *  - Windowed aggregation state is bounded by the watermark — late rows
+  *    beyond it are dropped, state for closed windows is evicted; state
+  *    partitions shard by group key across executors.
+  *  - Sessionization uses `flatMapGroupsWithState` with event-time
+  *    timeout: per-key state is O(1) (current session bounds), emitted on
+  *    gap expiry — the streaming analogue of q_win_sessionize's batch
+  *    window.
+  */
+object Streaming {
+
+  final case class Event(
+      event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class SessionState(
+      start: Timestamp, last: Timestamp, nEvents: Int, sumValue: Double)
+
+  final case class Session(
+      user_id: Long, session_start: Timestamp, session_end: Timestamp,
+      n_events: Int, sum_value: Double)
+
+  /** Tumbling event-time window aggregate with watermark-bounded state.
+    * Works on both batch and streaming DataFrames (same plan — Spark's
+    * unified semantics; the batch run is the oracle for the stream). */
+  def windowedCounts(events: DataFrame, watermark: String = "1 hour"): DataFrame = {
+    val withWm =
+      if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    withWm
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+  }
+
+  /** Gap-based sessionization via flatMapGroupsWithState: a session ends
+    * when no event arrives within `gap`. Emits completed sessions;
+    * `EventTimeTimeout` flushes idle sessions once the watermark passes
+    * last+gap. */
+  /** @param emitTrailing also emit the still-open trailing session per
+    *        key — required in batch mode, where each key is visited once
+    *        and timeouts never fire (Spark's batch execution of stateful
+    *        operators discards leftover state). Leave false on streams:
+    *        the event-time timeout emits idle sessions there. */
+  def sessionize(
+      events: Dataset[Event],
+      gap: java.time.Duration,
+      emitTrailing: Boolean = false): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gap.toMillis
+
+    def finish(userId: Long, st: SessionState): Session =
+      Session(userId, st.start, st.last, st.nEvents, st.sumValue)
+
+    val withWm =
+      if (events.isStreaming) events.withWatermark("ts", "10 minutes") else events
+    withWm
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId, it, state: GroupState[SessionState]) =>
+          if (it.isEmpty && state.hasTimedOut) {
+            // watermark passed: flush the idle session
+            val out = state.getOption.map(finish(userId, _))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var cur = state.getOption
+            val closed = Seq.newBuilder[Session]
+            for (e <- sorted) {
+              cur match {
+                case Some(s) if e.ts.getTime - s.last.getTime < gapMs =>
+                  cur = Some(SessionState(s.start, e.ts, s.nEvents + 1, s.sumValue + e.value))
+                case Some(s) =>
+                  closed += finish(userId, s)
+                  cur = Some(SessionState(e.ts, e.ts, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(e.ts, e.ts, 1, e.value))
+              }
+            }
+            if (emitTrailing) cur.foreach(closed += finish(userId, _))
+            else cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last.getTime + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** The reference's incremental-append staging model as a stream: file
+    * source + AvailableNow ≈ "process all new batches then stop" — the
+    * streaming-native form of the `ingested_at > max(ingested_at)`
+    * high-water mark (S10), with exactly-once offsets in the checkpoint
+    * instead of a scanned watermark. */
+  def incrementalAppend(
+      spark: SparkSession,
+      sourceDir: String,
+      targetDir: String,
+      checkpointDir: String,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    val q = spark.readStream
+      .schema(schema)
+      .parquet(sourceDir)
+      .writeStream
+      .format("parquet")
+      .option("path", targetDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

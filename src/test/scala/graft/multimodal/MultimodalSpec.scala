@@ -1,0 +1,58 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import graft.multimodal.Multimodal._
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def media = Seq(
+    MediaRow(1L, "image", "abcd".getBytes("UTF-8"), 32, 24, 8000, 1),
+    MediaRow(2L, "audio", Array.tabulate(300)(i => (i % 256).toByte), 0, 0, 16000, 1),
+    MediaRow(3L, "video", Array.fill(100)(0x40.toByte), 64, 48, 0, 100)
+  ).toDS()
+
+  test("featurize: schema, batch shape, and real byte math") {
+    val feats = featurize(media, batchSize = 2).collect().sortBy(_.media_id)
+    assert(feats.map(_.media_id).toSeq == Seq(1L, 2L, 3L))
+    // fixed-width vector: mean, std + 8 histogram buckets
+    assert(feats.forall(_.features.length == 10))
+    // constant payload → std 0, single hist bucket == 1.0
+    val const = feats(2)
+    assert(const.features(0) == 0x40.toFloat && const.features(1) == 0f)
+    assert(math.abs(const.features(2 + (0x40 * 8 / 256)) - 1f) < 1e-6)
+    // "abcd" mean = (97+98+99+100)/4
+    assert(math.abs(feats(0).features(0) - 98.5f) < 1e-4)
+    assert(feats(0).n_bytes == 4)
+    // histogram is a probability distribution
+    feats.foreach(f => assert(math.abs(f.features.drop(2).sum - 1f) < 1e-5))
+  }
+
+  test("featurize is deterministic across runs and partitionings") {
+    val a = featurize(media.repartition(1)).collect().sortBy(_.media_id).map(_.features.toSeq).toSeq
+    val b = featurize(media.repartition(3)).collect().sortBy(_.media_id).map(_.features.toSeq).toSeq
+    assert(a == b)
+  }
+
+  test("resize plan preserves aspect and never upscales") {
+    val df = resizePlan(media.toDF(), maxSide = 32)
+      .select($"media_id", $"width", $"height", $"out_width", $"out_height")
+      .as[(Long, Int, Int, Int, Int)].collect().sortBy(_._1)
+    df.foreach { case (_, w, h, ow, oh) =>
+      if (w > 0 && h > 0) {
+        assert(math.max(ow, oh) <= 32 && math.min(ow, oh) >= 1)
+        assert(ow <= w && oh <= h) // never upscale
+      }
+    }
+    // 64x48 → 32x24 exactly
+    assert(df.find(_._1 == 3L).map(r => (r._4, r._5)).contains((32, 24)))
+  }
+
+  test("frame sampling strides over video frames only") {
+    val rows = frameSample(media.toDF(), stride = 30)
+      .select($"media_id", $"frame_idx").as[(Long, Int)].collect()
+    assert(rows.forall(_._1 == 3L))
+    assert(rows.map(_._2).sorted.toSeq == Seq(0, 30, 60, 90))
+  }
+}
