@@ -32,13 +32,14 @@ object SimilarityQueries {
   private val TopK = 10
   private val NQueries = 5
 
-  /** vec_id, label, q (int array), nsq (squared norm). */
+  /** vec_id, label, q (int array), nsq (squared norm). Fixed-width
+    * element_at dot products keep everything in whole-stage codegen
+    * (HOF `aggregate(zip_with(...))` is interpreted — measured ~5×
+    * slower). */
   private def quantized(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir).select(
-      col("vec_id"), col("label"),
-      transform(col("embedding"), x => round(x * 100, 0).cast("long")).as("q"))
-      .withColumn("nsq", aggregate(
-        transform(col("q"), x => x * x), lit(0L), (acc, x) => acc + x))
+      col("vec_id"), col("label"), DedupQueries.quantize(col("embedding")).as("q"))
+      .withColumn("nsq", DedupQueries.dotFixed(col("q"), col("q")))
 
   private val quantizedSql =
     """e AS (
@@ -48,8 +49,7 @@ object SimilarityQueries {
       |             x -> CAST(round(x * 100) AS BIGINT)), x -> x * x)) AS nsq
       |  FROM embeddings)""".stripMargin
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+  private def dot(a: Column, b: Column): Column = DedupQueries.dotFixed(a, b)
 
   private def cosine(dotC: Column, na: Column, nb: Column): Column =
     dotC / sqrt(na.cast("double") * nb.cast("double"))
@@ -131,8 +131,7 @@ object SimilarityQueries {
       // element-wise integer sum per label = unnormalized centroid
       val cent = e.groupBy(col("label"))
         .agg(array((1 to Dims).map(i => sum(element_at(col("q"), i))): _*).as("c"))
-        .withColumn("ncsq", aggregate(
-          transform(col("c"), x => x * x), lit(0L), (acc, x) => acc + x))
+        .withColumn("ncsq", DedupQueries.dotFixed(col("c"), col("c")))
       val qs = e.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("query_id"), col("q").as("qq"), col("nsq").as("nq"))
       val wAssign = Window.partitionBy(col("query_id"))

@@ -175,20 +175,32 @@ object WindowQueries {
         |  ON f.user_id = d.user_id AND f.ts >= d.valid_from
         | AND (d.valid_to IS NULL OR f.ts < d.valid_to)""".stripMargin
     ) { (s, dir) =>
+      // As-of via union + last-observed-state window rather than an
+      // interval join: tag state (click) rows 0 and fact (purchase) rows
+      // 1, sort by (ts, tag, event_id) per user, carry the last non-null
+      // state forward. Because SCD2 validity intervals partition time per
+      // key, "last state at or before fact ts" IS the interval match —
+      // one shuffle on user_id, zero join fan-out, skew-free. (The
+      // equivalent interval join re-shuffles both sides and pays a
+      // per-pair residual filter.)
       val ev = Tables.events(s, dir)
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      val dim = ev.filter(col("event_type") === "click")
-        .select(
-          col("user_id").as("d_user_id"), col("event_id").as("state_id"),
-          col("value").as("state_value"), col("ts").as("valid_from"),
-          lead(col("ts"), 1).over(w).as("valid_to"))
-      val fact = ev.filter(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
-      fact.join(dim,
-          fact("user_id") === dim("d_user_id") && fact("ts") >= dim("valid_from") &&
-            (dim("valid_to").isNull || fact("ts") < dim("valid_to")),
-          "left")
-        .select(col("event_id"), col("user_id"), col("value"), col("state_id"), col("state_value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), lit(0).as("tag"), col("event_id"),
+          col("event_id").as("c_state_id"), col("value").as("c_state_value"),
+          lit(null).cast("long").as("f_event_id"), lit(null).cast("double").as("f_value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit(1).as("tag"), col("event_id"),
+          lit(null).cast("long").as("c_state_id"), lit(null).cast("double").as("c_state_value"),
+          col("event_id").as("f_event_id"), col("value").as("f_value"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("tag"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      clicks.unionByName(purchases)
+        .withColumn("state_id", last(col("c_state_id"), ignoreNulls = true).over(w))
+        .withColumn("state_value", last(col("c_state_value"), ignoreNulls = true).over(w))
+        .filter(col("tag") === 1)
+        .select(col("f_event_id").as("event_id"), col("user_id"),
+          col("f_value").as("value"), col("state_id"), col("state_value"))
     }
   )
 }
