@@ -1,0 +1,64 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Physical-plan shape assertions (SURVEY.md §4, builder brief "explain
+  * and iterate"): the scale-critical properties — scan pushdown, column
+  * pruning, broadcast dimension joins, map-side partial aggregation,
+  * whole-stage codegen — are pinned here so a regression in plan shape
+  * fails CI, not just the benchmark.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def plan(name: String): String = {
+    val df = graft.SparkEntry.queries(name)(spark, dir)
+    df.collect() // materialize so AQE finalizes the physical plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("filters and projections reach the parquet scan") {
+    val p = plan("q_filter_project")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    assert(p.contains("> 0.07"), p) // discount predicate evaluated at scan
+    // pruned read schema: only the 6 referenced columns, not all 11
+    assert(!p.contains("l_returnflag"), "column pruning failed: " + p)
+  }
+
+  test("dimension joins broadcast (no fact-side shuffle)") {
+    val p = plan("q_join_equi_chain")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    val p2 = plan("q_join_broadcast_dim")
+    assert(p2.contains("BroadcastHashJoin"), p2)
+  }
+
+  test("aggregations are partial (map-side combine) + whole-stage codegen") {
+    val p = plan("q_agg_rollup")
+    assert(p.contains("partial_sum"), p)
+    // partial + final pair
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    // codegen'd stages print as "*(n) Op"
+    assert(p.contains("*(1)") || p.contains("WholeStageCodegen"), p)
+  }
+
+  test("months-spine range join broadcasts the tiny side") {
+    val p = plan("q_range_join_spine")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("semi/anti joins plan as join semi/anti, not materialized distinct") {
+    assert(plan("q_join_semi").contains("LeftSemi"))
+    assert(plan("q_join_anti").contains("LeftAnti"))
+  }
+
+  test("as-of union formulation is a single shuffle on the key") {
+    val p = plan("q_asof_join_scd2")
+    // no join operator at all — the window carries the state; every
+    // exchange is the same user_id partitioning (one per union branch)
+    assert(!p.contains("Join"), p)
+    val exchanges = "Exchange hashpartitioning\\(\\w+".r.findAllIn(p).toSeq
+    assert(exchanges.nonEmpty && exchanges.forall(_.endsWith("user_id")), p)
+  }
+}
