@@ -83,8 +83,24 @@ final class Engine(
       case None => throw new IllegalArgumentException(s"unknown ref '$name'")
     }
 
+  /** Atomically replace a target whose new content READS the old content
+    * (snapshot merge): write to a tmp dir, then swap. Local-fs rename
+    * here; on HDFS/object stores this is `FileSystem.rename` / a
+    * transactional table format. */
+  private def writeSwap(df: DataFrame, name: String): Unit = {
+    val tmp = path(name) + ".tmp"
+    df.write.mode("overwrite").parquet(tmp)
+    val dir = new java.io.File(path(name))
+    def delete(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(delete)
+      f.delete(); ()
+    }
+    if (dir.exists) delete(dir)
+    require(new java.io.File(tmp).renameTo(dir), s"swap failed for $name")
+  }
+
   /** Materialize one model per its strategy; returns rows now in target. */
-  private def materialize(m: Model): Long = {
+  private def materialize(m: Model, batchTs: java.sql.Timestamp): Long = {
     val df = m.build(spark, ref)
     m.materialization match {
       case Materialization.View => df.count()
@@ -112,13 +128,20 @@ final class Engine(
         finally mode.foreach(
           spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
         spark.read.parquet(path(m.name)).count()
+      case Materialization.Scd2Snapshot(key, checkCols) =>
+        val prior =
+          if (exists(m.name)) Some(spark.read.parquet(path(m.name))) else None
+        val merged = Snapshot.merge(spark, prior, df, key, checkCols, batchTs)
+        writeSwap(merged, m.name)
+        spark.read.parquet(path(m.name)).count()
     }
   }
 
   /** `dbt build`: topo-ordered materialize + inline tests; a node whose
     * checks fail blocks its transitive downstream (SURVEY.md §3.2 step 5).
     */
-  def build(): BuildReport = {
+  def build(batchTs: java.sql.Timestamp =
+      new java.sql.Timestamp(System.currentTimeMillis())): BuildReport = {
     val blocked = mutable.Set.empty[String]
     val results = topoOrder.map { name =>
       val m = byName(name)
@@ -126,7 +149,7 @@ final class Engine(
         blocked += name
         NodeResult(name, "skipped_upstream", 0)
       } else try {
-        val rows = materialize(m)
+        val rows = materialize(m, batchTs)
         val failed = m.checks.filter(c => !c.violations(ref(name)).isEmpty).map(_.name)
         if (failed.nonEmpty) { blocked += name; NodeResult(name, "test_failed", rows, failed) }
         else NodeResult(name, "ok", rows)

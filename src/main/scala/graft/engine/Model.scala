@@ -46,6 +46,12 @@ object Materialization {
     * is proportional to the restatement window, not table size.
     */
   final case class DeleteInsert(partitionCol: String) extends Materialization
+
+  /** SCD2 snapshot (dbt snapshot block): the model's build result is the
+    * current truth (one row per key); materialization merges it against
+    * the prior snapshot state via [[Snapshot.merge]] at the build's
+    * `batchTs`. Reference: `snapshots/snap_accounts.sql:3-11`. */
+  final case class Scd2Snapshot(key: String, checkCols: Seq[String]) extends Materialization
 }
 
 /** Column-level / singular data checks, dbt-test-protocol: a check compiles
