@@ -14,11 +14,15 @@ object SparkEntry {
   def allQs: Seq[Q] =
     RelationalQueries.qs ++ WindowQueries.qs ++ DateQueries.qs ++
       TextQueries.qs ++ FinanceQueries.qs ++ DedupQueries.qs ++
-      SimilarityQueries.qs ++ MultimodalQueries.qs ++ StreamingQueries.qs
+      SimilarityQueries.qs ++ MultimodalQueries.qs ++ StreamingQueries.qs ++
+      SqlSurfaceQueries.qs
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. The MRR waterfall is the reference's headline mart — it
+    * exercises the whole pipeline (spine fan-out, EOM semantics, window
+    * movement classification, conditional distinct rollup). */
   def entry(spark: SparkSession): DataFrame =
-    allQs.head.fn(spark, "/root/testdata/sf0.001")
+    queries("q_mrr_waterfall")(spark, "/root/testdata/sf0.001")
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,65 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** The `spark.sql` BI surface (SURVEY §3.3: "expose the marts as catalog
+  * tables; spark.sql is the BI surface") plus scale-pattern demos the
+  * brief calls for explicitly: salting for skewed aggregation and sketch
+  * (approximate-distinct) rollups.
+  */
+object SqlSurfaceQueries {
+
+  /** Dialect-neutral SQL — the SAME text runs on Spark and DuckDB. */
+  private val biSql =
+    """SELECT r_name,
+      |       CAST(extract(year FROM o_orderdate) AS INT) AS o_year,
+      |       count(*) AS n_orders,
+      |       round(sum(o_totalprice), 2) AS revenue
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, CAST(extract(year FROM o_orderdate) AS INT)""".stripMargin
+
+  val qs: Seq[Q] = Seq(
+
+    // ---- ad-hoc SQL over cataloged tables: register the warehouse as
+    // temp views, hand the BI tool's SQL text straight to spark.sql
+    Q.sql("q_sql_bi_surface", biSql) { (s, dir) =>
+      for (t <- Seq("orders", "customer", "nation", "region"))
+        Tables.load(s, dir, t).createOrReplaceTempView(t)
+      s.sql(biSql)
+    },
+
+    // ---- salting for skew: two-phase aggregate — partials on
+    // (key, salt) spread a hot key over N reducers, finals on key.
+    // Result is identical to the direct aggregate (the oracle); only the
+    // shuffle layout differs. At 100 TB this is the standard fix when one
+    // group key holds a double-digit share of rows.
+    Q.sql(
+      "q_agg_salted_skew",
+      """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY o_orderstatus""".stripMargin
+    ) { (s, dir) =>
+      val salted = Tables.orders(s, dir)
+        .withColumn("salt", pmod(hash(col("o_orderkey")), lit(16)))
+      salted
+        .groupBy(col("o_orderstatus"), col("salt"))
+        .agg(count(lit(1)).as("pn"), sum(col("o_totalprice")).as("pt"))
+        .groupBy(col("o_orderstatus"))
+        .agg(sum(col("pn")).as("n"), round(sum(col("pt")), 2).as("total"))
+    },
+
+    // ---- sketch rollup: HLL approximate distinct (rows-only — sketch
+    // estimates are engine-specific by construction; accuracy vs the
+    // exact count is asserted in SketchSpec)
+    Q.rowsOnly("q_approx_count_distinct") { (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          approx_count_distinct(col("o_custkey"), 0.02).as("approx_buyers"),
+          countDistinct(col("o_custkey")).as("exact_buyers"))
+    }
+  )
+}

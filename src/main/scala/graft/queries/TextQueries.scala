@@ -139,6 +139,25 @@ object TextQueries {
           .otherwise("es"))
     },
 
+    // ---- BPE-ish regex tokenization: word / number / symbol pieces
+    // (whitespace token counts live in q_text_stats; this is the
+    // regex-segmentation face of token counting from the brief)
+    Q.sql(
+      "q_text_tokenize_regex",
+      """SELECT doc_id,
+        |       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS n_bpe_tokens,
+        |       CAST(len(regexp_extract_all(text, '[a-z]+')) AS INT) AS n_word_tokens,
+        |       CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_num_tokens
+        |FROM documents""".stripMargin
+    ) { (s, dir) =>
+      def n(pat: String) = size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        n("[a-z]+|[0-9]+|[^a-z0-9 ]").as("n_bpe_tokens"),
+        n("[a-z]+").as("n_word_tokens"),
+        n("[0-9]+").as("n_num_tokens"))
+    },
+
     // ---- document fingerprint: min-hash over word 5-gram shingles
     // (winnowing-style content fingerprint; equal fingerprints ⇒ shared
     // rare shingle, near-dup signal)
