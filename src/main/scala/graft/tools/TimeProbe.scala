@@ -10,36 +10,29 @@ object TimeProbe {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
     val dir = "/root/testdata/sf0.1"
-    // native kernel variant of embedding cosine
-    def nativeCosine(): Long = {
-      val e = spark.read.parquet(s"$dir/embeddings.parquet")
-        .select(col("vec_id"), col("label"),
-          transform(col("embedding"), x => round(x * 100, 0).cast("long")).as("q"))
-        .as[(Long, Int, Array[Long])]
-      val pairs = e.toDF("vec_id","label","q").as("a")
-        .join(e.toDF("vec_id","label","q").as("b"),
-          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id"), col("b.vec_id"), col("a.q"), col("b.q"))
-        .as[(Long, Long, Array[Long], Array[Long])]
-      pairs.mapPartitions { it =>
-        it.flatMap { case (va, vb, qa, qb) =>
-          var dot = 0L; var na = 0L; var nb = 0L; var i = 0
-          while (i < qa.length) { dot += qa(i)*qb(i); na += qa(i)*qa(i); nb += qb(i)*qb(i); i += 1 }
-          if (dot > 0 && dot*dot*100 >= 9*na*nb)
-            Some((va, vb, math.round(dot / math.sqrt(na.toDouble*nb.toDouble) * 10000) / 10000.0))
-          else None
+    def time(label: String)(f: => Long): Unit =
+      for (i <- 1 to 2) {
+        val t0 = System.nanoTime(); val n = f
+        println(f"$label run$i ${(System.nanoTime()-t0)/1e9}%.2f s ($n)")
+      }
+    // stage A: kernel bands only
+    val docs = spark.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("text")).as[(Long, String)]
+    time("bands_kernel") {
+      docs.mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def hex(bs: Array[Byte]): String = { val sb = new StringBuilder(32); bs.foreach(b => sb.append(f"${b & 0xff}%02x")); sb.toString }
+        def h(x: String): String = hex(md.digest(x.getBytes("UTF-8")))
+        it.flatMap { case (id, text) =>
+          val t = text.split(" ", -1)
+          val sh = if (t.length >= 3) t.sliding(3).map(_.mkString(" ")).toSeq else Seq(t.mkString(" "))
+          val hs = sh.map(h)
+          val sigs = (0 until 8).map(i => hs.iterator.map(x => x.substring(i) + x.substring(0, i)).min)
+          (0 until 4).map { b => (id, b, h(sigs(2*b) + "|" + sigs(2*b+1))) }
         }
-      }.count()
+      }.toDF("doc_id","band_idx","band_key").count()
     }
-    for (i <- 1 to 2) {
-      val t0 = System.nanoTime(); val n = nativeCosine()
-      println(f"native_cosine run$i ${(System.nanoTime()-t0)/1e9}%.2f s ($n rows)")
-    }
-    for (n <- Seq("q_dedup_embedding_cosine","q_ann_bruteforce_topk","q_ann_ivf_topk"); i <- 1 to 2) {
-      val t0 = System.nanoTime()
-      graft.SparkEntry.queries(n)(spark, dir).count()
-      println(f"$n run$i ${(System.nanoTime()-t0)/1e9}%.2f s")
-    }
+    time("q_dedup_minhash_lsh") { graft.SparkEntry.queries("q_dedup_minhash_lsh")(spark, dir).count() }
+    time("q_dedup_ngram_jaccard") { graft.SparkEntry.queries("q_dedup_ngram_jaccard")(spark, dir).count() }
     spark.stop()
   }
 }
