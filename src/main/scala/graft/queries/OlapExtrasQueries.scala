@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** OLAP operators beyond the reference's own surface (SURVEY §2 marks
+  * these categories absent; a "complete" engine a reference user could
+  * switch to still needs them): multi-dimensional grouping sets, HAVING,
+  * exact quantiles, and the remaining window shapes.
+  *
+  * Scale notes: rollup/cube expand inside the partial aggregate
+  * (Expand operator before the shuffle — one pass over data); exact
+  * percentiles sort within groups only; ntile/first/last ride the same
+  * single window shuffle as the other window ops.
+  */
+object OlapExtrasQueries {
+
+  val qs: Seq[Q] = Seq(
+
+    // ---- ROLLUP: hierarchical subtotals + grand total
+    Q.sql(
+      "q_agg_rollup_sets",
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(grouping(l_returnflag) AS INT) AS g_flag,
+        |       CAST(grouping(l_linestatus) AS INT) AS g_status,
+        |       count(*) AS n, round(sum(l_quantity), 2) AS qty
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+    ) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          grouping(col("l_returnflag")).cast("int").as("g_flag"),
+          grouping(col("l_linestatus")).cast("int").as("g_status"),
+          count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("qty"))
+        .select("l_returnflag", "l_linestatus", "g_flag", "g_status", "n", "qty")
+    },
+
+    // ---- CUBE: all grouping combinations
+    Q.sql(
+      "q_agg_cube",
+      """SELECT o_orderstatus, o_orderpriority,
+        |       CAST(grouping(o_orderstatus) AS INT) AS g_st,
+        |       CAST(grouping(o_orderpriority) AS INT) AS g_pr,
+        |       count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
+    ) { (s, dir) =>
+      Tables.orders(s, dir)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          grouping(col("o_orderstatus")).cast("int").as("g_st"),
+          grouping(col("o_orderpriority")).cast("int").as("g_pr"),
+          count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+        .select("o_orderstatus", "o_orderpriority", "g_st", "g_pr", "n", "total")
+    },
+
+    // ---- HAVING: post-aggregation predicate
+    Q.sql(
+      "q_agg_having",
+      """SELECT o_custkey, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY o_custkey
+        |HAVING count(*) >= 12 AND sum(o_totalprice) > 1000000""".stripMargin
+    ) { (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("raw_total"))
+        .filter(col("n") >= 12 && col("raw_total") > 1000000)
+        .select(col("o_custkey"), col("n"), round(col("raw_total"), 2).as("total"))
+    },
+
+    // ---- exact interpolated quantiles + median per group
+    Q.sql(
+      "q_agg_percentiles",
+      """SELECT l_returnflag,
+        |       round(median(l_quantity), 4) AS med_qty,
+        |       round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price,
+        |       round(quantile_cont(l_extendedprice, 0.75), 4) AS p75_price
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin
+    ) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(median(col("l_quantity")), 4).as("med_qty"),
+          round(percentile(col("l_extendedprice"), lit(0.25)), 4).as("p25_price"),
+          round(percentile(col("l_extendedprice"), lit(0.75)), 4).as("p75_price"))
+    },
+
+    // ---- remaining window shapes: ntile quartiles, first/last value
+    Q.sql(
+      "q_win_ntile_first_last",
+      """SELECT o_orderkey, o_orderpriority,
+        |       ntile(4) OVER w AS quartile,
+        |       first_value(o_orderkey) OVER w AS biggest_order,
+        |       last_value(o_orderkey) OVER
+        |         (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS smallest_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin
+    ) { (s, dir) =>
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_orderpriority"),
+        ntile(4).over(w).as("quartile"),
+        first(col("o_orderkey")).over(w).as("biggest_order"),
+        last(col("o_orderkey")).over(wFull).as("smallest_order"))
+    }
+  )
+}
