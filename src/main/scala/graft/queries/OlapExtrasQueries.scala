@@ -88,6 +88,27 @@ object OlapExtrasQueries {
           round(percentile(col("l_extendedprice"), lit(0.75)), 4).as("p75_price"))
     },
 
+    // ---- JSON column extraction (semi-structured props on the events
+    // log): scalar path extraction + typed aggregation over it. In
+    // Spark, from_json/get_json_object evaluate scan-local; at 100 TB
+    // prefer parsing ONCE into a struct column at ingestion over
+    // repeated per-query path extraction.
+    Q.sql(
+      "q_json_extract",
+      """SELECT event_type,
+        |       count(*) AS n,
+        |       sum(CAST(json_extract(props, '$.k') AS INT)) AS sum_k,
+        |       CAST(max(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin
+    ) { (s, dir) =>
+      val k = get_json_object(col("props"), "$.k").cast("int")
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(k).as("sum_k"),
+          max(k).cast("int").as("max_k"))
+    },
+
     // ---- remaining window shapes: ntile quartiles, first/last value
     Q.sql(
       "q_win_ntile_first_last",

@@ -139,6 +139,42 @@ object TextQueries {
           .otherwise("es"))
     },
 
+    // ---- composite quality score: the filter signal a training-data
+    // pipeline thresholds on (length band + stopword band + lexical
+    // diversity), integer-weighted so the score is exact in both engines
+    Q.sql(
+      "q_text_quality",
+      """WITH f AS (
+        |  SELECT doc_id,
+        |         len(string_split(text, ' ')) AS n_tok,
+        |         len(list_filter(string_split(text, ' '),
+        |             t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS n_stop,
+        |         len(list_distinct(string_split(text, ' '))) AS n_uniq
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST((CASE WHEN n_tok BETWEEN 20 AND 200 THEN 2
+        |                  WHEN n_tok >= 10 THEN 1 ELSE 0 END)
+        |          + (CASE WHEN n_stop * 100 BETWEEN 2 * n_tok AND 40 * n_tok THEN 2 ELSE 0 END)
+        |          + (CASE WHEN n_uniq * 2 > n_tok THEN 1 ELSE 0 END) AS INT) AS quality_score,
+        |       (CASE WHEN n_tok BETWEEN 20 AND 200 THEN 2
+        |             WHEN n_tok >= 10 THEN 1 ELSE 0 END)
+        |          + (CASE WHEN n_stop * 100 BETWEEN 2 * n_tok AND 40 * n_tok THEN 2 ELSE 0 END)
+        |          + (CASE WHEN n_uniq * 2 > n_tok THEN 1 ELSE 0 END) >= 4 AS keep
+        |FROM f""".stripMargin
+    ) { (s, dir) =>
+      val toks = split(col("text"), " ")
+      val f = Tables.documents(s, dir).select(
+        col("doc_id"),
+        size(toks).as("n_tok"),
+        size(filter(toks, t => t.isInCollection(Seq("the", "a", "of", "and", "to")))).as("n_stop"),
+        size(array_distinct(toks)).as("n_uniq"))
+      val score =
+        when(col("n_tok").between(20, 200), 2).when(col("n_tok") >= 10, 1).otherwise(0) +
+          when((col("n_stop") * 100).between(col("n_tok") * 2, col("n_tok") * 40), 2).otherwise(0) +
+          when(col("n_uniq") * 2 > col("n_tok"), 1).otherwise(0)
+      f.select(col("doc_id"), score.cast("int").as("quality_score"), (score >= 4).as("keep"))
+    },
+
     // ---- BPE-ish regex tokenization: word / number / symbol pieces
     // (whitespace token counts live in q_text_stats; this is the
     // regex-segmentation face of token counting from the brief)
