@@ -1,0 +1,62 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Cluster-level deduplication: candidate pairs (from LSH / blocking /
+  * cosine) form a similarity graph; the survivor set is one canonical
+  * document per connected component. Component labels come from
+  * iterative min-label propagation — the standard distributed
+  * connected-components algorithm (each round is one join + aggregate;
+  * rounds needed = graph diameter, which for near-dup clusters is tiny).
+  *
+  * Scale notes: every iteration is a shuffle on doc_id (no driver-side
+  * graph); `maxIter` bounds work on adversarial chain-shaped clusters —
+  * real near-dup components are cliques or near-cliques (diameter ≤ 3).
+  * Labels are cached per round and unpersisted after; convergence check
+  * is a count of changed labels (one aggregate), not a full compare.
+  */
+object Dedup {
+
+  /** @param pairs candidate pairs (doc_a, doc_b)
+    * @return (doc_id, cluster) — cluster = min doc_id of the component */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster", col("doc_id"))
+      .cache()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      // each node adopts the min label among itself and its neighbors
+      val prop = edges
+        .join(labels.withColumnRenamed("doc_id", "src"), "src")
+        .groupBy(col("dst").as("doc_id"))
+        .agg(min(col("cluster")).as("neighbor_min"))
+      val next = labels.join(prop, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster"), coalesce(col("neighbor_min"), col("cluster"))).as("cluster"),
+          (coalesce(col("neighbor_min"), col("cluster")) < col("cluster")).as("chg"))
+        .cache()
+      changed = next.filter(col("chg")).count()
+      labels.unpersist()
+      labels = next.drop("chg")
+      iter += 1
+    }
+    labels
+  }
+
+  /** Survivor selection over a corpus: every document keeps its
+    * component's canonical (min) doc_id; documents in no candidate pair
+    * are their own survivor. `keep = (doc_id == survivor)` drives the
+    * actual dedup filter. */
+  def survivors(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val cc = connectedComponents(pairs)
+    docs.select(col("doc_id"))
+      .join(cc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("doc_id")).as("survivor_doc_id"))
+      .withColumn("keep", col("doc_id") === col("survivor_doc_id"))
+  }
+}

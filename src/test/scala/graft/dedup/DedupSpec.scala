@@ -1,0 +1,41 @@
+package graft.dedup
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connected components: chain, triangle, and singleton clusters") {
+    // chain 1-2-3-4 (diameter 3), triangle 10-11-12, pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(cc(_) == 1L))
+    assert(Seq(10L, 11L, 12L).forall(cc(_) == 10L))
+    assert(Seq(20L, 21L).forall(cc(_) == 20L))
+  }
+
+  test("survivors: one keeper per cluster, unpaired docs keep themselves") {
+    val docs = (1L to 6L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val s = Dedup.survivors(docs, pairs)
+      .select($"doc_id", $"survivor_doc_id", $"keep")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(s == Seq(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (4L, 4L, true), (5L, 4L, false), (6L, 6L, true)))
+  }
+
+  test("end-to-end: LSH candidates -> clusters over the documents table") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.SparkEntry.queries("q_dedup_clusters")(spark, dir)
+    assert(out.count() == 500) // one row per document
+    // keepers are a subset; every cluster's survivor is its min member
+    val bad = out.filter($"survivor_doc_id" > $"doc_id").count()
+    assert(bad == 0)
+    assert(out.filter($"keep").count() <= 500)
+    assert(out.filter($"keep").count() > 400) // synthetic corpus: few dups
+  }
+}

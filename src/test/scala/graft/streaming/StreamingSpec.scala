@@ -58,6 +58,24 @@ class StreamingSpec extends SparkSpec {
     assert(sessions.contains((2L, 1, 5.0)))
   }
 
+  test("streaming exact dedup: duplicate events across micro-batches emit once") {
+    val input = MemoryStream[Event]
+    val q = input.toDF()
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    input.addData(fixture.head, fixture(1))
+    q.processAllAvailable()
+    input.addData(fixture.head) // replay of event 1 in a later micro-batch
+    q.processAllAvailable()
+    input.addData(fixture(2))
+    q.processAllAvailable()
+    val ids = spark.table("dedup").select($"event_id").as[Long].collect().toSeq
+    q.stop()
+    assert(ids.sorted == Seq(1L, 2L, 3L)) // the replayed event 1 deduped
+  }
+
   test("incremental append stream: AvailableNow processes each batch exactly once") {
     val dir = tmpDir("stream")
     val src = s"$dir/src"; val tgt = s"$dir/tgt"; val ckp = s"$dir/ckp"
