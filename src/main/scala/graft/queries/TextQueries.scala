@@ -194,6 +194,22 @@ object TextQueries {
         n("[0-9]+").as("n_num_tokens"))
     },
 
+    // ---- fuzzy matching: edit distance against a canonical form
+    // (entity-resolution primitive; candidate pairs would come from
+    // blocking/LSH exactly as in DedupQueries)
+    Q.sql(
+      "q_text_levenshtein",
+      """SELECT c_custkey,
+        |       CAST(levenshtein(c_name, 'Customer#000000000') AS INT) AS dist_canonical,
+        |       CAST(levenshtein(lower(c_mktsegment), 'building') AS INT) AS dist_segment
+        |FROM customer""".stripMargin
+    ) { (s, dir) =>
+      Tables.customer(s, dir).select(
+        col("c_custkey"),
+        levenshtein(col("c_name"), lit("Customer#000000000")).as("dist_canonical"),
+        levenshtein(lower(col("c_mktsegment")), lit("building")).as("dist_segment"))
+    },
+
     // ---- document fingerprint: min-hash over word 5-gram shingles
     // (winnowing-style content fingerprint; equal fingerprints ⇒ shared
     // rare shingle, near-dup signal)
