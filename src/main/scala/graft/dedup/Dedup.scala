@@ -19,13 +19,48 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** @param pairs candidate pairs (doc_a, doc_b)
+    * @param smallGraphThreshold pair count below which the component
+    *        computation runs as a driver-side union-find: the candidate
+    *        GRAPH is orders of magnitude smaller than the corpus (it
+    *        only contains near-duplicates), so even petabyte corpora
+    *        usually yield a driver-sized graph; the distributed
+    *        label-propagation path stays available above the threshold
     * @return (doc_id, cluster) — cluster = min doc_id of the component */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def connectedComponents(
+      pairs: DataFrame,
+      maxIter: Int = 10,
+      smallGraphThreshold: Long = 4000000L): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val typed = pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+      .as[(Long, Long)]
+    if (pairs.count() <= smallGraphThreshold) {
+      // union-find with path compression over the collected pair list
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      typed.collect().foreach { case (a, b) =>
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      parent.keys.toSeq.map(k => (k, find(k))).toDF("doc_id", "cluster")
+    } else distributedComponents(pairs, maxIter)
+  }
+
+  private def distributedComponents(pairs: DataFrame, maxIter: Int): DataFrame = {
+    // Iterative algorithms MUST truncate lineage each round —
+    // localCheckpoint materializes the round and cuts the logical plan,
+    // otherwise Catalyst re-analyzes (and may re-execute) a plan that
+    // doubles per iteration. Also pins the candidate-pair input, which
+    // is typically an expensive LSH pipeline.
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster", col("doc_id"))
-      .cache()
+      .localCheckpoint()
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
@@ -38,9 +73,8 @@ object Dedup {
         .select(col("doc_id"),
           least(col("cluster"), coalesce(col("neighbor_min"), col("cluster"))).as("cluster"),
           (coalesce(col("neighbor_min"), col("cluster")) < col("cluster")).as("chg"))
-        .cache()
+        .localCheckpoint()
       changed = next.filter(col("chg")).count()
-      labels.unpersist()
       labels = next.drop("chg")
       iter += 1
     }

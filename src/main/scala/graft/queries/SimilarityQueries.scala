@@ -127,7 +127,10 @@ object SimilarityQueries {
            |WHERE rnk <= $TopK""".stripMargin
       }
     ) { (s, dir) =>
-      val e = quantized(s, dir)
+      // the quantized table feeds three subtrees (centroids, queries,
+      // candidates) — checkpoint it once instead of re-scanning parquet
+      // and re-quantizing per subtree
+      val e = quantized(s, dir).localCheckpoint()
       // element-wise integer sum per label = unnormalized centroid
       val cent = e.groupBy(col("label"))
         .agg(array((1 to Dims).map(i => sum(element_at(col("q"), i))): _*).as("c"))

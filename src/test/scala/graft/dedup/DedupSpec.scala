@@ -6,15 +6,17 @@ import org.apache.spark.sql.functions._
 class DedupSpec extends SparkSpec {
   import spark.implicits._
 
-  test("connected components: chain, triangle, and singleton clusters") {
+  test("connected components: chain, triangle, and singleton clusters (both paths)") {
     // chain 1-2-3-4 (diameter 3), triangle 10-11-12, pair 20-21
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
       (10L, 12L), (20L, 21L)).toDF("doc_a", "doc_b")
-    val cc = Dedup.connectedComponents(pairs)
-      .as[(Long, Long)].collect().toMap
-    assert(Seq(1L, 2L, 3L, 4L).forall(cc(_) == 1L))
-    assert(Seq(10L, 11L, 12L).forall(cc(_) == 10L))
-    assert(Seq(20L, 21L).forall(cc(_) == 20L))
+    for (threshold <- Seq(Long.MaxValue /* union-find */, 0L /* distributed */)) {
+      val cc = Dedup.connectedComponents(pairs, smallGraphThreshold = threshold)
+        .as[(Long, Long)].collect().toMap
+      assert(Seq(1L, 2L, 3L, 4L).forall(cc(_) == 1L), s"threshold=$threshold")
+      assert(Seq(10L, 11L, 12L).forall(cc(_) == 10L), s"threshold=$threshold")
+      assert(Seq(20L, 21L).forall(cc(_) == 20L), s"threshold=$threshold")
+    }
   }
 
   test("survivors: one keeper per cluster, unpaired docs keep themselves") {

@@ -123,6 +123,42 @@ class FinanceWarehouseSpec extends SparkSpec {
       .select("new_mrr").as[Double].head() == 80.0)
   }
 
+  test("randomized multi-batch builds: checks hold and incremental ≡ full refresh") {
+    val rnd = new scala.util.Random(7)
+    val accountIds = (1 to 8).map(i => s"a$i")
+    val subIds = (1 to 20).map(i => s"s$i")
+    def randAccounts() = accountIds.map(a =>
+      (a, s"Name${rnd.nextInt(3)}_$a", Seq("smb", "mid", "enterprise")(rnd.nextInt(3)), "2023-11-01"))
+    def randSubs() = subIds.map { sid =>
+      val start = f"2024-0${1 + rnd.nextInt(3)}%s-0${1 + rnd.nextInt(9)}%s"
+      val end = if (rnd.nextBoolean()) "" else f"2024-0${4 + rnd.nextInt(3)}%s-1${rnd.nextInt(9)}%s"
+      (sid, accountIds(rnd.nextInt(accountIds.size)),
+        Seq("monthly", "annual")(rnd.nextInt(2)), start, end,
+        (1 + rnd.nextInt(50)) * 10.0, rnd.nextInt(5) == 0)
+    }
+    val batches = (1 to 3).map(i => (ts(i), randAccounts(), randSubs()))
+
+    val dir = tmpDir("whr")
+    val runs = run(dir, batches.map { case (bt, a, su) =>
+      (bt, accounts(a: _*)(bt), subs(su: _*)(bt)) })
+    runs.foreach { case (_, rpt) => assert(rpt.ok, rpt.results.mkString("; ")) }
+
+    // full refresh with only the final state (snapshot history differs,
+    // but current-truth-derived facts must agree)
+    val dirF = tmpDir("whrf")
+    val (bt, aF, sF) = batches.last
+    val eF = new Engine(spark, dirF,
+      Map("raw_accounts" -> accounts(aF: _*)(bt), "raw_subscriptions" -> subs(sF: _*)(bt)),
+      FinanceWarehouse.models(FinanceWarehouse.Vars(dateEnd = "2024-06-30")))
+    assert(eF.build(bt).ok)
+
+    def facts(e: Engine) = e.ref("fct_subscription_month")
+      .select($"subscription_id", $"month_start_date", $"mrr_eom")
+      .orderBy($"subscription_id", $"month_start_date")
+      .as[(String, Date, Double)].collect().toSeq
+    assert(facts(runs.last._1) == facts(eF))
+  }
+
   test("incremental staging equals full refresh; third build is a no-op") {
     val dir = tmpDir("wh")
     val runs = run(dir, Seq(
