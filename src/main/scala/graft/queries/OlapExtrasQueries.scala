@@ -88,6 +88,53 @@ object OlapExtrasQueries {
           round(percentile(col("l_extendedprice"), lit(0.75)), 4).as("p75_price"))
     },
 
+    // ---- PIVOT: long → wide on a fixed value set (Spark .pivot;
+    // oracle spells it as conditional aggregation, which is also what
+    // Catalyst rewrites pivot into)
+    Q.sql(
+      "q_pivot_status",
+      """SELECT o_orderpriority,
+        |       round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS F,
+        |       round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS O,
+        |       round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS P
+        |FROM orders GROUP BY o_orderpriority""".stripMargin
+    ) { (s, dir) =>
+      val p = Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(sum(col("o_totalprice")))
+      p.select(col("o_orderpriority"),
+        round(col("F"), 2).as("F"), round(col("O"), 2).as("O"), round(col("P"), 2).as("P"))
+    },
+
+    // ---- RANGE window frame: trailing-3-month rolling revenue per
+    // customer over a numeric month index (value-based frame, not
+    // row-based — gaps in activity shrink the window)
+    Q.sql(
+      "q_win_range_frame",
+      """WITH m AS (
+        |  SELECT o_custkey,
+        |         CAST(datediff('month', DATE '1970-01-01',
+        |              CAST(date_trunc('month', o_orderdate) AS DATE)) AS INT) AS month_idx,
+        |         round(sum(o_totalprice), 2) AS rev
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT o_custkey, month_idx, rev,
+        |       round(sum(rev) OVER (PARTITION BY o_custkey ORDER BY month_idx
+        |             RANGE BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS rev_3mo
+        |FROM m""".stripMargin
+    ) { (s, dir) =>
+      val monthIdx = months_between(
+        date_trunc("month", col("o_orderdate")).cast("date"),
+        lit("1970-01-01").cast("date")).cast("int")
+      val m = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"), monthIdx.as("month_idx"))
+        .agg(round(sum(col("o_totalprice")), 2).as("rev"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey")).orderBy(col("month_idx"))
+        .rangeBetween(-2, org.apache.spark.sql.expressions.Window.currentRow)
+      m.withColumn("rev_3mo", round(sum(col("rev")).over(w), 2))
+    },
+
     // ---- JSON column extraction (semi-structured props on the events
     // log): scalar path extraction + typed aggregation over it. In
     // Spark, from_json/get_json_object evaluate scan-local; at 100 TB

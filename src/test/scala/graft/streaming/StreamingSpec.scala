@@ -76,6 +76,31 @@ class StreamingSpec extends SparkSpec {
     assert(ids.sorted == Seq(1L, 2L, 3L)) // the replayed event 1 deduped
   }
 
+  test("stream-stream interval join: purchases enrich with recent clicks") {
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val c = clicks.toDF().withWatermark("ts", "1 hour")
+      .select($"user_id".as("c_user"), $"ts".as("c_ts"), $"event_id".as("click_id"))
+    val p = purchases.toDF().withWatermark("ts", "1 hour")
+      .select($"user_id", $"ts".as("p_ts"), $"event_id".as("purchase_id"))
+    // join each purchase to clicks within the preceding 30 minutes —
+    // watermarks bound both sides' state
+    val joined = p.join(c,
+      $"user_id" === $"c_user" && $"c_ts" <= $"p_ts" &&
+        $"c_ts" >= $"p_ts" - expr("interval 30 minutes"))
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode("append").start()
+    clicks.addData(Event(1, ts(0), 1, "click", 0), Event(2, ts(100), 1, "click", 0))
+    purchases.addData(Event(10, ts(10), 1, "purchase", 5.0), Event(11, ts(200), 2, "purchase", 1.0))
+    q.processAllAvailable()
+    val rows = spark.table("ssj").select($"purchase_id", $"click_id")
+      .as[(Long, Long)].collect().toSet
+    q.stop()
+    // purchase 10 at t+10m joins click 1 at t+0 (within 30m); click 2 is
+    // later; purchase 11 is another user — no match
+    assert(rows == Set((10L, 1L)))
+  }
+
   test("incremental append stream: AvailableNow processes each batch exactly once") {
     val dir = tmpDir("stream")
     val src = s"$dir/src"; val tgt = s"$dir/tgt"; val ckp = s"$dir/ckp"
