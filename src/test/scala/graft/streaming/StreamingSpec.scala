@@ -101,6 +101,41 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Set((10L, 1L)))
   }
 
+  test("stateful aggregation recovers from checkpoint across restarts") {
+    val dir = tmpDir("streamagg")
+    val src = s"$dir/src"; val out = s"$dir/out"; val ckp = s"$dir/ckp"
+    val schema = Seq.empty[Event].toDS().schema
+    def runOnce(): Unit = {
+      val q = Streaming.windowedCounts(
+          spark.readStream.schema(schema).parquet(src), watermark = "5 minutes")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckp)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // batch 1: events in hour window 0; a far-future row pushes the
+    // watermark so window 0 closes and is emitted
+    Seq(fixture.head, fixture(1), fixture(3), fixture(4)).toDS()
+      .write.mode("append").parquet(src)
+    runOnce()
+    val afterFirst = spark.read.parquet(out).count()
+    assert(afterFirst > 0) // closed windows flushed
+    // restart with new data: state (open windows, watermark) restored
+    // from the checkpoint, already-emitted windows are NOT re-emitted
+    Seq(Event(7, ts(100000), 9, "signup", 0.0)).toDS()
+      .write.mode("append").parquet(src)
+    runOnce()
+    val finalRows = spark.read.parquet(out)
+      .select($"window_start", $"event_type", $"n").as[(Timestamp, String, Long)]
+      .collect().toSeq
+    // no duplicated windows across the restart
+    assert(finalRows.distinct.size == finalRows.size)
+    // the click window from batch 1 appears exactly once with n=3
+    assert(finalRows.count { case (_, et, n) => et == "click" && n == 3 } == 1)
+  }
+
   test("incremental append stream: AvailableNow processes each batch exactly once") {
     val dir = tmpDir("stream")
     val src = s"$dir/src"; val tgt = s"$dir/tgt"; val ckp = s"$dir/ckp"
