@@ -32,14 +32,17 @@ object SimilarityQueries {
   private val TopK = 10
   private val NQueries = 5
 
-  /** vec_id, label, q (int array), nsq (squared norm). Fixed-width
-    * element_at dot products keep everything in whole-stage codegen
-    * (HOF `aggregate(zip_with(...))` is interpreted — measured ~5×
-    * slower). */
-  private def quantized(s: SparkSession, dir: String): DataFrame =
+  /** vec_id, label, q (int array), nsq (squared norm). Dot products use
+    * the native codegen'd [[graft.functions.DotI64]] expression — inside
+    * whole-stage codegen with no encoder boundary (HOF
+    * `aggregate(zip_with(...))` is interpreted per element; a 64-term
+    * element_at tree codegens but bloats the generated method). */
+  private def quantized(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     Tables.embeddings(s, dir).select(
       col("vec_id"), col("label"), DedupQueries.quantize(col("embedding")).as("q"))
-      .withColumn("nsq", DedupQueries.dotFixed(col("q"), col("q")))
+      .withColumn("nsq", expr("dot_i64(q, q)"))
+  }
 
   private val quantizedSql =
     """e AS (
@@ -49,7 +52,7 @@ object SimilarityQueries {
       |             x -> CAST(round(x * 100) AS BIGINT)), x -> x * x)) AS nsq
       |  FROM embeddings)""".stripMargin
 
-  private def dot(a: Column, b: Column): Column = DedupQueries.dotFixed(a, b)
+  private def dot(a: String, b: String): Column = expr(s"dot_i64($a, $b)")
 
   private def cosine(dotC: Column, na: Column, nb: Column): Column =
     dotC / sqrt(na.cast("double") * nb.cast("double"))
@@ -81,7 +84,7 @@ object SimilarityQueries {
         .select(col("vec_id").as("query_id"), col("q").as("qq"), col("nsq").as("nq"))
       val pairs = e.join(broadcast(qs), col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id"),
-          dot(col("qq"), col("q")).as("dot"), col("nq"), col("nsq").as("nc"))
+          dot("qq", "q").as("dot"), col("nq"), col("nsq").as("nc"))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(cosine(col("dot"), col("nq"), col("nc")).desc, col("vec_id"))
       pairs
@@ -134,11 +137,11 @@ object SimilarityQueries {
       // element-wise integer sum per label = unnormalized centroid
       val cent = e.groupBy(col("label"))
         .agg(array((1 to Dims).map(i => sum(element_at(col("q"), i))): _*).as("c"))
-        .withColumn("ncsq", DedupQueries.dotFixed(col("c"), col("c")))
+        .withColumn("ncsq", expr("dot_i64(c, c)"))
       val qs = e.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("query_id"), col("q").as("qq"), col("nsq").as("nq"))
       val wAssign = Window.partitionBy(col("query_id"))
-        .orderBy(cosine(dot(col("qq"), col("c")), col("nq"), col("ncsq")).desc, col("label"))
+        .orderBy(cosine(dot("qq", "c"), col("nq"), col("ncsq")).desc, col("label"))
       val assign = qs.crossJoin(broadcast(cent))
         .withColumn("rnk", row_number().over(wAssign))
         .filter(col("rnk") === 1)
@@ -146,7 +149,7 @@ object SimilarityQueries {
       val pairs = e.as("c").join(broadcast(assign.as("a")),
           col("c.label") === col("a.label") && col("c.vec_id") =!= col("a.query_id"))
         .select(col("query_id"), col("vec_id"),
-          dot(col("qq"), col("q")).as("dot"), col("nq"), col("nsq").as("nc"))
+          dot("qq", "q").as("dot"), col("nq"), col("nsq").as("nc"))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(cosine(col("dot"), col("nq"), col("nc")).desc, col("vec_id"))
       pairs

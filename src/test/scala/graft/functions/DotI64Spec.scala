@@ -1,0 +1,55 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DotI64Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def withFn[T](f: => T): T = { GraftFunctions.register(spark); f }
+
+  test("matches the higher-order-function formulation on random arrays") {
+    withFn {
+      val rnd = new scala.util.Random(1)
+      val rows = Seq.fill(50)((
+        Array.fill(64)(rnd.nextInt(200).toLong - 100),
+        Array.fill(64)(rnd.nextInt(200).toLong - 100)))
+      val df = rows.toDF("a", "b")
+        .withColumn("native", expr("dot_i64(a, b)"))
+        .withColumn("hof", aggregate(zip_with($"a", $"b", (x, y) => x * y),
+          lit(0L), (acc, x) => acc + x))
+      assert(df.filter($"native" =!= $"hof").count() == 0)
+    }
+  }
+
+  test("null semantics: null array -> null, null elements contribute 0") {
+    withFn {
+      val df = Seq(
+        (Some(Seq(1L, 2L)), Some(Seq(3L, 4L))),
+        (None, Some(Seq(1L))),
+        (Some(Seq[Long]()), Some(Seq[Long]()))
+      ).toDF("a", "b").withColumn("d", expr("dot_i64(a, b)"))
+      val got = df.select($"d").as[Option[Long]].collect().toSeq
+      assert(got == Seq(Some(11L), None, Some(0L)))
+      val withNullElem = spark.sql(
+        "SELECT dot_i64(array(1L, CAST(NULL AS BIGINT), 3L), array(2L, 5L, 10L)) AS d")
+      assert(withNullElem.as[Long].head() == 32L)
+    }
+  }
+
+  test("stays inside whole-stage codegen over a real scan") {
+    withFn {
+      val df = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+        .select($"vec_id",
+          transform($"embedding", x => round(x * 100, 0).cast("long")).as("q"))
+        .select($"vec_id", expr("dot_i64(q, q)").as("nsq"))
+        .filter($"nsq" > 0)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("dot_i64"), p)
+      // the stage evaluating dot_i64 is codegen'd ("*(n)" prefix)
+      assert(p.linesIterator.exists(l => l.contains("dot_i64") && l.contains("*(")), p)
+      assert(!p.contains("ScalaUDF"), p)
+    }
+  }
+}
