@@ -76,3 +76,17 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_i64", exprs => DotI64(exprs(0), exprs(1)), "built-in")
 }
+
+/** SparkSessionExtensions hook — the deployment-grade registration path:
+  * `spark.sql.extensions=graft.functions.GraftExtensions` injects the
+  * engine's native functions into every session built on the config
+  * (survives `newSession()`, no imperative register call needed).
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("dot_i64"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[DotI64].getName, "dot_i64"),
+      (exprs: Seq[Expression]) => DotI64(exprs(0), exprs(1))))
+}

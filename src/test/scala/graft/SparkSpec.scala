@@ -19,5 +19,6 @@ object SparkSpec {
     .config("spark.ui.enabled", "false")
     .config("spark.sql.warehouse.dir",
       java.nio.file.Files.createTempDirectory("spark-wh").toString)
+    .config("spark.sql.extensions", "graft.functions.GraftExtensions")
     .getOrCreate()
 }

@@ -37,6 +37,14 @@ class DotI64Spec extends SparkSpec {
     }
   }
 
+  test("injected via SparkSessionExtensions: resolves in a fresh session") {
+    // newSession() drops temp functions — only the extensions-injected
+    // registration can resolve dot_i64 here
+    val fresh = spark.newSession()
+    val d = fresh.sql("SELECT dot_i64(array(1L, 2L), array(3L, 4L)) AS d")
+    assert(d.collect().head.getLong(0) == 11L)
+  }
+
   test("stays inside whole-stage codegen over a real scan") {
     withFn {
       val df = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
