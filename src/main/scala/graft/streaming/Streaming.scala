@@ -104,6 +104,31 @@ object Streaming {
       }
   }
 
+  final case class UserTotals(
+      user_id: Long, n_events: Long, lifetime_value: Double, last_ts: Timestamp)
+
+  /** Per-key running totals via `mapGroupsWithState` (the one-output-
+    * per-key-per-batch stateful API; `flatMapGroupsWithState` above is
+    * the many-outputs variant): state = lifetime aggregate, updated each
+    * micro-batch, emitted as the key's current totals. Works identically
+    * on batch Datasets (one call per key over all rows). */
+  def runningUserTotals(events: Dataset[Event]): Dataset[UserTotals] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserTotals, UserTotals](GroupStateTimeout.NoTimeout()) {
+        (userId, it, state: GroupState[UserTotals]) =>
+          val prev = state.getOption.getOrElse(
+            UserTotals(userId, 0L, 0.0, new Timestamp(0L)))
+          val next = it.foldLeft(prev) { (acc, e) =>
+            UserTotals(userId, acc.n_events + 1, acc.lifetime_value + e.value,
+              if (e.ts.after(acc.last_ts)) e.ts else acc.last_ts)
+          }
+          state.update(next)
+          next
+      }
+  }
+
   /** The reference's incremental-append staging model as a stream: file
     * source + AvailableNow ≈ "process all new batches then stop" — the
     * streaming-native form of the `ingested_at > max(ingested_at)`

@@ -76,6 +76,28 @@ class StreamingSpec extends SparkSpec {
     assert(ids.sorted == Seq(1L, 2L, 3L)) // the replayed event 1 deduped
   }
 
+  test("mapGroupsWithState: per-user lifetime totals accumulate across batches") {
+    val input = MemoryStream[Event]
+    val q = runningUserTotals(input.toDS())
+      .writeStream.format("memory").queryName("totals")
+      .outputMode("update").start()
+    input.addData(fixture.take(2): _*) // user 1: two clicks, value 1+2
+    q.processAllAvailable()
+    input.addData(fixture(2)) // user 1: purchase value 10 — state carries over
+    q.processAllAvailable()
+    val latest = spark.table("totals")
+      .groupBy($"user_id").agg(max(struct($"n_events", $"lifetime_value")).as("s"))
+      .select($"user_id", $"s.n_events", $"s.lifetime_value")
+      .as[(Long, Long, Double)].collect()
+      .map { case (k, n, v) => k -> ((n, v)) }.toMap
+    q.stop()
+    assert(latest(1L) == ((3L, 13.0)))
+    // batch mode: same function over the full dataset
+    val batch = runningUserTotals(fixture.toDS())
+      .filter($"user_id" === 1L).as[UserTotals].head()
+    assert(batch.n_events == 3 && batch.lifetime_value == 13.0)
+  }
+
   test("stream-stream interval join: purchases enrich with recent clicks") {
     val clicks = MemoryStream[Event]
     val purchases = MemoryStream[Event]
