@@ -274,6 +274,42 @@ object RelationalQueries {
     ) { (s, dir) =>
       Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey").as("id"))
         .except(Tables.orders(s, dir).select(col("o_custkey").as("id")))
+    },
+
+    // ---- bag-semantics set ops (multiplicities preserved)
+    Q.sql(
+      "q_set_except_all",
+      """SELECT o_custkey AS id FROM orders
+        |EXCEPT ALL
+        |SELECT o_custkey AS id FROM orders WHERE o_orderstatus = 'F'""".stripMargin
+    ) { (s, dir) =>
+      Tables.orders(s, dir).select(col("o_custkey").as("id"))
+        .exceptAll(Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+          .select(col("o_custkey").as("id")))
+    },
+
+    Q.sql(
+      "q_set_intersect_all",
+      """SELECT o_custkey AS id FROM orders WHERE o_orderstatus = 'O'
+        |INTERSECT ALL
+        |SELECT o_custkey AS id FROM orders WHERE o_totalprice > 100000""".stripMargin
+    ) { (s, dir) =>
+      Tables.orders(s, dir).filter(col("o_orderstatus") === "O").select(col("o_custkey").as("id"))
+        .intersectAll(Tables.orders(s, dir).filter(col("o_totalprice") > 100000)
+          .select(col("o_custkey").as("id")))
+    },
+
+    // ---- lateral unnest with ordinality (posexplode)
+    Q.sql(
+      "q_posexplode_ordinal",
+      """SELECT c_custkey,
+        |       CAST(unnest(generate_series(1, len(parts))) - 1 AS INT) AS pos,
+        |       unnest(parts) AS token
+        |FROM (SELECT c_custkey, string_split(c_name, '#') AS parts FROM customer) t""".stripMargin
+    ) { (s, dir) =>
+      Tables.customer(s, dir)
+        .select(col("c_custkey"), split(col("c_name"), "#").as("parts"))
+        .select(col("c_custkey"), posexplode(col("parts")).as(Seq("pos", "token")))
     }
   )
 }
