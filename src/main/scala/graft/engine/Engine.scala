@@ -137,6 +137,13 @@ final class Engine(
     }
   }
 
+  /** Expose every model as a catalog view so `spark.sql` works as the
+    * BI surface over the warehouse (SURVEY §3.3 — free once models are
+    * registered; views of View-models stay unmaterialized plans that
+    * Catalyst fuses into consumers). */
+  def registerViews(): Unit =
+    models.foreach(m => ref(m.name).createOrReplaceTempView(m.name))
+
   /** `dbt build`: topo-ordered materialize + inline tests; a node whose
     * checks fail blocks its transitive downstream (SURVEY.md §3.2 step 5).
     */

@@ -135,6 +135,53 @@ object OlapExtrasQueries {
       m.withColumn("rev_3mo", round(sum(col("rev")).over(w), 2))
     },
 
+    // ---- time-series anomaly signal: rolling mean/std over a trailing
+    // row frame per user. Rolling DOUBLE sums cannot hash-match across
+    // engines (DuckDB evaluates sliding frames with segment trees, so
+    // even the summation order differs) — values are quantized to
+    // integer cents first, making frame sums exact; mean and sample
+    // variance then derive from identical integer operands on both
+    // sides.
+    Q.sql(
+      "q_ts_rolling_zscore",
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts,
+        |         CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events)
+        |SELECT user_id, event_id, v,
+        |       CAST(floor(CAST(sum(v) OVER w AS DOUBLE) * 10 / count(v) OVER w + 0.5) AS BIGINT) AS mean_milli,
+        |       CAST(floor(CASE WHEN count(v) OVER w > 1 THEN
+        |               sqrt(greatest(
+        |                 (CAST(sum(v * v) OVER w AS DOUBLE)
+        |                  - CAST(sum(v) OVER w AS DOUBLE) * CAST(sum(v) OVER w AS DOUBLE) / count(v) OVER w)
+        |                 / (count(v) OVER w - 1), 0.0)) * 10
+        |             ELSE 0.0 END + 0.5) AS BIGINT) AS std_milli
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)""".stripMargin
+    ) { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-9, org.apache.spark.sql.expressions.Window.currentRow)
+      val e = Tables.events(s, dir).select(
+        col("user_id"), col("event_id"), col("ts"),
+        round(col("value") * 100, 0).cast("long").as("v"))
+      val n = count(col("v")).over(w)
+      val sv = sum(col("v")).over(w)
+      val svv = sum(col("v") * col("v")).over(w)
+      // explicit floor(x+0.5) half-up: round() modes differ across
+      // engines (DuckDB ties-to-even vs Spark HALF_UP) and cent-means
+      // land on exact ties constantly; integer milli-unit outputs avoid
+      // float compare entirely
+      e.select(
+        col("user_id"), col("event_id"), col("v"),
+        floor(sv.cast("double") * 10 / n + 0.5).cast("long").as("mean_milli"),
+        floor(when(n > 1,
+          sqrt(greatest((svv.cast("double") - sv.cast("double") * sv.cast("double") / n) / (n - 1),
+            lit(0.0))) * 10)
+          .otherwise(0.0) + 0.5).cast("long").as("std_milli"))
+    },
+
     // ---- JSON column extraction (semi-structured props on the events
     // log): scalar path extraction + typed aggregation over it. In
     // Spark, from_json/get_json_object evaluate scan-local; at 100 TB

@@ -33,8 +33,8 @@ object StreamingQueries {
       "q_stream_sessions",
       """WITH g AS (
         |  SELECT user_id, event_id, ts, value,
-        |         CASE WHEN datediff('second', lag(ts) OVER w, ts) IS NULL
-        |               OR datediff('second', lag(ts) OVER w, ts) >= 1800 THEN 1 ELSE 0 END AS is_new
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |               OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) >= 1800000 THEN 1 ELSE 0 END AS is_new
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |s AS (
         |  SELECT user_id, ts, value,

@@ -114,6 +114,14 @@ class FinanceWarehouseSpec extends SparkSpec {
     assert(mv("a1", "2024-03") == Seq("churn"))
     assert(mv("a2", "2024-04") == Seq("new"))
 
+    // BI surface: ad-hoc SQL over the registered warehouse views
+    e.registerViews()
+    val viaSql = spark.sql(
+      """SELECT month_start_date, end_mrr FROM mart_mrr_waterfall_month
+        |WHERE month_start_date = DATE '2024-02-01'""".stripMargin)
+      .as[(Date, Double)].head()
+    assert(viaSql._2 == 100.0) // Feb: s1 active (100), s2 trial (0), s3 not born
+
     // waterfall exists, ties out (its singular check passed), densified
     val wf = e.ref("mart_mrr_waterfall_month")
     assert(wf.count() > 0)
