@@ -49,8 +49,13 @@ final class Engine(
   require(byName.size == models.size, "duplicate model names")
 
   private def path(name: String): String = s"$warehouseDir/$name"
-  private def exists(name: String): Boolean =
-    Files.exists(Paths.get(path(name), "_SUCCESS"))
+  private def exists(name: String): Boolean = {
+    // dynamic-partition-overwrite writes create no root _SUCCESS marker,
+    // so a non-empty target directory also counts
+    val dir = new java.io.File(path(name))
+    Files.exists(Paths.get(path(name), "_SUCCESS")) ||
+      (dir.isDirectory && dir.listFiles != null && dir.listFiles.nonEmpty)
+  }
 
   /** Kahn topological order; fails fast on cycles or unknown refs. */
   private[engine] def topoOrder: Seq[String] = {
@@ -72,6 +77,13 @@ final class Engine(
         s"cycle among: ${models.map(_.name).diff(order).mkString(", ")}")
     order.toSeq
   }
+
+  /** A model's own persisted state, if any — what dbt's
+    * `is_incremental()` + `{{ this }}` expose (reference
+    * `fct_subscription_month.sql:14-22`): lets an incremental model
+    * compute its restatement window from the current target. */
+  def targetIfExists(name: String): Option[DataFrame] =
+    if (exists(name)) Some(spark.read.parquet(path(name))) else None
 
   /** Resolve a ref the way a downstream model sees it. */
   def ref(name: String): DataFrame =

@@ -88,6 +88,32 @@ class EngineSpec extends SparkSpec {
     assert(got == Map(1L -> 1.0, 2L -> 20.0, 3L -> 30.0, 4L -> 4.0))
   }
 
+  test("rolling restatement window via targetIfExists (S12): stale months stay put") {
+    val dir = tmpDir("eng")
+    var source = Seq((1L, "2024-01-01", 1.0), (2L, "2024-02-01", 1.0), (3L, "2024-03-01", 1.0))
+    var eng: Engine = null
+    val m = Model("fct", Seq(), Materialization.DeleteInsert("month"))((_, _) => {
+      val full = source.toDF("id", "month", "v")
+      eng.targetIfExists("fct") match {
+        case Some(t) =>
+          // reprocess_months=2: recompute only the last two months present
+          val window = t.select($"month").distinct().as[String].collect().sorted.takeRight(2)
+          full.filter($"month".isin(window: _*))
+        case None => full
+      }
+    })
+    eng = new Engine(spark, dir, Map.empty, Seq(m))
+    assert(eng.build()("fct").rows == 3)
+    // upstream restates EVERYTHING to 10.0, but only Feb+Mar are in the
+    // restatement window — January keeps its stale value (the
+    // reference's documented late-correction tradeoff, README.md:124-132)
+    source = source.map { case (id, mo, _) => (id, mo, 10.0) }
+    assert(eng.build()("fct").rows == 3)
+    val got = spark.read.parquet(s"$dir/fct")
+      .select($"month", $"v").as[(String, Double)].collect().toMap
+    assert(got == Map("2024-01-01" -> 1.0, "2024-02-01" -> 10.0, "2024-03-01" -> 10.0))
+  }
+
   test("csv loader stamps lineage and appends batches") {
     val dir = tmpDir("csv")
     val csv = s"$dir/accounts.csv"
