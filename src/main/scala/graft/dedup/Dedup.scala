@@ -32,21 +32,32 @@ object Dedup {
       smallGraphThreshold: Long = 4000000L): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
+    // Pin the candidate pipeline ONCE: the size probe and whichever path
+    // follows (collect or label propagation) read the checkpointed rows,
+    // so the upstream plan — typically an expensive LSH candidate
+    // generation — executes exactly once.
     val typed = pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
       .as[(Long, Long)]
-    if (pairs.count() <= smallGraphThreshold) {
-      // union-find with path compression over the collected pair list
+      .localCheckpoint()
+    if (typed.count() <= smallGraphThreshold) {
+      // union-find over the collected pair list; find is ITERATIVE
+      // (loop to root, then path-compress) because adversarial union
+      // order builds O(n) parent chains and recursion would overflow
+      // the stack far below the pair-count threshold
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
-        val p = parent.getOrElseUpdate(x, x)
-        if (p == x) x else { val r = find(p); parent(x) = r; r }
+        var root = x
+        while (parent.getOrElseUpdate(root, root) != root) root = parent(root)
+        var cur = x
+        while (cur != root) { val nxt = parent(cur); parent(cur) = root; cur = nxt }
+        root
       }
       typed.collect().foreach { case (a, b) =>
         val ra = find(a); val rb = find(b)
         if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
       }
       parent.keys.toSeq.map(k => (k, find(k))).toDF("doc_id", "cluster")
-    } else distributedComponents(pairs, maxIter)
+    } else distributedComponents(typed.toDF("doc_a", "doc_b"), maxIter)
   }
 
   private def distributedComponents(pairs: DataFrame, maxIter: Int): DataFrame = {

@@ -23,10 +23,14 @@ object Checks {
   def unique(col0: String): Check = uniqueCombination(col0)
 
   /** dbt_utils.unique_combination_of_columns
-    * (`models/reporting/schema.yml:44-46`). */
+    * (`models/reporting/schema.yml:44-46`). Matches dbt's generic unique
+    * test, which excludes NULL keys before grouping (`where column is
+    * not null`): several NULL-keyed rows are not a uniqueness violation —
+    * pair with `notNull` when nulls themselves should fail. */
   def uniqueCombination(cols: String*): Check =
     Check(s"unique(${cols.mkString(",")})",
-      df => df.groupBy(cols.map(col): _*).count().filter(col("count") > 1))
+      df => df.filter(cols.map(c => col(c).isNotNull).reduce(_ && _))
+        .groupBy(cols.map(col): _*).count().filter(col("count") > 1))
 
   /** relationships: child FK values ⊆ parent key values. */
   def relationships(childCol: String, parent: DataFrame, parentCol: String): Check =

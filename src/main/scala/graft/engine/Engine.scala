@@ -111,11 +111,15 @@ final class Engine(
     require(new java.io.File(tmp).renameTo(dir), s"swap failed for $name")
   }
 
-  /** Materialize one model per its strategy; returns rows now in target. */
+  /** Materialize one model per its strategy; returns rows now in target
+    * (-1 for View models: a view is an unmaterialized plan, and running
+    * `count()` on it would pay its full cost once per build on top of
+    * what each consumer already pays — at scale that doubles every heavy
+    * view; dbt likewise reports no row count for views). */
   private def materialize(m: Model, batchTs: java.sql.Timestamp): Long = {
     val df = m.build(spark, ref)
     m.materialization match {
-      case Materialization.View => df.count()
+      case Materialization.View => -1L
       case Materialization.Table =>
         df.write.mode("overwrite").parquet(path(m.name))
         spark.read.parquet(path(m.name)).count()
@@ -152,9 +156,17 @@ final class Engine(
   /** Expose every model as a catalog view so `spark.sql` works as the
     * BI surface over the warehouse (SURVEY §3.3 — free once models are
     * registered; views of View-models stay unmaterialized plans that
-    * Catalyst fuses into consumers). */
-  def registerViews(): Unit =
+    * Catalyst fuses into consumers).
+    *
+    * Registration pins parquet file listings for materialized models, so
+    * `build()` re-registers automatically after writing (a later
+    * overwrite/swap would otherwise leave views over deleted files). */
+  def registerViews(): Unit = {
+    viewsRegistered = true
     models.foreach(m => ref(m.name).createOrReplaceTempView(m.name))
+  }
+
+  private var viewsRegistered = false
 
   /** `dbt build`: topo-ordered materialize + inline tests; a node whose
     * checks fail blocks its transitive downstream (SURVEY.md §3.2 step 5).
@@ -178,6 +190,7 @@ final class Engine(
           NodeResult(name, "error", 0, error = Some(e.getMessage))
       }
     }
+    if (viewsRegistered) registerViews() // refresh pinned file listings
     BuildReport(results)
   }
 }

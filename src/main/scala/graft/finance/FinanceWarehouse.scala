@@ -175,7 +175,11 @@ object FinanceWarehouse {
         when(active && !coalesce(col("is_trial"), lit(false)),
           coalesce(col("mrr_amount"), lit(0.0))).otherwise(0.0).as("mrr_eom"),
         (col("month_start_date") === col("start_month")).as("is_start_month"),
-        (col("month_start_date") === col("end_month_b")).as("is_end_month"))
+        // reference semantics (fct_subscription_month.sql:82): end flag only
+        // when a real end_date lands in this month; end_month_b stays a
+        // spine bound only — open-ended subs are never flagged as ending
+        (col("end_date").isNotNull &&
+          Exprs.monthStart(col("end_date")) === col("month_start_date")).as("is_end_month"))
       // J3/J4 as-of SCD2 key attach, first version back-dated (W4); the
       // interval predicate is part of the LEFT join condition so
       // unmatched fact rows survive with a null key (reference

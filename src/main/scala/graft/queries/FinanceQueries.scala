@@ -79,7 +79,11 @@ object FinanceQueries {
       active.as("is_active_at_eom"),
       when(active && !col("is_trial"), col("mrr_amount")).otherwise(0.0).as("mrr_eom"),
       (col("month_start_date") === col("start_month")).as("is_start_month"),
-      (col("month_start_date") === col("end_month_b")).as("is_end_month"))
+      // reference fct_subscription_month.sql: end flag only for a real
+      // end_date landing in this month (end_month_b is a spine bound only)
+      (col("end_date").isNotNull &&
+        date_trunc("month", col("end_date")).cast("date") === col("month_start_date"))
+        .as("is_end_month"))
   }
 
   private val fctSubMonthSql =
@@ -103,7 +107,7 @@ object FinanceQueries {
        |SELECT subscription_id, account_id, month_start_date, is_active_at_eom,
        |       CASE WHEN is_active_at_eom AND NOT is_trial THEN mrr_amount ELSE CAST(0.0 AS DOUBLE) END AS mrr_eom,
        |       (month_start_date = start_month) AS is_start_month,
-       |       (month_start_date = end_month_b) AS is_end_month
+       |       (end_date IS NOT NULL AND CAST(date_trunc('month', end_date) AS DATE) = month_start_date) AS is_end_month
        |FROM base""".stripMargin
 
   /** fct_account_month: account-month MRR begin/end + movement

@@ -191,7 +191,7 @@ object OlapExtrasQueries {
       "q_json_extract",
       """SELECT event_type,
         |       count(*) AS n,
-        |       sum(CAST(json_extract(props, '$.k') AS INT)) AS sum_k,
+        |       CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
         |       CAST(max(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS max_k
         |FROM events GROUP BY event_type""".stripMargin
     ) { (s, dir) =>

@@ -86,7 +86,12 @@ object Streaming {
             for (e <- sorted) {
               cur match {
                 case Some(s) if e.ts.getTime - s.last.getTime < gapMs =>
-                  cur = Some(SessionState(s.start, e.ts, s.nEvents + 1, s.sumValue + e.value))
+                  // a late-but-within-watermark event from a later batch may
+                  // have ts < s.last (or even < s.start) — extend, never shrink,
+                  // so streaming output matches the batch formulation
+                  val start = if (e.ts.before(s.start)) e.ts else s.start
+                  val last = if (e.ts.after(s.last)) e.ts else s.last
+                  cur = Some(SessionState(start, last, s.nEvents + 1, s.sumValue + e.value))
                 case Some(s) =>
                   closed += finish(userId, s)
                   cur = Some(SessionState(e.ts, e.ts, 1, e.value))

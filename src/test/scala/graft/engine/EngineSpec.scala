@@ -43,7 +43,8 @@ class EngineSpec extends SparkSpec {
     val rpt = eng(dir, Seq(staged, agg)).build()
     assert(rpt.ok, rpt.results.mkString("; "))
     assert(rpt("staged").rows == 3)
-    assert(rpt("agg").rows == 2)
+    // views are lazy: the build must NOT execute their plan for a count
+    assert(rpt("agg").rows == -1)
 
     // failing check blocks downstream
     val badStaged = Model("staged", Seq("raw_orders"), Materialization.Table,
