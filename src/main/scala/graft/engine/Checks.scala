@@ -38,6 +38,20 @@ object Checks {
       df => df.filter(col(childCol).isNotNull)
         .join(parent.select(col(parentCol).as(childCol)), Seq(childCol), "left_anti"))
 
+  /** relationships against another MODEL of the DAG, resolved at check
+    * time (dbt `relationships: to: ref('dim_x')`, `facts/schema.yml:10-26`).
+    * The anti-join broadcasts when the parent is dim-sized; a bloom-filter
+    * pre-pass is the 100 TB-child variant. */
+  def relationshipsTo(childCol: String, parentModel: String, parentCol: String): Check =
+    Check(s"relationships($childCol -> $parentModel.$parentCol)",
+      (df: DataFrame, r: String => DataFrame) => df.filter(col(childCol).isNotNull)
+        .join(r(parentModel).select(col(parentCol).as(childCol)), Seq(childCol), "left_anti"))
+
+  /** Singular test that reads other models through the resolver
+    * (`tests/test_account_month_ties_subscription_month.sql`). */
+  def singularWithRefs(name: String)(
+      q: (DataFrame, String => DataFrame) => DataFrame): Check = Check(name, q)
+
   def acceptedValues(col0: String, values: Seq[Any]): Check =
     Check(s"accepted_values($col0)",
       df => df.filter(col(col0).isNotNull && !col(col0).isin(values: _*)))

@@ -6,6 +6,10 @@ import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Paths}
 import scala.collection.mutable
 
+/** A `ref()` that resolves to no source or model. */
+final class UnknownRefException(val refName: String)
+  extends IllegalArgumentException(s"unknown ref '$refName'")
+
 /** Outcome of one node in a build (≈ one line of `dbt build` output). */
 final case class NodeResult(
     name: String,
@@ -92,7 +96,7 @@ final class Engine(
       case Some(m) if m.materialization == Materialization.View =>
         m.build(spark, ref)
       case Some(_) => spark.read.parquet(path(name))
-      case None => throw new IllegalArgumentException(s"unknown ref '$name'")
+      case None => throw new UnknownRefException(name)
     }
 
   /** Atomically replace a target whose new content READS the old content
@@ -117,7 +121,7 @@ final class Engine(
     * what each consumer already pays — at scale that doubles every heavy
     * view; dbt likewise reports no row count for views). */
   private def materialize(m: Model, batchTs: java.sql.Timestamp): Long = {
-    val df = m.build(spark, ref)
+    val df = m.buildFn(spark, ref, targetIfExists(m.name))
     m.materialization match {
       case Materialization.View => -1L
       case Materialization.Table =>
@@ -181,7 +185,19 @@ final class Engine(
         NodeResult(name, "skipped_upstream", 0)
       } else try {
         val rows = materialize(m, batchTs)
-        val failed = m.checks.filter(c => !c.violations(ref(name)).isEmpty).map(_.name)
+        // A check referencing a model that does not exist is skipped with
+        // a warning, matching dbt (the reference declares tests against
+        // nonexistent `dim_feature` / `mart_subscription_month_enriched`
+        // models — SURVEY §5 note 1).
+        val failed = m.checks.flatMap { c =>
+          try if (!c.violationsWithRefs(ref(name), ref).isEmpty) Some(c.name) else None
+          catch {
+            case u: UnknownRefException =>
+              System.err.println(
+                s"WARN: skipping check '${c.name}' on $name: unknown ref '${u.refName}'")
+              None
+          }
+        }
         if (failed.nonEmpty) { blocked += name; NodeResult(name, "test_failed", rows, failed) }
         else NodeResult(name, "ok", rows)
       } catch {

@@ -58,19 +58,64 @@ object Materialization {
   * to a DataFrame of VIOLATING rows; pass ⇔ empty. Reference:
   * `models/staging/schema.yml` and the singular tests under `tests/`
   * (SURVEY.md §2.11).
+  *
+  * A check may reference OTHER models through the resolver (second
+  * argument) — dbt's `relationships` test and the singular tests under
+  * `tests/` are cross-model queries (`facts/schema.yml:10-26`,
+  * `tests/test_account_month_ties_subscription_month.sql`).
   */
-final case class Check(name: String, violations: DataFrame => DataFrame)
+final case class Check(
+    name: String,
+    violationsWithRefs: (DataFrame, String => DataFrame) => DataFrame) {
+  /** Single-model form for tests/specs that have no resolver. */
+  def violations(df: DataFrame): DataFrame =
+    violationsWithRefs(df, n => throw new IllegalArgumentException(
+      s"check '$name' needs ref '$n' but no resolver was provided"))
+}
+
+object Check {
+  def apply(name: String, violations: DataFrame => DataFrame): Check =
+    new Check(name, (df, _) => violations(df))
+}
 
 /** One node of the warehouse DAG: the Spark analogue of a dbt model.
-  * `build` is a pure function from resolved upstream DataFrames to this
+  * The build function is pure from resolved upstream DataFrames to this
   * model's DataFrame — testable with no I/O (SURVEY.md §7.1).
   *
-  * @param deps  upstream model/source names (the `ref()`/`source()` edges,
-  *              e.g. `int_subscriptions_current.sql:8`)
+  * Incremental models additionally receive their own persisted target
+  * (dbt's `{{ this }}` + `is_incremental()`, reference
+  * `fct_subscription_month.sql:14-22`) to compute a restatement window;
+  * `None` on the first run.
+  *
+  * @param deps upstream model/source names (the `ref()`/`source()` edges,
+  *             e.g. `int_subscriptions_current.sql:8`)
   */
-final case class Model(
-    name: String,
-    deps: Seq[String],
-    materialization: Materialization,
-    checks: Seq[Check] = Nil)(
-    val build: (SparkSession, String => DataFrame) => DataFrame)
+final class Model(
+    val name: String,
+    val deps: Seq[String],
+    val materialization: Materialization,
+    val checks: Seq[Check],
+    val buildFn: (SparkSession, String => DataFrame, Option[DataFrame]) => DataFrame) {
+  /** Non-incremental view of the build (views, specs). */
+  def build(spark: SparkSession, ref: String => DataFrame): DataFrame =
+    buildFn(spark, ref, None)
+}
+
+object Model {
+  def apply(
+      name: String,
+      deps: Seq[String],
+      materialization: Materialization,
+      checks: Seq[Check] = Nil)(
+      build: (SparkSession, String => DataFrame) => DataFrame): Model =
+    new Model(name, deps, materialization, checks, (s, r, _) => build(s, r))
+
+  /** Model whose build sees its own prior target (`{{ this }}`). */
+  def incremental(
+      name: String,
+      deps: Seq[String],
+      materialization: Materialization,
+      checks: Seq[Check] = Nil)(
+      build: (SparkSession, String => DataFrame, Option[DataFrame]) => DataFrame): Model =
+    new Model(name, deps, materialization, checks, build)
+}

@@ -9,35 +9,60 @@ import java.sql.{Date, Timestamp}
 
 /** End-to-end DAG runs over multiple ingestion batches: the reference's
   * `dbt build` lifecycle (SURVEY §3.2) — incremental staging, SCD2
-  * versioning, dimension/fact/mart refresh, inline tests — verified
-  * batch over batch.
+  * versioning, dimension/fact/mart refresh, rolling restatement, inline
+  * tests — verified batch over batch.
   */
 class FinanceWarehouseSpec extends SparkSpec {
   import spark.implicits._
 
   private def ts(d: Int) = Timestamp.valueOf(f"2024-06-$d%02d 00:00:00")
 
+  // fixtures carry the reference CSVs' full column sets
+  // (data/accounts.csv, data/subscriptions.csv headers)
   private def accounts(rows: (String, String, String, String)*)(bt: Timestamp) =
-    rows.toSeq.toDF("account_id", "name", "segment", "signup_date")
+    rows.toSeq.toDF("account_id", "account_name", "industry", "signup_date")
       .withColumn("signup_date", col("signup_date").cast("date"))
+      .withColumn("country", lit("US"))
+      .withColumn("referral_source", lit("organic"))
+      .withColumn("plan_tier", lit("Basic"))
+      .withColumn("seats", lit(5))
+      .withColumn("is_trial", lit(false))
+      .withColumn("churn_flag", lit(false))
       .withColumn("ingested_at", lit(bt))
       .withColumn("source_file", lit(s"accounts_$bt.csv"))
 
   private def subs(rows: (String, String, String, String, String, Double, Boolean)*)(bt: Timestamp) =
-    rows.toSeq.toDF("subscription_id", "account_id", "plan", "start_date",
+    rows.toSeq.toDF("subscription_id", "account_id", "plan_tier", "start_date",
         "end_date", "mrr_amount", "is_trial")
       .withColumn("start_date", col("start_date").cast("date"))
       .withColumn("end_date", when(col("end_date") === "", null).otherwise(col("end_date")).cast("date"))
+      .withColumn("seats", lit(3))
+      .withColumn("arr_amount", col("mrr_amount") * 12)
+      .withColumn("upgrade_flag", lit(false))
+      .withColumn("downgrade_flag", lit(false))
+      .withColumn("churn_flag", lit(false))
+      .withColumn("billing_frequency", lit("monthly"))
+      .withColumn("auto_renew_flag", lit(true))
       .withColumn("ingested_at", lit(bt))
       .withColumn("source_file", lit(s"subs_$bt.csv"))
+
+  private def tickets(bt: Timestamp) =
+    Seq(("t1", "a1", "2024-05-01 10:00:00", "2024-05-02 10:00:00", 24.0, "high", 30.0, 4.5, false))
+      .toDF("ticket_id", "account_id", "submitted_at", "closed_at",
+        "resolution_time_hours", "priority", "first_response_time_minutes",
+        "satisfaction_score", "escalation_flag")
+      .withColumn("submitted_at", col("submitted_at").cast("timestamp"))
+      .withColumn("closed_at", col("closed_at").cast("timestamp"))
+      .withColumn("ingested_at", lit(bt))
+      .withColumn("source_file", lit("tickets.csv"))
 
   // batch 1 (June 1): a1 paid monthly, a2 trial
   private val b1Accounts = Seq(
     ("a1", "Acme", "enterprise", "2023-12-01"),
     ("a2", "Globex", "smb", "2024-01-15"))
   private val b1Subs = Seq(
-    ("s1", "a1", "monthly", "2024-01-10", "", 100.0, false),
-    ("s2", "a2", "monthly", "2024-02-01", "", 50.0, true))
+    ("s1", "a1", "Basic", "2024-01-10", "", 100.0, false),
+    ("s2", "a2", "Basic", "2024-02-01", "", 50.0, true))
 
   // batch 2 (June 2): a1 renamed (SCD2 version), s1 churns end of March,
   // s3 born in April, s2 unchanged
@@ -45,18 +70,27 @@ class FinanceWarehouseSpec extends SparkSpec {
     ("a1", "Acme Corp", "enterprise", "2023-12-01"),
     ("a2", "Globex", "smb", "2024-01-15"))
   private val b2Subs = Seq(
-    ("s1", "a1", "monthly", "2024-01-10", "2024-03-15", 100.0, false),
-    ("s2", "a2", "monthly", "2024-02-01", "", 50.0, true),
-    ("s3", "a2", "annual", "2024-04-05", "", 80.0, false))
+    ("s1", "a1", "Basic", "2024-01-10", "2024-03-15", 100.0, false),
+    ("s2", "a2", "Basic", "2024-02-01", "", 50.0, true),
+    ("s3", "a2", "Pro", "2024-04-05", "", 80.0, false))
 
-  private def run(dir: String, batches: Seq[(Timestamp, DataFrame, DataFrame)]) = {
+  // reprocessMonths=12 covers the whole 2024 fact range, so these tests
+  // exercise the non-windowed semantics; the dedicated restatement test
+  // below uses the default window of 2
+  private def vars = FinanceWarehouse.Vars(dateEnd = "2024-06-30", reprocessMonths = 12)
+
+  private def engine(dir: String, acc: DataFrame, sub: DataFrame, bt: Timestamp,
+      v: FinanceWarehouse.Vars = vars) =
+    new Engine(spark, dir,
+      Map("raw_accounts" -> acc, "raw_subscriptions" -> sub,
+        "raw_support_tickets" -> tickets(bt)),
+      FinanceWarehouse.models(v))
+
+  private def run(dir: String, batches: Seq[(Timestamp, DataFrame, DataFrame)]) =
     batches.map { case (bt, acc, sub) =>
-      val e = new Engine(spark, dir,
-        Map("raw_accounts" -> acc, "raw_subscriptions" -> sub),
-        FinanceWarehouse.models(FinanceWarehouse.Vars(dateEnd = "2024-06-30")))
+      val e = engine(dir, acc, sub, bt)
       (e, e.build(bt))
     }
-  }
 
   test("two-batch build: staging append, SCD2 versions, facts, waterfall") {
     val dir = tmpDir("wh")
@@ -69,13 +103,14 @@ class FinanceWarehouseSpec extends SparkSpec {
     // staging holds both batches (incremental append, no duplicates)
     assert(e.ref("stg_accounts").count() == 4)
     assert(e.ref("stg_subscriptions").count() == 5)
+    assert(e.ref("stg_support_tickets").count() == 1)
 
     // SCD2: a1 has two versions (rename), a2 one
     val snapA = e.ref("snap_accounts")
     assert(snapA.filter($"account_id" === "a1").count() == 2)
     val a1Versions = snapA.filter($"account_id" === "a1")
       .orderBy($"dbt_valid_from")
-      .select($"name", $"dbt_valid_to".isNull).as[(String, Boolean)].collect().toSeq
+      .select($"account_name", $"dbt_valid_to".isNull).as[(String, Boolean)].collect().toSeq
     assert(a1Versions == Seq(("Acme", false), ("Acme Corp", true)))
 
     // dim_account surrogate keys unique; exactly one current row per id
@@ -88,11 +123,16 @@ class FinanceWarehouseSpec extends SparkSpec {
     val fct = e.ref("fct_subscription_month")
     val s1 = fct.filter($"subscription_id" === "s1")
       .orderBy($"month_start_date")
-      .select(date_format($"month_start_date", "yyyy-MM"), $"mrr_eom")
+      .select(date_format($"month_start_date", "yyyy-MM"), $"mrr_amount")
       .as[(String, Double)].collect().toSeq
     assert(s1 == Seq("2024-01" -> 100.0, "2024-02" -> 100.0, "2024-03" -> 0.0))
-    assert(fct.filter($"subscription_id" === "s2" && $"mrr_eom" =!= 0.0).count() == 0)
-    // every fact row got an SCD2 account key
+    assert(fct.filter($"subscription_id" === "s2" && $"mrr_amount" =!= 0.0).count() == 0)
+    // is_end_month marks only the real end month (reference semantics):
+    // s1 ends 2024-03-15 → flagged in March only; open-ended s3 never
+    assert(fct.filter($"subscription_id" === "s1" && $"is_end_month")
+      .select(date_format($"month_start_date", "yyyy-MM")).as[String].collect().toSeq == Seq("2024-03"))
+    assert(fct.filter($"subscription_id" === "s3" && $"is_end_month").count() == 0)
+    // every fact row got an SCD2 account key (also a gating notNull check)
     assert(fct.filter($"account_key".isNull).count() == 0)
     // both a1 versions were born in the same month (June), so at month
     // grain only the latest is visible; its back-dated interval covers
@@ -102,16 +142,17 @@ class FinanceWarehouseSpec extends SparkSpec {
     assert(fct.filter($"account_id" === "a1").select("account_key")
       .distinct().as[String].collect().toSeq == Seq(curKey))
 
-    // movement classification: a1 new in Jan, churn in MARCH — s1 ended
-    // Mar 15, which fails the EOM-activity predicate, so March end-MRR is
-    // already 0 (the EOM boundary semantics under test); a2 new in Apr
-    // (s3 is its first non-trial MRR)
+    // movement classification (7-arm reference taxonomy): a1 new in Jan,
+    // churn in MARCH — s1 ended Mar 15, which fails the EOM-activity
+    // predicate, so March end-MRR is already 0; a2 new in Apr (s3 is its
+    // first non-trial MRR); a2's trial months are 'zero'
     val am = e.ref("fct_account_month")
     def mv(a: String, m: String) = am.filter($"account_id" === a &&
       date_format($"month_start_date", "yyyy-MM") === m)
-      .select("movement").as[String].collect().toSeq
+      .select("movement_type").as[String].collect().toSeq
     assert(mv("a1", "2024-01") == Seq("new"))
     assert(mv("a1", "2024-03") == Seq("churn"))
+    assert(mv("a2", "2024-02") == Seq("zero"))
     assert(mv("a2", "2024-04") == Seq("new"))
 
     // BI surface: ad-hoc SQL over the registered warehouse views
@@ -122,13 +163,16 @@ class FinanceWarehouseSpec extends SparkSpec {
       .as[(Date, Double)].head()
     assert(viaSql._2 == 100.0) // Feb: s1 active (100), s2 trial (0), s3 not born
 
-    // waterfall exists, ties out (its singular check passed), densified
+    // waterfall: densified over the WHOLE calendar (dim_date months),
+    // zero-filled before first activity, with net_mrr_change
     val wf = e.ref("mart_mrr_waterfall_month")
-    assert(wf.count() > 0)
+    assert(wf.count() == 18) // 2023-01 .. 2024-06
+    assert(wf.filter($"month_start_date" === Date.valueOf("2023-05-01"))
+      .select($"end_mrr", $"active_accounts").as[(Double, Long)].head() == ((0.0, 0L)))
     assert(wf.filter($"month_start_date" === Date.valueOf("2024-03-01"))
       .select("churn_mrr").as[Double].head() == 100.0)
     assert(wf.filter($"month_start_date" === Date.valueOf("2024-04-01"))
-      .select("new_mrr").as[Double].head() == 80.0)
+      .select($"new_mrr", $"net_mrr_change").as[(Double, Double)].head() == ((80.0, 80.0)))
   }
 
   test("randomized multi-batch builds: checks hold and incremental ≡ full refresh") {
@@ -141,7 +185,7 @@ class FinanceWarehouseSpec extends SparkSpec {
       val start = f"2024-0${1 + rnd.nextInt(3)}%s-0${1 + rnd.nextInt(9)}%s"
       val end = if (rnd.nextBoolean()) "" else f"2024-0${4 + rnd.nextInt(3)}%s-1${rnd.nextInt(9)}%s"
       (sid, accountIds(rnd.nextInt(accountIds.size)),
-        Seq("monthly", "annual")(rnd.nextInt(2)), start, end,
+        Seq("Basic", "Pro")(rnd.nextInt(2)), start, end,
         (1 + rnd.nextInt(50)) * 10.0, rnd.nextInt(5) == 0)
     }
     val batches = (1 to 3).map(i => (ts(i), randAccounts(), randSubs()))
@@ -155,13 +199,11 @@ class FinanceWarehouseSpec extends SparkSpec {
     // but current-truth-derived facts must agree)
     val dirF = tmpDir("whrf")
     val (bt, aF, sF) = batches.last
-    val eF = new Engine(spark, dirF,
-      Map("raw_accounts" -> accounts(aF: _*)(bt), "raw_subscriptions" -> subs(sF: _*)(bt)),
-      FinanceWarehouse.models(FinanceWarehouse.Vars(dateEnd = "2024-06-30")))
+    val eF = engine(dirF, accounts(aF: _*)(bt), subs(sF: _*)(bt), bt)
     assert(eF.build(bt).ok)
 
     def facts(e: Engine) = e.ref("fct_subscription_month")
-      .select($"subscription_id", $"month_start_date", $"mrr_eom")
+      .select($"subscription_id", $"month_start_date", $"mrr_amount")
       .orderBy($"subscription_id", $"month_start_date")
       .as[(String, Date, Double)].collect().toSeq
     assert(facts(runs.last._1) == facts(eF))
@@ -178,27 +220,68 @@ class FinanceWarehouseSpec extends SparkSpec {
     val dirF = tmpDir("whf")
     val all = accounts(b1Accounts: _*)(ts(1)).union(accounts(b2Accounts: _*)(ts(2)))
     val allS = subs(b1Subs: _*)(ts(1)).union(subs(b2Subs: _*)(ts(2)))
-    val eF = new Engine(spark, dirF,
-      Map("raw_accounts" -> all, "raw_subscriptions" -> allS),
-      FinanceWarehouse.models(FinanceWarehouse.Vars(dateEnd = "2024-06-30")))
+    val eF = engine(dirF, all, allS, ts(2))
     assert(eF.build(ts(2)).ok)
 
     // the incremental facts equal the full-refresh facts
     def sorted(df: DataFrame) = df
-      .select($"subscription_id", $"month_start_date", $"mrr_eom", $"is_active_at_eom")
+      .select($"subscription_id", $"month_start_date", $"mrr_amount", $"is_active_at_eom")
       .orderBy($"subscription_id", $"month_start_date")
       .as[(String, Date, Double, Boolean)].collect().toSeq
     assert(sorted(e.ref("fct_subscription_month")) == sorted(eF.ref("fct_subscription_month")))
 
     // re-running batch 2 changes nothing (idempotent: watermark filters
     // the replayed batch, snapshot sees no hash changes)
-    val e3 = new Engine(spark, dir,
-      Map("raw_accounts" -> accounts(b2Accounts: _*)(ts(2)),
-        "raw_subscriptions" -> subs(b2Subs: _*)(ts(2))),
-      FinanceWarehouse.models(FinanceWarehouse.Vars(dateEnd = "2024-06-30")))
+    val e3 = engine(dir, accounts(b2Accounts: _*)(ts(2)), subs(b2Subs: _*)(ts(2)), ts(3))
     assert(e3.build(ts(3)).ok)
     assert(e3.ref("stg_accounts").count() == 4)
     assert(e3.ref("snap_accounts").count() == 3)
     assert(sorted(e3.ref("fct_subscription_month")) == sorted(eF.ref("fct_subscription_month")))
+  }
+
+  test("rolling restatement (reprocess_months=2): window restated to full-refresh values, stale months stay put") {
+    // batch 1: s1 open-ended at 100 → fact Jan..Jun all 100
+    // batch 2: s1's MRR corrected to 200 retroactively (SCD2 re-version);
+    // only months >= 2024-04 (max 2024-06 minus 2) are restated
+    val v = FinanceWarehouse.Vars(dateEnd = "2024-06-30", reprocessMonths = 2)
+    val b1 = Seq(("s1", "a1", "Basic", "2024-01-10", "", 100.0, false))
+    val b2 = Seq(("s1", "a1", "Basic", "2024-01-10", "", 200.0, false))
+    val acc = Seq(("a1", "Acme", "enterprise", "2023-12-01"))
+
+    val dir = tmpDir("whw")
+    val e1 = engine(dir, accounts(acc: _*)(ts(1)), subs(b1: _*)(ts(1)), ts(1), v)
+    assert(e1.build(ts(1)).ok)
+    val e2 = engine(dir, accounts(acc: _*)(ts(2)), subs(b2: _*)(ts(2)), ts(2), v)
+    assert(e2.build(ts(2)).ok)
+
+    val got = e2.ref("fct_subscription_month")
+      .select(date_format($"month_start_date", "yyyy-MM"), $"mrr_amount")
+      .as[(String, Double)].collect().toMap
+    // Jan..Mar outside the window keep the stale 100 (the reference's
+    // documented late-correction tradeoff, README.md:124-132); Apr..Jun
+    // are restated to 200
+    assert(got == Map(
+      "2024-01" -> 100.0, "2024-02" -> 100.0, "2024-03" -> 100.0,
+      "2024-04" -> 200.0, "2024-05" -> 200.0, "2024-06" -> 200.0))
+
+    // inside the window, restated rows equal a clean full refresh
+    val dirF = tmpDir("whwf")
+    val eF = engine(dirF, accounts(acc: _*)(ts(2)), subs(b2: _*)(ts(2)), ts(2), v)
+    assert(eF.build(ts(2)).ok)
+    def window(e: Engine) = e.ref("fct_subscription_month")
+      .filter($"month_start_date" >= Date.valueOf("2024-04-01"))
+      .select($"subscription_id", $"month_start_date", $"mrr_amount", $"is_active_at_eom")
+      .orderBy($"subscription_id", $"month_start_date")
+      .as[(String, Date, Double, Boolean)].collect().toSeq
+    assert(window(e2) == window(eF))
+
+    // account-month: window months recomputed over FULL history — April's
+    // begin-MRR is March's (stale) end, so the movement is an upgrade,
+    // not a spurious 'new' (divergence note in FinanceWarehouse scaladoc)
+    val am = e2.ref("fct_account_month")
+      .filter(date_format($"month_start_date", "yyyy-MM") === "2024-04")
+      .select($"mrr_begin_mrr", $"mrr_end_mrr", $"movement_type")
+      .as[(Double, Double, String)].head()
+    assert(am == ((100.0, 200.0, "upgrade")))
   }
 }
