@@ -30,6 +30,29 @@ class DedupSpec extends SparkSpec {
       (4L, 4L, true), (5L, 4L, false), (6L, 6L, true)))
   }
 
+  test("adversarial LSH corpus: degenerate buckets cap to chains, clusters survive") {
+    // 300 identical documents land every band in ONE bucket of 300
+    // members (> MaxBucket=64): uncapped expansion would be
+    // 300·299/2 ≈ 45k pairs PER BAND; the chain degradation emits
+    // exactly n-1 per band. A handful of distinct docs must stay apart.
+    val nDup = 300
+    val dupText = "the same boilerplate text repeated verbatim everywhere"
+    val docs = ((1L to nDup.toLong).map(i => (i, dupText)) ++
+      Seq((1001L, "completely different content about spark execution"),
+        (1002L, "another unique document mentioning catalyst optimizer")))
+      .toDF("doc_id", "text")
+    val cand = graft.queries.DedupQueries.minhashCandidatesFor(docs)
+    val n = cand.count()
+    // linear, not quadratic: 4 bands × (n-1) chain edges, deduped across
+    // bands to exactly n-1 distinct consecutive pairs
+    assert(n == nDup - 1, s"expected ${nDup - 1} chain pairs, got $n")
+    // connectivity preserved: the identical block is ONE cluster with
+    // min-id survivor; the unique docs survive on their own
+    val surv = Dedup.survivors(docs.select($"doc_id"), cand)
+    assert(surv.filter($"keep").count() == 3) // 1 keeper + 2 uniques
+    assert(surv.filter($"survivor_doc_id" === 1L).count() == nDup)
+  }
+
   test("end-to-end: LSH candidates -> clusters over the documents table") {
     val dir = "/root/testdata/sf0.001"
     val out = graft.SparkEntry.queries("q_dedup_clusters")(spark, dir)

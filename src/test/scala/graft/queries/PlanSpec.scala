@@ -53,6 +53,22 @@ class PlanSpec extends SparkSpec {
     assert(plan("q_join_anti").contains("LeftAnti"))
   }
 
+  test("jaccard verify does not FORCE a broadcast of the documents table") {
+    // at 100 TB the corpus cannot be broadcast; the verify join must be
+    // hint-free so the planner picks from actual sizes. With the
+    // auto-broadcast threshold disabled, any Broadcast* join here could
+    // only come from a (scale-hostile) hint — assert there is none.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = graft.SparkEntry.queries("q_dedup_ngram_jaccard")(spark, dir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastHashJoin") && !p.contains("BroadcastNestedLoopJoin"), p)
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("as-of union formulation is a single shuffle on the key") {
     val p = plan("q_asof_join_scd2")
     // no join operator at all — the window carries the state; every
