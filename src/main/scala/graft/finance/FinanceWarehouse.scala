@@ -419,10 +419,14 @@ object FinanceWarehouse {
         sum(col("upgrade_mrr")).as("expansion_mrr"),
         sum(col("downgrade_mrr")).as("contraction_mrr"),
         sum(col("churn_mrr")).as("churn_mrr"),
-        countDistinct(when(col("mrr_end_mrr") > 0, col("account_id"))).as("active_accounts"),
-        countDistinct(when(col("movement_type") === "churn", col("account_id"))).as("churned_accounts"),
-        countDistinct(when(col("movement_type") === "new", col("account_id"))).as("new_accounts"),
-        countDistinct(when(col("movement_type") === "reactivation", col("account_id"))).as("reactivated_accounts"))
+        // the fact is unique on (account_id, month) — gated by its
+        // uniqueCombination check — so the reference's count(distinct
+        // case ...) (`mart_mrr_waterfall_month.sql:44-47`) is a plain
+        // conditional count here: same values, no distinct-agg expand
+        count(when(col("mrr_end_mrr") > 0, lit(1))).as("active_accounts"),
+        count(when(col("movement_type") === "churn", lit(1))).as("churned_accounts"),
+        count(when(col("movement_type") === "new", lit(1))).as("new_accounts"),
+        count(when(col("movement_type") === "reactivation", lit(1))).as("reactivated_accounts"))
       val outCols = Seq(col("month_start_date")) ++
         Seq("begin_mrr", "end_mrr", "net_mrr_change", "new_mrr", "reactivation_mrr",
           "expansion_mrr", "contraction_mrr", "churn_mrr").map(c =>
