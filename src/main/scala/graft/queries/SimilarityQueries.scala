@@ -32,6 +32,18 @@ object SimilarityQueries {
   private val TopK = 10
   private val NQueries = 5
 
+  /** Signed-random-projection planes for the LSH variant: P hyperplanes
+    * of small ints, generated ONCE from a fixed seed and inlined
+    * verbatim into both the Spark plan (literal arrays) and the DuckDB
+    * oracle SQL — bucket bits are signs of exact integer dot products,
+    * so both engines bucket identically. P=6 ⇒ 64 buckets: a query
+    * scans ~N/64 candidates (single-probe; multi-probe flips the
+    * lowest-|margin| bits to trade recall for scans at 100 TB). */
+  private val Planes: Seq[Array[Long]] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(6)(Array.fill(Dims)((rnd.nextInt(19) - 9).toLong))
+  }
+
   /** vec_id, label, q (int array), nsq (squared norm). Dot products use
     * the native codegen'd [[graft.functions.DotI64]] expression — inside
     * whole-stage codegen with no encoder boundary (HOF
@@ -148,6 +160,63 @@ object SimilarityQueries {
         .select(col("query_id"), col("qq"), col("nq"), col("label"))
       val pairs = e.as("c").join(broadcast(assign.as("a")),
           col("c.label") === col("a.label") && col("c.vec_id") =!= col("a.query_id"))
+        .select(col("query_id"), col("vec_id"),
+          dot("qq", "q").as("dot"), col("nq"), col("nsq").as("nc"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(cosine(col("dot"), col("nq"), col("nc")).desc, col("vec_id"))
+      pairs
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= TopK)
+        .select(col("query_id"), col("vec_id"), col("rnk"),
+          round(cosine(col("dot"), col("nq"), col("nc")), 4).as("cos_sim"))
+    },
+
+    // ---- LSH (signed random projections): hash every vector to a
+    // 6-bit bucket of hyperplane signs; a query scans only its bucket.
+    // The scale path when no cluster structure exists for IVF: bucketing
+    // is scan-local (no training), and bucket-partitioned storage turns
+    // a query into a partition-pruned scan at 100 TB.
+    Q.sql(
+      "q_ann_lsh_topk", {
+        val bucketBitsSql = Planes.zipWithIndex.map { case (p, i) =>
+          val lst = p.mkString("[", ",", "]")
+          s"(CASE WHEN list_sum(list_transform(generate_series(1, $Dims), i -> q[i] * $lst[i])) >= 0 THEN ${1 << i} ELSE 0 END)"
+        }.mkString(" + ")
+        s"""WITH $quantizedSql,
+           |h AS (SELECT vec_id, q, nsq, $bucketBitsSql AS bucket FROM e),
+           |qs AS (SELECT * FROM h WHERE vec_id < $NQueries),
+           |pairs AS (
+           |  SELECT qs.vec_id AS query_id, c.vec_id AS vec_id,
+           |         list_sum(list_transform(generate_series(1, $Dims),
+           |                  i -> qs.q[i] * c.q[i])) AS dot,
+           |         qs.nsq AS nq, c.nsq AS nc
+           |  FROM qs JOIN h c ON c.bucket = qs.bucket AND c.vec_id <> qs.vec_id)
+           |SELECT query_id, vec_id, CAST(rnk AS INT) AS rnk, round(cos_raw, 4) AS cos_sim
+           |FROM (
+           |  SELECT query_id, vec_id,
+           |         dot / sqrt(CAST(nq AS DOUBLE) * CAST(nc AS DOUBLE)) AS cos_raw,
+           |         row_number() OVER (PARTITION BY query_id
+           |           ORDER BY dot / sqrt(CAST(nq AS DOUBLE) * CAST(nc AS DOUBLE)) DESC, vec_id) AS rnk
+           |  FROM pairs) t
+           |WHERE rnk <= $TopK""".stripMargin
+      }
+    ) { (s, dir) =>
+      val e = quantized(s, dir)
+      // bucket bits via the native dot expression over literal plane
+      // arrays — stays in whole-stage codegen, one pass over the scan
+      val bucket = Planes.indices.map(i =>
+        when(expr(s"dot_i64(q, p$i) >= 0"), 1 << i).otherwise(0))
+      val withPlanes = Planes.zipWithIndex.foldLeft(e) { case (df, (p, i)) =>
+        df.withColumn(s"p$i", array(p.map(v => lit(v)): _*))
+      }
+      val h = withPlanes
+        .withColumn("bucket", bucket.reduce(_ + _))
+        .select(col("vec_id"), col("q"), col("nsq"), col("bucket"))
+      val qs = h.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("q").as("qq"),
+          col("nsq").as("nq"), col("bucket"))
+      val pairs = h.as("c").join(broadcast(qs.as("a")),
+          col("c.bucket") === col("a.bucket") && col("c.vec_id") =!= col("a.query_id"))
         .select(col("query_id"), col("vec_id"),
           dot("qq", "q").as("dot"), col("nq"), col("nsq").as("nc"))
       val w = Window.partitionBy(col("query_id"))

@@ -210,6 +210,32 @@ object TextQueries {
         levenshtein(lower(col("c_mktsegment")), lit("building")).as("dist_segment"))
     },
 
+    // ---- TF-IDF term weighting: the standard text-pipeline feature.
+    // Two shuffles (term-frequency grain, then document-frequency
+    // vocabulary grain); the vocab join is hint-free — broadcast when the
+    // vocabulary fits, shuffle at web-corpus scale.
+    Q.sql(
+      "q_text_tfidf",
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents)
+        |SELECT t.doc_id, t.term, t.tf,
+        |       round(t.tf * ln(CAST(n.n AS DOUBLE) / d.df), 4) AS tfidf
+        |FROM tf t JOIN dfreq d USING (term) CROSS JOIN n""".stripMargin
+    ) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dfreq = toks.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("n"))
+      tf.join(dfreq, Seq("term"))
+        .crossJoin(broadcast(nDocs))
+        .select(col("doc_id"), col("term"), col("tf"),
+          round(col("tf") * log(col("n").cast("double") / col("df")), 4).as("tfidf"))
+    },
+
     // ---- document fingerprint: min-hash over word 5-gram shingles
     // (winnowing-style content fingerprint; equal fingerprints ⇒ shared
     // rare shingle, near-dup signal)

@@ -16,4 +16,15 @@ class SketchSpec extends SparkSpec {
       assert(math.abs(approx - exact).toDouble / exact <= 0.05, s"approx=$approx exact=$exact")
     }
   }
+
+  test("approx_percentile within 2% of exact per quartile at sf0.001") {
+    val rows = graft.SparkEntry.queries("q_approx_percentile")(spark, "/root/testdata/sf0.001")
+      .select($"approx_p", $"exact_p").as[(Seq[Double], Seq[Double])].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (approx, exact) =>
+      approx.zip(exact).foreach { case (a, e) =>
+        assert(math.abs(a - e) / e <= 0.02, s"approx=$a exact=$e")
+      }
+    }
+  }
 }

@@ -37,6 +37,26 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("stream-static join: events enrich against a static dimension, equals batch") {
+    // the static side is a plan, not a snapshot — each micro-batch joins
+    // against it (broadcast: dim is tiny); the batch run is the oracle
+    val dim = Seq((1L, "gold"), (2L, "silver"), (9L, "trial")).toDF("user_id", "tier")
+    def enrich(events: org.apache.spark.sql.DataFrame) =
+      events.join(broadcast(dim), Seq("user_id"), "left")
+        .select($"user_id", $"event_id", coalesce($"tier", lit("none")).as("tier"), $"value")
+    val input = MemoryStream[Event]
+    val q = enrich(input.toDF())
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    input.addData(fixture: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("enriched")
+      .as[(Long, Long, String, Double)].collect().toSet
+    q.stop()
+    val batch = enrich(fixture.toDF()).as[(Long, Long, String, Double)].collect().toSet
+    assert(streamed == batch && batch.size == fixture.size)
+  }
+
   test("sessionize: gap splits sessions; watermark flushes idle state") {
     val input = MemoryStream[Event]
     val q = sessionize(input.toDS(), java.time.Duration.ofMinutes(30))
