@@ -107,6 +107,24 @@ object OlapExtrasQueries {
         round(col("F"), 2).as("F"), round(col("O"), 2).as("O"), round(col("P"), 2).as("P"))
     },
 
+    // ---- UNPIVOT (wide → long): the inverse of the pivot above; Spark
+    // `stack` generator, oracle spelled as UNION ALL (also what the
+    // relational UNPIVOT desugars to). Scan-local row generation.
+    Q.sql(
+      "q_unpivot_measures",
+      """SELECT o_orderkey, measure, round(val, 2) AS val FROM (
+        |  SELECT o_orderkey, 'price' AS measure, o_totalprice AS val FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 'custkey', CAST(o_custkey AS DOUBLE) FROM orders)
+        |WHERE val IS NOT NULL""".stripMargin
+    ) { (s, dir) =>
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"),
+          expr("stack(2, 'price', o_totalprice, 'custkey', CAST(o_custkey AS DOUBLE)) AS (measure, val)"))
+        .filter(col("val").isNotNull)
+        .select(col("o_orderkey"), col("measure"), round(col("val"), 2).as("val"))
+    },
+
     // ---- RANGE window frame: trailing-3-month rolling revenue per
     // customer over a numeric month index (value-based frame, not
     // row-based — gaps in activity shrink the window)

@@ -194,6 +194,23 @@ object TextQueries {
         n("[0-9]+").as("n_num_tokens"))
     },
 
+    // ---- regex transform surface: replace-all + first-group extraction
+    // (PII-scrub / normalization shapes in a text pipeline)
+    Q.sql(
+      "q_text_regexp_funcs",
+      """SELECT doc_id,
+        |       regexp_replace(text, '[0-9]+', '#', 'g') AS masked,
+        |       regexp_extract(text, '([a-z]{4,})', 1) AS first_long_word,
+        |       regexp_matches(text, '[0-9]') AS has_digit
+        |FROM documents""".stripMargin
+    ) { (s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        regexp_replace(col("text"), "[0-9]+", "#").as("masked"),
+        regexp_extract(col("text"), "([a-z]{4,})", 1).as("first_long_word"),
+        col("text").rlike("[0-9]").as("has_digit"))
+    },
+
     // ---- fuzzy matching: edit distance against a canonical form
     // (entity-resolution primitive; candidate pairs would come from
     // blocking/LSH exactly as in DedupQueries)

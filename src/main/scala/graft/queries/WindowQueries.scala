@@ -120,6 +120,24 @@ object WindowQueries {
         .select("o_orderpriority", "o_orderkey", "o_totalprice", "rnk", "drnk")
     },
 
+    // ---- distribution windows: percent_rank / cume_dist (completes the
+    // ranking-function surface beside rank/dense_rank/ntile)
+    Q.sql(
+      "q_win_percent_rank",
+      """SELECT o_orderkey, o_orderpriority,
+        |       round(percent_rank() OVER w, 6) AS pr,
+        |       round(cume_dist() OVER w, 6) AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)""".stripMargin
+    ) { (s, dir) =>
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_orderpriority"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"))
+    },
+
     // ---- lead + gap sessionization (streaming-adjacent; events log)
     Q.sql(
       "q_win_sessionize",
