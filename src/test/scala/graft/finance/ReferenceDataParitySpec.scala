@@ -83,6 +83,49 @@ class ReferenceDataParitySpec extends SparkSpec {
     }
   }
 
+  test("reference data split into two ingestion batches: incremental build equals single-batch build") {
+    val bt1 = Timestamp.valueOf("2026-01-01 00:00:00")
+    val bt2 = Timestamp.valueOf("2026-02-01 00:00:00")
+    val full = sources(bt1)
+
+    // batch 1: ~half the subscriptions (stable hash split) + all accounts;
+    // batch 2: everything (re-sends half, adds the rest) at a later ts
+    val dir = tmpDir("refinc")
+    val subs1 = full("raw_subscriptions").filter(abs(hash($"subscription_id")) % 2 === 0)
+    val e1 = new Engine(spark, dir,
+      full + ("raw_subscriptions" -> subs1),
+      FinanceWarehouse.models(FinanceWarehouse.Vars()))
+    assert(e1.build(bt1).ok)
+    // batch 2 adds subscriptions with HISTORICAL start dates — outside
+    // the default 2-month window they would stay unwritten (the
+    // reference's documented late-data tradeoff), so this run uses the
+    // documented backfill mode: a widened reprocess window
+    // (README.md:124-132, `--vars '{reprocess_months: N}'`)
+    val e2 = new Engine(spark, dir, sources(bt2),
+      FinanceWarehouse.models(FinanceWarehouse.Vars(reprocessMonths = 40)))
+    assert(e2.build(bt2).ok)
+
+    // single-batch reference run
+    val dirF = tmpDir("reffull")
+    val eF = new Engine(spark, dirF, sources(bt1),
+      FinanceWarehouse.models(FinanceWarehouse.Vars()))
+    assert(eF.build(bt1).ok)
+
+    // unchanged re-sent rows create no second SCD2 version; the new half
+    // arrives as first versions — current truth identical
+    assert(e2.ref("snap_subscriptions").count() == 5000)
+    // facts and marts agree with the single-batch run
+    def fct(e: Engine) = e.ref("fct_subscription_month")
+      .select($"subscription_id", $"month_start_date", $"mrr_amount")
+      .orderBy($"subscription_id", $"month_start_date")
+      .as[(String, Date, Double)].collect().toSeq
+    assert(fct(e2) == fct(eF))
+    def wf(e: Engine) = e.ref("mart_mrr_waterfall_month")
+      .select($"month_start_date", $"end_mrr", $"active_accounts")
+      .orderBy($"month_start_date").collect().toSeq
+    assert(wf(e2) == wf(eF))
+  }
+
   test("re-ingesting the same CSVs is a no-op: snapshots stable, marts unchanged") {
     val dir = tmpDir("refparity2")
     val bt1 = Timestamp.valueOf("2026-01-01 00:00:00")
