@@ -172,41 +172,95 @@ final class Engine(
 
   private var viewsRegistered = false
 
+  /** Materialize one node + run its checks; `depBlocked` short-circuits
+    * to the dbt skip status. */
+  private def execNode(name: String, batchTs: java.sql.Timestamp,
+      depBlocked: Boolean): NodeResult = {
+    val m = byName(name)
+    if (depBlocked) NodeResult(name, "skipped_upstream", 0)
+    else try {
+      val rows = materialize(m, batchTs)
+      // A check referencing a model that does not exist is skipped with
+      // a warning, matching dbt (the reference declares tests against
+      // nonexistent `dim_feature` / `mart_subscription_month_enriched`
+      // models — SURVEY §5 note 1).
+      val failed = m.checks.flatMap { c =>
+        try if (!c.violationsWithRefs(ref(name), ref).isEmpty) Some(c.name) else None
+        catch {
+          case u: UnknownRefException =>
+            System.err.println(
+              s"WARN: skipping check '${c.name}' on $name: unknown ref '${u.refName}'")
+            None
+        }
+      }
+      if (failed.nonEmpty) NodeResult(name, "test_failed", rows, failed)
+      else NodeResult(name, "ok", rows)
+    } catch {
+      case e: Exception => NodeResult(name, "error", 0, error = Some(e.getMessage))
+    }
+  }
+
   /** `dbt build`: topo-ordered materialize + inline tests; a node whose
     * checks fail blocks its transitive downstream (SURVEY.md §3.2 step 5).
+    *
+    * `threads` > 1 dispatches INDEPENDENT DAG branches concurrently from
+    * the driver (dbt's `threads:`; the reference pins 1,
+    * `/root/reference/README.md:99`). Each node is still one distributed
+    * Spark job — concurrency here overlaps scheduling gaps and
+    * independent writes, which matters when a wide DAG of small models
+    * runs on a large cluster. Spark sessions are thread-safe for
+    * concurrent job submission.
     */
   def build(batchTs: java.sql.Timestamp =
-      new java.sql.Timestamp(System.currentTimeMillis())): BuildReport = {
-    val blocked = mutable.Set.empty[String]
-    val results = topoOrder.map { name =>
-      val m = byName(name)
-      if (m.deps.exists(blocked)) {
-        blocked += name
-        NodeResult(name, "skipped_upstream", 0)
-      } else try {
-        val rows = materialize(m, batchTs)
-        // A check referencing a model that does not exist is skipped with
-        // a warning, matching dbt (the reference declares tests against
-        // nonexistent `dim_feature` / `mart_subscription_month_enriched`
-        // models — SURVEY §5 note 1).
-        val failed = m.checks.flatMap { c =>
-          try if (!c.violationsWithRefs(ref(name), ref).isEmpty) Some(c.name) else None
-          catch {
-            case u: UnknownRefException =>
-              System.err.println(
-                s"WARN: skipping check '${c.name}' on $name: unknown ref '${u.refName}'")
-              None
-          }
+      new java.sql.Timestamp(System.currentTimeMillis()),
+      threads: Int = 1): BuildReport = {
+    val order = topoOrder
+    val report =
+      if (threads <= 1) {
+        val blocked = mutable.Set.empty[String]
+        BuildReport(order.map { name =>
+          val res = execNode(name, batchTs, byName(name).deps.exists(blocked))
+          if (res.status != "ok") blocked += name
+          res
+        })
+      } else {
+        val results = new java.util.concurrent.ConcurrentHashMap[String, NodeResult]()
+        val children = mutable.Map.empty[String, List[String]].withDefaultValue(Nil)
+        val remaining = mutable.Map.empty[String, Int]
+        for (m <- models) {
+          val modelDeps = m.deps.filter(byName.contains)
+          remaining(m.name) = modelDeps.size
+          modelDeps.foreach(d => children(d) ::= m.name)
         }
-        if (failed.nonEmpty) { blocked += name; NodeResult(name, "test_failed", rows, failed) }
-        else NodeResult(name, "ok", rows)
-      } catch {
-        case e: Exception =>
-          blocked += name
-          NodeResult(name, "error", 0, error = Some(e.getMessage))
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+        val latch = new java.util.concurrent.CountDownLatch(models.size)
+        val lock = new Object
+        def submit(name: String): Unit = {
+          pool.submit(new Runnable {
+            def run(): Unit = {
+              val depBlocked = byName(name).deps
+                .filter(byName.contains)
+                .exists(d => results.get(d).status != "ok")
+              results.put(name, execNode(name, batchTs, depBlocked))
+              lock.synchronized {
+                for (c <- children(name)) {
+                  remaining(c) -= 1
+                  if (remaining(c) == 0) submit(c)
+                }
+              }
+              latch.countDown()
+            }
+          })
+          ()
+        }
+        lock.synchronized {
+          models.map(_.name).filter(remaining(_) == 0).foreach(submit)
+        }
+        latch.await()
+        pool.shutdown()
+        BuildReport(order.map(results.get))
       }
-    }
     if (viewsRegistered) registerViews() // refresh pinned file listings
-    BuildReport(results)
+    report
   }
 }

@@ -129,4 +129,32 @@ class EngineSpec extends SparkSpec {
     assert(df.filter($"ingested_at" === lit(t2)).count() == 2)
     assert(CsvLoader.load(spark, csv, s"$dir/raw", t2, "replace") == 2)
   }
+
+  test("parallel build (threads=4): diamond DAG equals sequential; failures still block downstream") {
+    val mk = Seq(
+      Model("base", Seq("raw_orders"), Materialization.Table)((_, r) => r("raw_orders")),
+      Model("left", Seq("base"), Materialization.Table)((_, r) => r("base").filter($"status" === "A")),
+      Model("right", Seq("base"), Materialization.Table)((_, r) => r("base").filter($"status" === "B")),
+      Model("join", Seq("left", "right"), Materialization.Table)((_, r) =>
+        r("left").unionByName(r("right"))))
+    val seqRpt = eng(tmpDir("engs"), mk).build()
+    val parRpt = eng(tmpDir("engp"), mk).build(threads = 4)
+    assert(parRpt.ok, parRpt.results.mkString("; "))
+    // same statuses and row counts in topo order
+    assert(seqRpt.results == parRpt.results)
+    assert(parRpt("join").rows == 3)
+
+    // a failing check on one branch blocks only its downstream, in parallel too
+    val bad = mk.map {
+      case m if m.name == "left" =>
+        Model("left", Seq("base"), Materialization.Table,
+          checks = Seq(Checks.acceptedValues("status", Seq("Z"))))((_, r) =>
+          r("base").filter($"status" === "A"))
+      case m => m
+    }
+    val rpt = eng(tmpDir("engf"), bad).build(threads = 4)
+    assert(rpt("left").status == "test_failed")
+    assert(rpt("right").status == "ok")
+    assert(rpt("join").status == "skipped_upstream")
+  }
 }
