@@ -153,6 +153,57 @@ object OlapExtrasQueries {
       m.withColumn("rev_3mo", round(sum(col("rev")).over(w), 2))
     },
 
+    // ---- time-series resample + LOCF gap fill: hourly grid per user,
+    // value = last observation at-or-before each grid instant (training
+    // pipelines align irregular series to a grid this way). Same
+    // union+last(ignoreNulls) single-shuffle shape as the as-of join —
+    // grid rows sort after same-instant observations (is_grid tiebreak),
+    // and LOCF copies ONE observed double (no summation), so values are
+    // bit-identical cross-engine with no quantization.
+    Q.sql(
+      "q_ts_resample_locf",
+      """WITH obs AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value FROM events),
+        |bounds AS (
+        |  SELECT user_id, date_trunc('hour', min(ts)) AS t0, date_trunc('hour', max(ts)) AS t1
+        |  FROM obs GROUP BY 1),
+        |grid AS (
+        |  SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS ts
+        |  FROM bounds),
+        |u AS (
+        |  SELECT user_id, ts, 0 AS is_grid, event_id, value FROM obs
+        |  UNION ALL
+        |  SELECT user_id, ts, 1, NULL, NULL FROM grid),
+        |f AS (
+        |  SELECT user_id, ts, is_grid,
+        |         last_value(value IGNORE NULLS) OVER (
+        |           PARTITION BY user_id ORDER BY ts, is_grid, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value
+        |  FROM u)
+        |SELECT user_id, ts AS hour_ts, locf_value FROM f WHERE is_grid = 1""".stripMargin
+    ) { (s, dir) =>
+      val obs = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      val grid = obs.groupBy(col("user_id"))
+        .agg(date_trunc("hour", min(col("ts"))).as("t0"),
+          date_trunc("hour", max(col("ts"))).as("t1"))
+        .select(col("user_id"),
+          explode(expr("sequence(t0, t1, interval 1 hour)")).as("ts"))
+      val unioned = obs
+        .withColumn("is_grid", lit(0))
+        .unionByName(grid
+          .withColumn("is_grid", lit(1))
+          .withColumn("event_id", lit(null).cast("long"))
+          .withColumn("value", lit(null).cast("double")))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("is_grid"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      unioned
+        .withColumn("locf_value", last(col("value"), ignoreNulls = true).over(w))
+        .filter(col("is_grid") === 1)
+        .select(col("user_id"), col("ts").as("hour_ts"), col("locf_value"))
+    },
+
     // ---- time-series anomaly signal: rolling mean/std over a trailing
     // row frame per user. Rolling DOUBLE sums cannot hash-match across
     // engines (DuckDB evaluates sliding frames with segment trees, so

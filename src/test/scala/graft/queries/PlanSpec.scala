@@ -53,6 +53,18 @@ class PlanSpec extends SparkSpec {
     assert(plan("q_join_anti").contains("LeftAnti"))
   }
 
+  test("account-month fact is two exchanges, no join, no window sort") {
+    // the month->MRR map formulation: monthly rollup (exchange 1) +
+    // per-account map collect (exchange 2); everything downstream is
+    // per-row expressions. A regression to the spine-join formulation
+    // would show a Join operator and extra exchanges.
+    // AQE prints Final + Initial plan sections; count the final only
+    val p = plan("q_fct_account_month").split("== Initial Plan ==")(0)
+    assert(!p.contains("Join"), p)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 2, s"expected 2 exchanges, got $exchanges in:\n$p")
+  }
+
   test("jaccard verify does not FORCE a broadcast of the documents table") {
     // at 100 TB the corpus cannot be broadcast; the verify join must be
     // hint-free so the planner picks from actual sizes. With the
