@@ -132,6 +132,46 @@ object RelationalQueries {
         .select("c_custkey", "c_name")
     },
 
+    // ---- full outer join (completes the join-shape surface; nulls
+    // survive on both sides and coalesce picks the present key)
+    Q.sql(
+      "q_join_full_outer",
+      """SELECT coalesce(a.k, b.k) AS custkey, a.n_orders, b.seg
+        |FROM (SELECT o_custkey AS k, count(*) AS n_orders FROM orders GROUP BY 1) a
+        |FULL OUTER JOIN (SELECT c_custkey AS k, c_mktsegment AS seg
+        |                 FROM customer WHERE c_mktsegment = 'BUILDING') b
+        |  ON a.k = b.k""".stripMargin
+    ) { (s, dir) =>
+      val a = Tables.orders(s, dir)
+        .groupBy(col("o_custkey").as("ak")).agg(count(lit(1)).as("n_orders"))
+      val b = Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("bk"), col("c_mktsegment").as("seg"))
+      a.join(b, col("ak") === col("bk"), "full_outer")
+        .select(coalesce(col("ak"), col("bk")).as("custkey"), col("n_orders"), col("seg"))
+    },
+
+    // ---- array/list function surface over tokenized documents
+    Q.sql(
+      "q_array_funcs",
+      """SELECT doc_id,
+        |       CAST(len(list_distinct(t)) AS INT) AS n_unique,
+        |       list_min(t) AS min_tok,
+        |       array_to_string(t[1:3], ' ') AS head3,
+        |       list_contains(t, 'the') AS has_the,
+        |       CAST(len(list_filter(t, x -> len(x) > 5)) AS INT) AS n_long
+        |FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)""".stripMargin
+    ) { (s, dir) =>
+      val t = split(col("text"), " ")
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        size(array_distinct(t)).as("n_unique"),
+        array_min(t).as("min_tok"),
+        concat_ws(" ", slice(t, 1, 3)).as("head3"),
+        array_contains(t, "the").as("has_the"),
+        size(filter(t, x => length(x) > 5)).as("n_long"))
+    },
+
     // ---- anti join (NOT EXISTS; reference: relationships tests J10)
     Q.sql(
       "q_join_anti",
