@@ -54,25 +54,23 @@ object SqlSurfaceQueries {
     // ---- sketch rollup: HLL approximate distinct (rows-only — sketch
     // estimates are engine-specific by construction; accuracy vs the
     // exact count is asserted in SketchSpec)
+    // sketch queries emit ONLY the sketch (the exact counterpart is a
+    // full distinct-expand / sort that defeats the sketch's purpose at
+    // bench scale); SketchSpec computes the exact side and bounds error
     Q.rowsOnly("q_approx_count_distinct") { (s, dir) =>
       Tables.orders(s, dir)
         .groupBy(col("o_orderpriority"))
-        .agg(
-          approx_count_distinct(col("o_custkey"), 0.02).as("approx_buyers"),
-          countDistinct(col("o_custkey")).as("exact_buyers"))
+        .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_buyers"))
     },
 
-    // ---- quantile sketch beside the exact percentile (rows-only —
-    // sketch internals are engine-specific; SketchSpec bounds the error).
-    // At 100 TB the exact percentile is a full sort per group; the
-    // sketch is one mergeable pass.
+    // ---- quantile sketch (rows-only — sketch estimates are
+    // engine-specific by construction). At 100 TB the exact percentile
+    // is a full sort per group; the sketch is one mergeable pass.
     Q.rowsOnly("q_approx_percentile") { (s, dir) =>
       Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"))
-        .agg(
-          expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 1000)")
-            .as("approx_p"),
-          expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("exact_p"))
+        .agg(expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 1000)")
+          .as("approx_p"))
     }
   )
 }

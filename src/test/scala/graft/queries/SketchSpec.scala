@@ -8,9 +8,15 @@ import org.apache.spark.sql.functions._
 class SketchSpec extends SparkSpec {
   import spark.implicits._
 
+  private val dir = "/root/testdata/sf0.001"
+
   test("approx_count_distinct within 5% of exact at sf0.001") {
-    val rows = graft.SparkEntry.queries("q_approx_count_distinct")(spark, "/root/testdata/sf0.001")
-      .select($"approx_buyers", $"exact_buyers").as[(Long, Long)].collect()
+    val exact = graft.Tables.orders(spark, dir)
+      .groupBy($"o_orderpriority")
+      .agg(countDistinct($"o_custkey").as("exact"))
+    val rows = graft.SparkEntry.queries("q_approx_count_distinct")(spark, dir)
+      .join(exact, "o_orderpriority")
+      .select($"approx_buyers", $"exact").as[(Long, Long)].collect()
     assert(rows.nonEmpty)
     rows.foreach { case (approx, exact) =>
       assert(math.abs(approx - exact).toDouble / exact <= 0.05, s"approx=$approx exact=$exact")
@@ -18,11 +24,15 @@ class SketchSpec extends SparkSpec {
   }
 
   test("approx_percentile within 2% of exact per quartile at sf0.001") {
-    val rows = graft.SparkEntry.queries("q_approx_percentile")(spark, "/root/testdata/sf0.001")
+    val exact = graft.Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("exact_p"))
+    val rows = graft.SparkEntry.queries("q_approx_percentile")(spark, dir)
+      .join(exact, "l_returnflag")
       .select($"approx_p", $"exact_p").as[(Seq[Double], Seq[Double])].collect()
     assert(rows.nonEmpty)
-    rows.foreach { case (approx, exact) =>
-      approx.zip(exact).foreach { case (a, e) =>
+    rows.foreach { case (approx, exactP) =>
+      approx.zip(exactP).foreach { case (a, e) =>
         assert(math.abs(a - e) / e <= 0.02, s"approx=$a exact=$e")
       }
     }
