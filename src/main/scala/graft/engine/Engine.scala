@@ -211,9 +211,49 @@ final class Engine(
     * runs on a large cluster. Spark sessions are thread-safe for
     * concurrent job submission.
     */
+  /** dbt-style node selection (`dbt build --select`): a plain name
+    * selects one model, `+name` adds its transitive upstream, `name+`
+    * its transitive downstream. Unselected upstream models are NOT
+    * rebuilt — refs resolve to their existing materialized state, which
+    * is exactly dbt's behavior (and the point: restate one fact without
+    * paying the whole DAG). */
+  private def selectNodes(select: Seq[String]): Set[String] = {
+    val parents = models.map(m => m.name -> m.deps.filter(byName.contains)).toMap
+    val children = mutable.Map.empty[String, List[String]].withDefaultValue(Nil)
+    for (m <- models; d <- m.deps if byName.contains(d)) children(d) ::= m.name
+    def closure(start: String, next: String => Seq[String]): Set[String] = {
+      val seen = mutable.Set(start)
+      val q = mutable.Queue(start)
+      while (q.nonEmpty) next(q.dequeue()).foreach(n => if (seen.add(n)) q.enqueue(n))
+      seen.toSet
+    }
+    select.flatMap {
+      case s if s.startsWith("+") => closure(s.drop(1), parents(_))
+      case s if s.endsWith("+") => closure(s.dropRight(1), children(_))
+      case s =>
+        if (!byName.contains(s)) throw new UnknownRefException(s)
+        Set(s)
+    }.toSet
+  }
+
   def build(batchTs: java.sql.Timestamp =
       new java.sql.Timestamp(System.currentTimeMillis()),
-      threads: Int = 1): BuildReport = {
+      threads: Int = 1,
+      select: Seq[String] = Nil): BuildReport = {
+    if (select.nonEmpty) {
+      val sel = selectNodes(select)
+      val sub = models.filter(m => sel(m.name))
+      // unselected DEPS of the selection stay as-is: resolve them from
+      // the shared warehouse state (views recompute through this
+      // engine's ref; an unbuilt materialized upstream fails like dbt's
+      // "relation not found")
+      val needed = sub.flatMap(_.deps).filter(byName.contains).filterNot(sel).distinct
+      val eng = new Engine(spark, warehouseDir,
+        sources ++ needed.map(n => n -> ref(n)).toMap, sub)
+      val rpt = eng.build(batchTs, threads)
+      if (viewsRegistered) registerViews()
+      return rpt
+    }
     val order = topoOrder
     val report =
       if (threads <= 1) {

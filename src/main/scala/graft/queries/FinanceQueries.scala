@@ -25,9 +25,16 @@ import graft.Tables
   *  - The only driver-side value is the global max month (one scalar agg,
   *    parquet-stats-cheap; reference does the same via scalar subquery,
   *    `fct_subscription_month.sql:49-50`).
-  *  - Movement classification is two window functions over
-  *    (account_id, month) — one shuffle by account_id; the waterfall is a
-  *    single hash aggregate on month.
+  *  - Movement classification: one groupBy(account) builds a
+  *    calendar-bounded month→MRR map; begin/end/movement are per-row map
+  *    lookups (two exchanges total, no self-join, no window sort —
+  *    pinned in PlanSpec).
+  *  - Noted for 100 TB: a difference-array formulation (+mrr at the
+  *    first active month, −mrr after the last, prefix-sum per account)
+  *    would cut the months fan-out ~36× for the ACCOUNT-grain rollups;
+  *    kept the spine formulation because the subscription-month fact
+  *    must materialize the fan-out anyway and the rollup shares its
+  *    plan.
   */
 object FinanceQueries {
 

@@ -130,6 +130,37 @@ class EngineSpec extends SparkSpec {
     assert(CsvLoader.load(spark, csv, s"$dir/raw", t2, "replace") == 2)
   }
 
+  test("selective build (--select): name, name+, +name; unselected upstream not rebuilt") {
+    var baseBuilds = 0
+    val mk = Seq(
+      Model("base", Seq("raw_orders"), Materialization.Table)((_, r) => {
+        baseBuilds += 1; r("raw_orders")
+      }),
+      Model("mid", Seq("base"), Materialization.Table)((_, r) => r("base")),
+      Model("top", Seq("mid"), Materialization.Table)((_, r) => r("mid")))
+    val dir = tmpDir("engsel")
+    val e = eng(dir, mk)
+    assert(e.build().ok)
+    assert(baseBuilds == 1)
+
+    // select a single node: only it rebuilds, upstream untouched
+    val r1 = e.build(select = Seq("mid"))
+    assert(r1.results.map(_.name) == Seq("mid"))
+    assert(r1.ok && baseBuilds == 1)
+
+    // downstream closure
+    val r2 = e.build(select = Seq("mid+"))
+    assert(r2.results.map(_.name).toSet == Set("mid", "top"))
+    assert(baseBuilds == 1)
+
+    // upstream closure rebuilds the parent too
+    val r3 = e.build(select = Seq("+mid"))
+    assert(r3.results.map(_.name).toSet == Set("base", "mid"))
+    assert(baseBuilds == 2)
+
+    intercept[IllegalArgumentException] { e.build(select = Seq("nope")) }
+  }
+
   test("parallel build (threads=4): diamond DAG equals sequential; failures still block downstream") {
     val mk = Seq(
       Model("base", Seq("raw_orders"), Materialization.Table)((_, r) => r("raw_orders")),
