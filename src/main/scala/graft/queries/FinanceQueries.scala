@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -246,6 +247,122 @@ object FinanceQueries {
        |FROM am GROUP BY month_start_date""".stripMargin
   }
 
+  /** The waterfall from INTERVAL DELTAS — O(subs) rows, no sub×month
+    * fan-out: each subscription contributes +mrr at its first active
+    * month and −mrr after its last (EOM semantics folded into the
+    * interval bounds), a per-account fold over its few delta months
+    * classifies movements, and calendar-grain prefix sums produce the
+    * totals. ~36× fewer shuffled rows than the spine formulation at this
+    * calendar — the formulation of choice when only month-grain output
+    * is needed. Oracle: the SAME SQL as q_mrr_waterfall, so the
+    * hash-compare proves the two formulations identical.
+    *
+    * Exactness: money is whole-dollar doubles (integers ≤ 2^53), so
+    * prefix sums and ±cancellation are exact in any order and the
+    * `after == 0` churn compare is safe.
+    */
+  private def waterfallDelta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val subs = subscriptions(s, dir)
+    val maxMonth = subs
+      .agg(max(date_trunc("month", coalesce(col("end_date"), col("start_date"))).cast("date")))
+      .first().getDate(0)
+    val em = date_trunc("month", col("end_date")).cast("date")
+    val base = subs.select(
+      col("account_id"),
+      date_trunc("month", col("start_date")).cast("date").as("start_month"),
+      least(coalesce(em, lit(maxMonth)), lit(maxMonth)).as("end_month_b"),
+      // last month the sub is active at EOM: its end month if it ends on
+      // the month's last day, else the month before
+      when(col("end_date").isNull, lit(maxMonth))
+        .otherwise(least(
+          when(col("end_date") === last_day(col("end_date")), em)
+            .otherwise(add_months(em, -1)),
+          lit(maxMonth))).as("active_end"),
+      when(!col("is_trial"), coalesce(col("mrr_amount"), lit(0.0)))
+        .otherwise(0.0).as("m"))
+    val contributing = base.filter(col("m") =!= 0.0 && col("active_end") >= col("start_month"))
+    val deltas = contributing
+      .select(col("account_id"), col("start_month").as("month"), col("m").as("d"))
+      .unionByName(contributing.select(
+        col("account_id"), add_months(col("active_end"), 1).as("month"), negate(col("m")).as("d")))
+    // per-account fold: value before/after each delta month + paid-ever
+    val trans = deltas.groupBy(col("account_id"))
+      .agg(collect_list(struct(col("month"), col("d"))).as("ds"))
+      .as[(Long, Seq[(java.sql.Date, Double)])]
+      .flatMap { case (acct, ds) =>
+        val byMonth = ds.groupBy(_._1).map { case (m, xs) => (m, xs.map(_._2).sum) }
+          .toSeq.sortBy(_._1.toLocalDate.toEpochDay)
+        var cur = 0.0
+        var paidEver = false
+        byMonth.flatMap { case (m, d) =>
+          val before = cur
+          val after = before + d
+          cur = after
+          val out =
+            if (d == 0.0) None
+            else {
+              val movement =
+                if (before == 0.0 && after > 0.0 && !paidEver) "new"
+                else if (before == 0.0 && after > 0.0) "reactivation"
+                else if (before > 0.0 && after == 0.0) "churn"
+                else if (after > before) "expansion"
+                else "contraction"
+              Some((acct, m, before, after, movement))
+            }
+          if (after > 0.0) paidEver = true
+          out
+        }
+      }.toDF("account_id", "month", "before", "after", "movement")
+    val byMonth = trans.groupBy(col("month")).agg(
+      sum(col("after") - col("before")).as("dm"),
+      sum((col("after") > 0).cast("int") - (col("before") > 0).cast("int")).as("dactive"),
+      sum(when(col("movement") === "new", col("after")).otherwise(0.0)).as("new_mrr_d"),
+      sum(when(col("movement") === "reactivation", col("after")).otherwise(0.0)).as("reactivation_mrr_d"),
+      sum(when(col("movement") === "expansion", col("after") - col("before")).otherwise(0.0)).as("expansion_mrr_d"),
+      sum(when(col("movement") === "contraction", col("before") - col("after")).otherwise(0.0)).as("contraction_mrr_d"),
+      sum(when(col("movement") === "churn", col("before")).otherwise(0.0)).as("churn_mrr_d"),
+      count(when(col("movement") === "new", lit(1))).as("new_accounts_d"),
+      count(when(col("movement") === "churn", lit(1))).as("churned_accounts_d"),
+      count(when(col("movement") === "expansion", lit(1))).as("expansion_accounts_d"))
+    // month presence = union of account spines [first, last+1], from
+    // per-account bounds over ALL subs (zero-MRR spine rows included)
+    val presence = base.groupBy(col("account_id"))
+      .agg(min(col("start_month")).as("f"), max(col("end_month_b")).as("l"))
+      .select(explode(array(
+        struct(col("f").as("month"), lit(1).as("p")),
+        struct(add_months(col("l"), 2).as("month"), lit(-1).as("p")))).as("x"))
+      .select(col("x.month"), col("x.p"))
+      .groupBy(col("month")).agg(sum(col("p")).as("pres_d"))
+    // calendar spine across the global range; prefix sums at month grain
+    // (≤ a few dozen rows — the single-partition window is intentional)
+    val bounds = base.agg(
+      min(col("start_month")).as("lo"),
+      add_months(max(col("end_month_b")), 1).as("hi")).first()
+    val cal = s.range(1).select(explode(sequence(
+      lit(bounds.getDate(0)), lit(bounds.getDate(1)), expr("interval 1 month"))).as("month"))
+    val w = Window.orderBy(col("month")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cal.join(byMonth, Seq("month"), "left")
+      .join(presence, Seq("month"), "left")
+      .withColumn("end_mrr", sum(coalesce(col("dm"), lit(0.0))).over(w))
+      .withColumn("active_cnt", sum(coalesce(col("dactive"), lit(0L))).over(w))
+      .withColumn("present", sum(coalesce(col("pres_d"), lit(0L))).over(w))
+      .filter(col("present") > 0)
+      .select(
+        col("month").as("month_start_date"),
+        (col("end_mrr") - coalesce(col("dm"), lit(0.0))).as("begin_mrr"),
+        col("end_mrr"),
+        coalesce(col("new_mrr_d"), lit(0.0)).as("new_mrr"),
+        coalesce(col("reactivation_mrr_d"), lit(0.0)).as("reactivation_mrr"),
+        coalesce(col("expansion_mrr_d"), lit(0.0)).as("expansion_mrr"),
+        coalesce(col("contraction_mrr_d"), lit(0.0)).as("contraction_mrr"),
+        coalesce(col("churn_mrr_d"), lit(0.0)).as("churn_mrr"),
+        coalesce(col("new_accounts_d"), lit(0L)).as("new_accounts"),
+        coalesce(col("churned_accounts_d"), lit(0L)).as("churned_accounts"),
+        coalesce(col("expansion_accounts_d"), lit(0L)).as("expansion_accounts"),
+        col("active_cnt").as("active_accounts"))
+  }
+
   /** Exposed for FinanceSpec's singular-test assertions. */
   private[graft] def fctSubscriptionMonthDf = fctSubscriptionMonth _
   private[graft] def fctAccountMonthDf = fctAccountMonth _
@@ -254,6 +371,9 @@ object FinanceQueries {
   val qs: Seq[Q] = Seq(
     Q.sql("q_fct_subscription_month", fctSubMonthSql)(fctSubscriptionMonth),
     Q.sql("q_fct_account_month", fctAcctMonthSql)(fctAccountMonth),
-    Q.sql("q_mrr_waterfall", waterfallSql)(waterfall)
+    Q.sql("q_mrr_waterfall", waterfallSql)(waterfall),
+    // same oracle text as q_mrr_waterfall: the delta formulation must
+    // hash-match the spine formulation's results exactly
+    Q.sql("q_mrr_waterfall_delta", waterfallSql)(waterfallDelta)
   )
 }
