@@ -23,7 +23,7 @@ object ScaleProbe {
     for (t <- Seq("lineitem","customer","nation","region"))
       spark.read.parquet(s"$dir/$t.parquet").write.mode("overwrite").parquet(s"/tmp/scale/$t.parquet")
     println(s"amplified orders: ${spark.read.parquet("/tmp/scale/orders.parquet").count()} rows")
-    for (q <- Seq("q_fct_subscription_month","q_fct_account_month","q_mrr_waterfall","q_win_lag","q_agg_rollup")) {
+    for (q <- Seq("q_fct_subscription_month","q_fct_account_month","q_mrr_waterfall","q_mrr_waterfall_delta","q_win_lag","q_agg_rollup")) {
       // warm at sf0.1 then measure amplified
       graft.SparkEntry.queries(q)(spark, dir).count()
       val t0 = System.nanoTime(); val base = graft.SparkEntry.queries(q)(spark, dir).count()
