@@ -67,6 +67,26 @@ object MultimodalQueries {
         Multimodal.mediaFromDocuments(Tables.documents(s, dir)), stride = 25)
     },
 
+    // ---- binary-payload exact dedup (frame/image dedup primitive):
+    // md5 over the OPAQUE BYTES — the hash is computed on the binary
+    // column, never a decoded/string form, so it works for any codec
+    Q.sql(
+      "q_media_dedup_exact",
+      """SELECT md5(text) AS payload_md5,
+        |       min(doc_id) AS keep_media_id,
+        |       count(*) AS n_copies,
+        |       CAST(min(octet_length(CAST(text AS BLOB))) AS INT) AS n_bytes
+        |FROM documents GROUP BY 1""".stripMargin
+      // (DuckDB 1.0's md5 is VARCHAR-only; payload IS the utf8 bytes of
+      // text, so md5(text) hashes the identical byte sequence)
+    ) { (s, dir) =>
+      Multimodal.mediaFromDocuments(Tables.documents(s, dir))
+        .groupBy(md5(col("payload")).as("payload_md5"))
+        .agg(min(col("media_id")).as("keep_media_id"),
+          count(lit(1)).as("n_copies"),
+          min(length(col("payload"))).as("n_bytes"))
+    },
+
     // ---- decode + feature extraction (mapPartitions, stub decoder):
     // not SQL-expressible → rows-only; values asserted in MultimodalSpec
     Q.rowsOnly("q_media_features") { (s, dir) =>
