@@ -277,11 +277,17 @@ final class Engine(
         val lock = new Object
         def submit(name: String): Unit = {
           pool.submit(new Runnable {
-            def run(): Unit = {
+            def run(): Unit = try {
               val depBlocked = byName(name).deps
                 .filter(byName.contains)
-                .exists(d => results.get(d).status != "ok")
+                .exists(d => Option(results.get(d)).forall(_.status != "ok"))
               results.put(name, execNode(name, batchTs, depBlocked))
+            } catch {
+              // execNode catches Exceptions itself; this guards Errors so
+              // a worker failure can never hang the await below
+              case t: Throwable =>
+                results.put(name, NodeResult(name, "error", 0, error = Some(t.toString)))
+            } finally {
               lock.synchronized {
                 for (c <- children(name)) {
                   remaining(c) -= 1
