@@ -12,9 +12,12 @@ import org.apache.spark.sql.SparkSession
   * projection-only query would measure just the scan), while the noop
   * sink consumes every output column without paying a real sink's I/O.
   *
-  * Output: per-query times at 3 decimals keep the line short, and the
-  * total is echoed again on its own final line so the number survives
-  * tail-truncating log capture.
+  * Output contract (tail-truncation-safe): the full per-query JSON line
+  * prints FIRST and is also persisted to target/bench.json, so a log
+  * capture that keeps only the last few lines still leaves the file and
+  * the short total line intact. A query whose action throws records the
+  * sentinel -1.0 (never its time-to-failure) and is excluded from the
+  * total, so a fast crash cannot masquerade as a fast success.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -35,14 +38,41 @@ object Bench {
     }
     val results = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try consume(fn(spark, sfDir)) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec =
+        try { consume(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
+        catch { case _: Throwable => -1.0 }
+      name -> sec
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, v) if v < 0 => k }
+    def toJson(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    def line(qs: String) =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    val full = line(toJson(results))
+    // Full per-query map → file (survives any log truncation).
+    try {
+      val out = java.nio.file.Paths.get("target", "bench.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out, full.getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+    // The driver keeps only a ~2,000-char stdout tail; the full line is
+    // wider than that window, so the LAST line is a headline subset (the
+    // slowest queries, greedily packed to ~1,400 bytes) that always fits
+    // and parses whole. Order: full line (humans/file), bare total
+    // (backup), headline line last (the one the tail parser sees).
+    val budget = 1400
+    val byTime = results.sortBy { case (_, v) => -v }
+    val headline = {
+      var used = 0
+      byTime.takeWhile { case (k, _) =>
+        used += k.length + 12; used <= budget
+      }.sortBy(_._1)
+    }
+    println(full)
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec"}""")
+    println(line(toJson(headline)))
     spark.stop()
   }
 }

@@ -20,17 +20,23 @@ object Checks {
     Check(s"not_null(${cols.mkString(",")})",
       df => df.filter(cols.map(c => col(c).isNull).reduce(_ || _)))
 
-  def unique(col0: String): Check = uniqueCombination(col0)
+  /** dbt's generic single-column `unique` test, which excludes NULL keys
+    * before grouping (`where column is not null`): several NULL-keyed
+    * rows are not a uniqueness violation — pair with `notNull` when nulls
+    * themselves should fail. */
+  def unique(col0: String): Check =
+    Check(s"unique($col0)",
+      df => df.filter(col(col0).isNotNull)
+        .groupBy(col(col0)).count().filter(col("count") > 1))
 
   /** dbt_utils.unique_combination_of_columns
-    * (`models/reporting/schema.yml:44-46`). Matches dbt's generic unique
-    * test, which excludes NULL keys before grouping (`where column is
-    * not null`): several NULL-keyed rows are not a uniqueness violation —
-    * pair with `notNull` when nulls themselves should fail. */
+    * (`models/reporting/schema.yml:44-46`). Unlike the single-column
+    * `unique` test, dbt_utils applies NO null filter — its `group by` +
+    * `having count(*) > 1` treats NULLs as equal, so duplicate NULL-keyed
+    * combinations ARE violations here, matching the macro exactly. */
   def uniqueCombination(cols: String*): Check =
     Check(s"unique(${cols.mkString(",")})",
-      df => df.filter(cols.map(c => col(c).isNotNull).reduce(_ && _))
-        .groupBy(cols.map(col): _*).count().filter(col("count") > 1))
+      df => df.groupBy(cols.map(col): _*).count().filter(col("count") > 1))
 
   /** relationships: child FK values ⊆ parent key values. */
   def relationships(childCol: String, parent: DataFrame, parentCol: String): Check =

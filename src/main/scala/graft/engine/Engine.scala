@@ -82,12 +82,33 @@ final class Engine(
     order.toSeq
   }
 
+  /** SCD2 snapshots store two slices under the model dir: `closed/` is
+    * APPEND-ONLY immutable history, `open/` (one row per live key) is the
+    * only part a batch rewrites — so snapshot write cost is
+    * O(open + changed), not O(history) (SURVEY §7.4; at 100 TB the closed
+    * partition would dwarf every batch's delta). */
+  private def openPath(name: String): String = s"${path(name)}/open"
+  private def closedPath(name: String): String = s"${path(name)}/closed"
+  private def snapExists(name: String): Boolean =
+    Files.exists(Paths.get(openPath(name), "_SUCCESS"))
+  private def isSnapshot(name: String): Boolean = byName.get(name).exists(
+    _.materialization.isInstanceOf[Materialization.Scd2Snapshot])
+  private def readSnapshot(name: String): DataFrame = {
+    val open = spark.read.parquet(openPath(name))
+    if (Files.exists(Paths.get(closedPath(name))))
+      open.unionByName(spark.read.parquet(closedPath(name)))
+    else open
+  }
+
   /** A model's own persisted state, if any — what dbt's
     * `is_incremental()` + `{{ this }}` expose (reference
     * `fct_subscription_month.sql:14-22`): lets an incremental model
     * compute its restatement window from the current target. */
   def targetIfExists(name: String): Option[DataFrame] =
-    if (exists(name)) Some(spark.read.parquet(path(name))) else None
+    if (isSnapshot(name)) {
+      if (snapExists(name)) Some(readSnapshot(name)) else None
+    } else if (exists(name)) Some(spark.read.parquet(path(name)))
+    else None
 
   /** Resolve a ref the way a downstream model sees it. */
   def ref(name: String): DataFrame =
@@ -95,65 +116,91 @@ final class Engine(
     else byName.get(name) match {
       case Some(m) if m.materialization == Materialization.View =>
         m.build(spark, ref)
+      case Some(_) if isSnapshot(name) => readSnapshot(name)
       case Some(_) => spark.read.parquet(path(name))
       case None => throw new UnknownRefException(name)
     }
 
-  /** Atomically replace a target whose new content READS the old content
-    * (snapshot merge): write to a tmp dir, then swap. Local-fs rename
-    * here; on HDFS/object stores this is `FileSystem.rename` / a
-    * transactional table format. */
-  private def writeSwap(df: DataFrame, name: String): Unit = {
-    val tmp = path(name) + ".tmp"
+  /** Atomically replace a target dir whose new content READS the old
+    * content (snapshot open-slice merge): write to a tmp dir, then swap.
+    * Local-fs rename here; on HDFS/object stores this is
+    * `FileSystem.rename` / a transactional table format. */
+  private def writeSwap(df: DataFrame, target: String): Unit = {
+    val tmp = target + ".tmp"
     df.write.mode("overwrite").parquet(tmp)
-    val dir = new java.io.File(path(name))
+    val dir = new java.io.File(target)
     def delete(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles.foreach(delete)
       f.delete(); ()
     }
     if (dir.exists) delete(dir)
-    require(new java.io.File(tmp).renameTo(dir), s"swap failed for $name")
+    require(new java.io.File(tmp).renameTo(dir), s"swap failed for $target")
   }
 
-  /** Materialize one model per its strategy; returns rows now in target
-    * (-1 for View models: a view is an unmaterialized plan, and running
-    * `count()` on it would pay its full cost once per build on top of
-    * what each consumer already pays — at scale that doubles every heavy
-    * view; dbt likewise reports no row count for views). */
+  /** Run `write` on `df` and return the row count the write actually
+    * produced, harvested from an observed metric ON the write plan itself
+    * — dbt's "rows affected", at zero extra cost. The alternative
+    * (post-write `count()` re-scan) pays a parquet footer scan of the
+    * WHOLE target per model per build — metadata-cheap in the sandbox, a
+    * full-table footer pass at 100 TB. */
+  private def writeCounted(df: DataFrame, write: DataFrame => Unit): Long = {
+    val obs = org.apache.spark.sql.Observation()
+    write(df.observe(obs, count(lit(1)).as("rows")))
+    obs.get("rows").asInstanceOf[Long]
+  }
+
+  /** Materialize one model per its strategy; returns the rows WRITTEN by
+    * this build (dbt's "rows affected": appended rows for incremental
+    * append, the restated window for delete+insert, open+newly-closed for
+    * snapshots; -1 for View models — a view is an unmaterialized plan, and
+    * running `count()` on it would pay its full cost once per build on top
+    * of what each consumer already pays; dbt likewise reports no row count
+    * for views). */
   private def materialize(m: Model, batchTs: java.sql.Timestamp): Long = {
     val df = m.buildFn(spark, ref, targetIfExists(m.name))
     m.materialization match {
       case Materialization.View => -1L
       case Materialization.Table =>
-        df.write.mode("overwrite").parquet(path(m.name))
-        spark.read.parquet(path(m.name)).count()
+        writeCounted(df, _.write.mode("overwrite").parquet(path(m.name)))
       case Materialization.IncrementalAppend(wm) =>
-        if (!exists(m.name)) df.write.mode("overwrite").parquet(path(m.name))
+        if (!exists(m.name))
+          writeCounted(df, _.write.mode("overwrite").parquet(path(m.name)))
         else {
           // High-water mark: single scalar off parquet min/max footer stats.
           val prev = spark.read.parquet(path(m.name)).agg(max(col(wm))).first()
-          if (prev.isNullAt(0)) df.write.mode("append").parquet(path(m.name))
-          else df.filter(col(wm) > lit(prev.get(0)))
-            .write.mode("append").parquet(path(m.name))
+          val delta =
+            if (prev.isNullAt(0)) df else df.filter(col(wm) > lit(prev.get(0)))
+          writeCounted(delta, _.write.mode("append").parquet(path(m.name)))
         }
-        spark.read.parquet(path(m.name)).count()
       case Materialization.DeleteInsert(pcol) =>
         // df is expected to contain ONLY the restatement window's rows
         // (the model's own window predicate, as in the reference's
         // incremental branch). Dynamic overwrite replaces exactly the
-        // partitions present in df.
-        val mode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try df.write.mode("overwrite").partitionBy(pcol).parquet(path(m.name))
-        finally mode.foreach(
-          spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
-        spark.read.parquet(path(m.name)).count()
+        // partitions present in df. The overwrite mode is a PER-WRITER
+        // option, not a session-conf mutation: with build(threads>1) two
+        // concurrent DeleteInsert nodes would race a set/restore of the
+        // shared conf, and a restore-to-static mid-plan turns a window
+        // restatement into a full-table overwrite (data loss).
+        writeCounted(df, _.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy(pcol).parquet(path(m.name)))
       case Materialization.Scd2Snapshot(key, checkCols) =>
-        val prior =
-          if (exists(m.name)) Some(spark.read.parquet(path(m.name))) else None
-        val merged = Snapshot.merge(spark, prior, df, key, checkCols, batchTs)
-        writeSwap(merged, m.name)
-        spark.read.parquet(path(m.name)).count()
+        if (!snapExists(m.name)) {
+          val (opened, _) =
+            Snapshot.mergeDelta(spark, None, df, key, checkCols, batchTs)
+          writeCounted(opened, _.write.mode("overwrite").parquet(openPath(m.name)))
+        } else {
+          // Append-only closed history + swapped open slice: the batch
+          // reads ONLY the open rows and writes O(open + changed) rows —
+          // immutable closed history is neither read nor rewritten.
+          val prior = spark.read.parquet(openPath(m.name))
+          val (openOut, newlyClosed) = Snapshot.mergeDelta(
+            spark, Some(prior), df, key, checkCols, batchTs)
+          val nClosed = writeCounted(newlyClosed,
+            _.write.mode("append").parquet(closedPath(m.name)))
+          val nOpen = writeCounted(openOut, writeSwap(_, openPath(m.name)))
+          nClosed + nOpen
+        }
     }
   }
 
@@ -227,12 +274,15 @@ final class Engine(
       while (q.nonEmpty) next(q.dequeue()).foreach(n => if (seen.add(n)) q.enqueue(n))
       seen.toSet
     }
+    // Every selector form validates its model name up front — a typo'd
+    // `name+` would otherwise return just the unknown name and make an
+    // empty no-op build look like success.
+    def known(s: String): String =
+      if (byName.contains(s)) s else throw new UnknownRefException(s)
     select.flatMap {
-      case s if s.startsWith("+") => closure(s.drop(1), parents(_))
-      case s if s.endsWith("+") => closure(s.dropRight(1), children(_))
-      case s =>
-        if (!byName.contains(s)) throw new UnknownRefException(s)
-        Set(s)
+      case s if s.startsWith("+") => closure(known(s.drop(1)), parents(_))
+      case s if s.endsWith("+") => closure(known(s.dropRight(1)), children(_))
+      case s => Set(known(s))
     }.toSet
   }
 
@@ -243,16 +293,30 @@ final class Engine(
     if (select.nonEmpty) {
       val sel = selectNodes(select)
       val sub = models.filter(m => sel(m.name))
-      // unselected DEPS of the selection stay as-is: resolve them from
-      // the shared warehouse state (views recompute through this
-      // engine's ref; an unbuilt materialized upstream fails like dbt's
-      // "relation not found")
-      val needed = sub.flatMap(_.deps).filter(byName.contains).filterNot(sel).distinct
+      // Unselected deps resolve from the shared warehouse state. A
+      // MATERIALIZED dep may be pinned eagerly — the selection never
+      // rewrites it. A VIEW dep must NOT be pinned: its plan can read
+      // models the selection is about to rebuild (A -> view -> B), and an
+      // eager ref() would freeze the view over the pre-rebuild parquet
+      // listing, so after A is overwritten B would read deleted files.
+      // View deps (transitively) ride along as checkless models instead,
+      // re-resolved lazily per consumer; they are dropped from the report.
+      val viewsAlong = mutable.Map.empty[String, Model]
+      val pinned = mutable.Set.empty[String]
+      def visit(d: String): Unit =
+        if (!sel(d) && !viewsAlong.contains(d) && !pinned(d)) byName.get(d) match {
+          case Some(v) if v.materialization == Materialization.View =>
+            viewsAlong(d) = new Model(v.name, v.deps, Materialization.View, Nil, v.buildFn)
+            v.deps.foreach(visit)
+          case Some(_) => pinned += d
+          case None => () // raw source: passes through `sources` below
+        }
+      sub.flatMap(_.deps).distinct.foreach(visit)
       val eng = new Engine(spark, warehouseDir,
-        sources ++ needed.map(n => n -> ref(n)).toMap, sub)
+        sources ++ pinned.map(n => n -> ref(n)).toMap, sub ++ viewsAlong.values)
       val rpt = eng.build(batchTs, threads)
       if (viewsRegistered) registerViews()
-      return rpt
+      return BuildReport(rpt.results.filter(r => sel(r.name)))
     }
     val order = topoOrder
     val report =

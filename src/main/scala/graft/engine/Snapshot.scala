@@ -37,6 +37,11 @@ object Snapshot {
 
   /** One snapshot batch: returns the full new snapshot table.
     *
+    * Convenience form over [[mergeDelta]] — use the delta form where the
+    * closed history is stored append-only (the Engine does): this form
+    * re-emits the entire closed set every call, which at 100 TB SCD2
+    * means rewriting immutable history per batch.
+    *
     * @param snapshot  prior snapshot state, or None on first run
     * @param source    current truth, exactly one row per `key`
     * @param checkCols columns whose change opens a new version
@@ -48,18 +53,44 @@ object Snapshot {
       key: String,
       checkCols: Seq[String],
       batchTs: Timestamp,
-      invalidateHardDeletes: Boolean = true): DataFrame = {
+      invalidateHardDeletes: Boolean = true): DataFrame =
+    snapshot match {
+      case None =>
+        mergeDelta(spark, None, source, key, checkCols, batchTs, invalidateHardDeletes)._1
+      case Some(snap) =>
+        val closed = snap.filter(col(ValidTo).isNotNull)
+        val open = snap.filter(col(ValidTo).isNull)
+        val (openOut, newlyClosed) = mergeDelta(
+          spark, Some(open), source, key, checkCols, batchTs, invalidateHardDeletes)
+        openOut.unionByName(newlyClosed).unionByName(closed)
+    }
+
+  /** One snapshot batch against the OPEN slice only, returning what the
+    * batch actually changes: `(new open set, newly-closed rows)`. The
+    * immutable closed history is never read or rewritten — the caller
+    * appends `newlyClosed` to it and swaps only the open slice, so a
+    * batch's write cost is O(open + changed), not O(history).
+    *
+    * @param open      prior OPEN rows (one per live key), or None on first run
+    * @param source    current truth, exactly one row per `key`
+    * @param checkCols columns whose change opens a new version
+    */
+  def mergeDelta(
+      spark: SparkSession,
+      openPrior: Option[DataFrame],
+      source: DataFrame,
+      key: String,
+      checkCols: Seq[String],
+      batchTs: Timestamp,
+      invalidateHardDeletes: Boolean = true): (DataFrame, DataFrame) = {
     val ts = lit(batchTs).cast("timestamp")
     val opened = source
       .withColumn(ValidFrom, ts)
       .withColumn(ValidTo, lit(null).cast("timestamp"))
 
-    snapshot match {
-      case None => opened
-      case Some(snap) =>
-        val closed = snap.filter(col(ValidTo).isNotNull)
-        val open = snap.filter(col(ValidTo).isNull)
-
+    openPrior match {
+      case None => (opened, opened.limit(0))
+      case Some(open) =>
         val srcCols =
           Seq(col(key).as("_src_key")) ++
             checkCols.map(c => col(c).as(s"_src_$c")) ++
@@ -92,14 +123,18 @@ object Snapshot {
           .withColumn(ValidTo, lit(null).cast("timestamp"))
         // 4. vanished keys → close (or keep open) per invalidateHardDeletes
         val gone = j.filter(col(key).isNotNull && col("_src_key").isNull)
-        val goneOut =
-          if (invalidateHardDeletes)
-            gone.select(openCols.map(c => if (c == ValidTo) ts.as(ValidTo) else col(c)): _*)
-          else gone.select(openCols.map(col): _*)
+        val goneClosed =
+          gone.select(openCols.map(c => if (c == ValidTo) ts.as(ValidTo) else col(c)): _*)
+        val goneStillOpen = gone.select(openCols.map(col): _*)
 
-        Seq(unchanged, closedNow, reopened, born, goneOut)
-          .reduce(_.unionByName(_))
-          .unionByName(closed)
+        val newOpen = Seq(
+          unchanged, reopened, born,
+          if (invalidateHardDeletes) goneStillOpen.limit(0) else goneStillOpen
+        ).reduce(_.unionByName(_))
+        val newlyClosed =
+          if (invalidateHardDeletes) closedNow.unionByName(goneClosed)
+          else closedNow
+        (newOpen, newlyClosed)
     }
   }
 

@@ -66,11 +66,22 @@ object SqlSurfaceQueries {
     // ---- quantile sketch (rows-only — sketch estimates are
     // engine-specific by construction). At 100 TB the exact percentile
     // is a full sort per group; the sketch is one mergeable pass.
+    // Emitted as scalar (flag, pct, value) rows — array-typed cells are
+    // unsortable by the rows-only harness; posexplode keeps the sketch
+    // while giving the check a comparable shape. SketchSpec bounds the
+    // estimate error against the exact percentile.
     Q.rowsOnly("q_approx_percentile") { (s, dir) =>
       Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"))
         .agg(expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 1000)")
           .as("approx_p"))
+        .select(
+          col("l_returnflag"),
+          posexplode(col("approx_p")).as(Seq("pct_idx", "approx_value")))
+        .select(
+          col("l_returnflag"),
+          element_at(lit(Array(0.25, 0.5, 0.75)), col("pct_idx") + 1).as("pct"),
+          col("approx_value"))
     }
   )
 }

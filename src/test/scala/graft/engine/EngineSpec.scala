@@ -63,13 +63,16 @@ class EngineSpec extends SparkSpec {
       (_, _) => batch)
     val e = new Engine(spark, dir, Map.empty, Seq(m))
     assert(e.build()("log").rows == 1)
-    // second batch re-sends row 1 (same watermark — must NOT duplicate) + adds row 2
+    // second batch re-sends row 1 (same watermark — must NOT duplicate) + adds row 2;
+    // report shows rows APPENDED (dbt's rows-affected), target holds both
     batch = Seq(
       (1L, Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
       (2L, Timestamp.valueOf("2024-01-02 00:00:00"), 2.0)).toDF("id", "ingested_at", "v")
-    assert(e.build()("log").rows == 2)
-    // idempotent re-run
-    assert(e.build()("log").rows == 2)
+    assert(e.build()("log").rows == 1)
+    assert(spark.read.parquet(s"$dir/log").count() == 2)
+    // idempotent re-run appends nothing
+    assert(e.build()("log").rows == 0)
+    assert(spark.read.parquet(s"$dir/log").count() == 2)
   }
 
   test("delete+insert restates only the window's partitions (≡ full refresh)") {
@@ -80,9 +83,10 @@ class EngineSpec extends SparkSpec {
     val m = Model("fct", Seq(), Materialization.DeleteInsert("month"))((_, _) => current)
     val e = new Engine(spark, dir, Map.empty, Seq(m))
     assert(e.build()("fct").rows == 3)
-    // run 2: restate only months >= 2024-02 with corrected values + a new month
+    // run 2: restate only months >= 2024-02 with corrected values + a new
+    // month — report counts the 3 rows WRITTEN into restated partitions
     current = fact(Seq((2L, "2024-02-01", 20.0), (3L, "2024-03-01", 30.0), (4L, "2024-04-01", 4.0)))
-    assert(e.build()("fct").rows == 4)
+    assert(e.build()("fct").rows == 3)
     val got = spark.read.parquet(s"$dir/fct")
       .select($"id", $"v").as[(Long, Double)].collect().toMap
     // January untouched, Feb/Mar overwritten, April added
@@ -105,11 +109,12 @@ class EngineSpec extends SparkSpec {
     })
     eng = new Engine(spark, dir, Map.empty, Seq(m))
     assert(eng.build()("fct").rows == 3)
-    // upstream restates EVERYTHING to 10.0, but only Feb+Mar are in the
-    // restatement window — January keeps its stale value (the
+    // upstream restates EVERYTHING to 10.0, but only Feb+Mar (2 rows
+    // written) are in the restatement window — January keeps its stale
+    // value (the
     // reference's documented late-correction tradeoff, README.md:124-132)
     source = source.map { case (id, mo, _) => (id, mo, 10.0) }
-    assert(eng.build()("fct").rows == 3)
+    assert(eng.build()("fct").rows == 2)
     val got = spark.read.parquet(s"$dir/fct")
       .select($"month", $"v").as[(String, Double)].collect().toMap
     assert(got == Map("2024-01-01" -> 1.0, "2024-02-01" -> 10.0, "2024-03-01" -> 10.0))
@@ -187,5 +192,96 @@ class EngineSpec extends SparkSpec {
     assert(rpt("left").status == "test_failed")
     assert(rpt("right").status == "ok")
     assert(rpt("join").status == "skipped_upstream")
+  }
+
+  test("SCD2 snapshot storage: closed slice is append-only; a batch writes O(open+changed)") {
+    val dir = tmpDir("engsnap")
+    def ts(d: Int) = Timestamp.valueOf(f"2024-01-0$d%d 00:00:00")
+    var truth = Seq(("a", "h1"), ("b", "h1"), ("c", "h1")).toDF("account_id", "record_hash")
+    val m = Model("snap", Seq(),
+      Materialization.Scd2Snapshot("account_id", Seq("record_hash")))((_, _) => truth)
+    val e = new Engine(spark, dir, Map.empty, Seq(m))
+    assert(e.build(ts(1))("snap").rows == 3) // first batch: 3 open rows
+    // one key changes → batch writes 1 newly-closed + 3 open = 4 rows,
+    // NOT the 5-row full history
+    truth = Seq(("a", "h2"), ("b", "h1"), ("c", "h1")).toDF("account_id", "record_hash")
+    assert(e.build(ts(2))("snap").rows == 4)
+    val closedDir = new java.io.File(s"$dir/snap/closed")
+    val before = closedDir.listFiles.map(_.getName).filter(_.startsWith("part-")).toSet
+    assert(before.nonEmpty)
+    truth = Seq(("a", "h2"), ("b", "h2"), ("c", "h1")).toDF("account_id", "record_hash")
+    assert(e.build(ts(3))("snap").rows == 4)
+    // every pre-existing closed data file is still there, plus new ones:
+    // immutable history was appended to, never rewritten
+    val after = closedDir.listFiles.map(_.getName).filter(_.startsWith("part-")).toSet
+    assert(before.subsetOf(after) && after.size > before.size)
+    // semantics ≡ the one-shot full merge of the same batches
+    val batches = Seq(
+      Seq(("a", "h1"), ("b", "h1"), ("c", "h1")),
+      Seq(("a", "h2"), ("b", "h1"), ("c", "h1")),
+      Seq(("a", "h2"), ("b", "h2"), ("c", "h1")))
+    val full = batches.zipWithIndex.foldLeft(Option.empty[org.apache.spark.sql.DataFrame]) {
+      case (snap, (rows, i)) =>
+        Some(Snapshot.merge(spark, snap, rows.toDF("account_id", "record_hash"),
+          "account_id", Seq("record_hash"), ts(i + 1)))
+    }.get
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select($"account_id", $"record_hash", $"dbt_valid_from", $"dbt_valid_to")
+      .as[(String, String, Timestamp, Option[Timestamp])].collect().sortBy(_.toString).toSeq
+    assert(canon(e.ref("snap")) == canon(full))
+    assert(Snapshot.current(e.ref("snap")).count() == 3)
+  }
+
+  test("materialization row counts come from write metrics — no post-write re-scan job") {
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    val m = Model("t", Seq("raw_orders"), Materialization.Table)((_, r) => r("raw_orders"))
+    val e = eng(tmpDir("engjobs"), Seq(m))
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val rpt = e.build()
+      assert(rpt("t").rows == 3)
+      // listener events are async; wait for the queue to drain
+      val deadline = System.currentTimeMillis() + 10000
+      var last = -1
+      while (System.currentTimeMillis() < deadline && jobs.get != last) {
+        last = jobs.get; Thread.sleep(200)
+      }
+      // exactly the ONE write job — the row count rode along as an
+      // observed metric instead of a second count() scan of the target
+      assert(jobs.get == 1, s"expected 1 job (the write), saw ${jobs.get}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("selective build: unselected intervening views re-resolve over rebuilt uptream state") {
+    var data = Seq((1L, 1.0))
+    val mk = Seq(
+      Model("a", Seq(), Materialization.Table)((_, _) => data.toDF("id", "v")),
+      Model("vw", Seq("a"), Materialization.View)((_, r) => r("a").filter($"v" > 0)),
+      Model("b", Seq("vw"), Materialization.Table)((_, r) => r("vw")))
+    val dir = tmpDir("engselv")
+    val e = new Engine(spark, dir, Map.empty, mk)
+    assert(e.build().ok)
+    // select a and b but NOT the view between them: the view must be
+    // re-resolved lazily inside the sub-build (an eagerly pinned view
+    // plan would read a's pre-rebuild, now-deleted parquet files)
+    data = Seq((2L, 2.0), (3L, 3.0))
+    val rpt = e.build(select = Seq("a", "b"))
+    assert(rpt.ok, rpt.results.mkString("; "))
+    assert(rpt.results.map(_.name).toSet == Set("a", "b")) // view not reported
+    val got = spark.read.parquet(s"$dir/b").select($"id").as[Long].collect().toSet
+    assert(got == Set(2L, 3L))
+  }
+
+  test("selector validation: +name and name+ reject unknown models like bare names") {
+    val mk = Seq(Model("only", Seq(), Materialization.Table)((_, _) => spark.range(1).toDF))
+    val e = new Engine(spark, tmpDir("engselu"), Map.empty, mk)
+    intercept[IllegalArgumentException] { e.build(select = Seq("+nope")) }
+    intercept[IllegalArgumentException] { e.build(select = Seq("nope+")) }
   }
 }
