@@ -1,0 +1,36 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+
+/** Recall contract for the ANN variants: every approximation is graded
+  * against the brute-force top-k ground truth, and multi-probe LSH must
+  * strictly beat single-probe (the whole point of probing the two
+  * lowest-|margin| neighbor buckets is recovering true neighbors whose
+  * sign vector differs from the query's by one near-boundary bit).
+  */
+class SimilaritySpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.01"
+
+  private def pairs(name: String): Set[(Long, Long)] = {
+    import spark.implicits._
+    graft.SparkEntry.queries(name)(spark, dir)
+      .select($"query_id".cast("long"), $"vec_id".cast("long"))
+      .as[(Long, Long)].collect().toSet
+  }
+
+  test("multi-probe LSH recall strictly exceeds single-probe, within brute-force truth") {
+    val truth = pairs("q_ann_bruteforce_topk")
+    val single = pairs("q_ann_lsh_topk")
+    val multi = pairs("q_ann_lsh_multiprobe")
+    // each variant's hits are graded against brute-force ground truth
+    val singleRecall = (single intersect truth).size
+    val multiRecall = (multi intersect truth).size
+    assert(multiRecall > singleRecall,
+      s"multi-probe recall $multiRecall must beat single-probe $singleRecall of ${truth.size}")
+    // probing a superset of buckets can only add candidates: every
+    // single-probe true hit survives in the multi-probe result
+    assert((single intersect truth).subsetOf(multi))
+  }
+}

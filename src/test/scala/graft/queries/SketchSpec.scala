@@ -24,17 +24,19 @@ class SketchSpec extends SparkSpec {
   }
 
   test("approx_percentile within 2% of exact per quartile at sf0.001") {
+    // exact side exploded to the same scalar (flag, pct, value) shape the
+    // query now emits (array cells are unsortable by the rows-only harness)
     val exact = graft.Tables.lineitem(spark, dir)
       .groupBy($"l_returnflag")
       .agg(expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("exact_p"))
+      .select($"l_returnflag", posexplode($"exact_p").as(Seq("pct_idx", "exact_v")))
+      .withColumn("pct", element_at(array(lit(0.25), lit(0.5), lit(0.75)), $"pct_idx" + 1))
     val rows = graft.SparkEntry.queries("q_approx_percentile")(spark, dir)
-      .join(exact, "l_returnflag")
-      .select($"approx_p", $"exact_p").as[(Seq[Double], Seq[Double])].collect()
-    assert(rows.nonEmpty)
-    rows.foreach { case (approx, exactP) =>
-      approx.zip(exactP).foreach { case (a, e) =>
-        assert(math.abs(a - e) / e <= 0.02, s"approx=$a exact=$e")
-      }
+      .join(exact, Seq("l_returnflag", "pct"))
+      .select($"approx_value", $"exact_v").as[(Double, Double)].collect()
+    assert(rows.length == 9) // 3 flags × 3 quartiles
+    rows.foreach { case (a, e) =>
+      assert(math.abs(a - e) / e <= 0.02, s"approx=$a exact=$e")
     }
   }
 }
