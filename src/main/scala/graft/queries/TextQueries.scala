@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -161,19 +162,7 @@ object TextQueries {
         |          + (CASE WHEN n_stop * 100 BETWEEN 2 * n_tok AND 40 * n_tok THEN 2 ELSE 0 END)
         |          + (CASE WHEN n_uniq * 2 > n_tok THEN 1 ELSE 0 END) >= 4 AS keep
         |FROM f""".stripMargin
-    ) { (s, dir) =>
-      val toks = split(col("text"), " ")
-      val f = Tables.documents(s, dir).select(
-        col("doc_id"),
-        size(toks).as("n_tok"),
-        size(filter(toks, t => t.isInCollection(Seq("the", "a", "of", "and", "to")))).as("n_stop"),
-        size(array_distinct(toks)).as("n_uniq"))
-      val score =
-        when(col("n_tok").between(20, 200), 2).when(col("n_tok") >= 10, 1).otherwise(0) +
-          when((col("n_stop") * 100).between(col("n_tok") * 2, col("n_tok") * 40), 2).otherwise(0) +
-          when(col("n_uniq") * 2 > col("n_tok"), 1).otherwise(0)
-      f.select(col("doc_id"), score.cast("int").as("quality_score"), (score >= 4).as("keep"))
-    },
+    ) { (s, dir) => qualityScore(Tables.documents(s, dir), "doc_id", "text") },
 
     // ---- BPE-ish regex tokenization: word / number / symbol pieces
     // (whitespace token counts live in q_text_stats; this is the
@@ -241,17 +230,7 @@ object TextQueries {
         |SELECT t.doc_id, t.term, t.tf,
         |       round(t.tf * ln(CAST(n.n AS DOUBLE) / d.df), 4) AS tfidf
         |FROM tf t JOIN dfreq d USING (term) CROSS JOIN n""".stripMargin
-    ) { (s, dir) =>
-      val docs = Tables.documents(s, dir)
-      val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-      val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      val dfreq = toks.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
-      val nDocs = docs.agg(count(lit(1)).as("n"))
-      tf.join(dfreq, Seq("term"))
-        .crossJoin(broadcast(nDocs))
-        .select(col("doc_id"), col("term"), col("tf"),
-          round(col("tf") * log(col("n").cast("double") / col("df")), 4).as("tfidf"))
-    },
+    ) { (s, dir) => tfidf(Tables.documents(s, dir), "doc_id", "text") },
 
     // ---- document fingerprint: min-hash over word 5-gram shingles
     // (winnowing-style content fingerprint; equal fingerprints ⇒ shared
@@ -304,4 +283,41 @@ object TextQueries {
         }.toDF("doc_id", "fingerprint")
     }
   )
+
+  /** Composite quality score over any `(id, text)` frame — the filter
+    * signal a training-data pipeline thresholds on (length band +
+    * stopword band + lexical diversity), integer-weighted so the score is
+    * exact in both engines. Reused by q_text_quality (synthetic
+    * documents) and the reference churn-feedback real-text fixture
+    * (`/root/reference/data/churn_events.csv` `feedback_text`,
+    * `README.md:37-41`). */
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val f = docs.select(
+      col(idCol),
+      size(toks).as("n_tok"),
+      size(filter(toks, t => t.isInCollection(Seq("the", "a", "of", "and", "to")))).as("n_stop"),
+      size(array_distinct(toks)).as("n_uniq"))
+    val score =
+      when(col("n_tok").between(20, 200), 2).when(col("n_tok") >= 10, 1).otherwise(0) +
+        when((col("n_stop") * 100).between(col("n_tok") * 2, col("n_tok") * 40), 2).otherwise(0) +
+        when(col("n_uniq") * 2 > col("n_tok"), 1).otherwise(0)
+    f.select(col(idCol), score.cast("int").as("quality_score"), (score >= 4).as("keep"))
+  }
+
+  /** TF-IDF term weighting over any `(id, text)` frame. Two shuffles
+    * (term-frequency grain, then document-frequency vocabulary grain);
+    * the vocab join is hint-free — broadcast when the vocabulary fits,
+    * shuffle at web-corpus scale. Output columns: doc_id, term, tf, tfidf. */
+  def tfidf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val d = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val toks = d.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = toks.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    val nDocs = d.agg(count(lit(1)).as("n"))
+    tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("term"), col("tf"),
+        round(col("tf") * log(col("n").cast("double") / col("df")), 4).as("tfidf"))
+  }
 }

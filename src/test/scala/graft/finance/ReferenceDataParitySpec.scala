@@ -22,10 +22,16 @@ class ReferenceDataParitySpec extends SparkSpec {
 
   private val RefData = "/root/reference/data"
 
+  /** All FIVE reference CSVs, exactly as the reference loader ingests
+    * them (`scripts/load_csvs_to_duckdb.py:27` iterates the sorted glob;
+    * `feature_usage` and `churn_events` are loaded-but-unmodeled,
+    * `README.md:37-41`). */
   private def sources(bt: Timestamp) = Map(
     "raw_accounts" -> CsvLoader.readCsv(spark, s"$RefData/accounts.csv", bt, "accounts.csv"),
     "raw_subscriptions" -> CsvLoader.readCsv(spark, s"$RefData/subscriptions.csv", bt, "subscriptions.csv"),
-    "raw_support_tickets" -> CsvLoader.readCsv(spark, s"$RefData/support_tickets.csv", bt, "support_tickets.csv"))
+    "raw_support_tickets" -> CsvLoader.readCsv(spark, s"$RefData/support_tickets.csv", bt, "support_tickets.csv"),
+    "raw_feature_usage" -> CsvLoader.readCsv(spark, s"$RefData/feature_usage.csv", bt, "feature_usage.csv"),
+    "raw_churn_events" -> CsvLoader.readCsv(spark, s"$RefData/churn_events.csv", bt, "churn_events.csv"))
 
   test("reference CSVs through the full DAG: all checks green, marts match DuckDB-derived goldens") {
     val dir = tmpDir("refparity")
@@ -80,6 +86,58 @@ class ReferenceDataParitySpec extends SparkSpec {
       case Array((_, prevEnd), (begin, _)) =>
         assert(math.abs(begin - prevEnd) < 1e-6, s"begin/end chain broken: $begin vs $prevEnd")
       case _ =>
+    }
+  }
+
+  test("raw-layer parity: all five CSVs ingest with lineage (incl. the two unmodeled tables)") {
+    val bt = Timestamp.valueOf("2026-01-01 00:00:00")
+    val src = sources(bt)
+    // reference loader row counts: 25,000 feature_usage / 600 churn_events
+    // (`README.md:37-41`), each stamped with the batch lineage columns
+    val fu = src("raw_feature_usage")
+    val ce = src("raw_churn_events")
+    assert(fu.count() == 25000)
+    assert(ce.count() == 600)
+    for (df <- Seq(fu, ce)) {
+      assert(df.columns.contains("ingested_at") && df.columns.contains("source_file"))
+      assert(df.filter($"ingested_at" =!= lit(bt)).count() == 0)
+    }
+    assert(fu.select($"source_file").distinct().as[String].collect().toSeq == Seq("feature_usage.csv"))
+  }
+
+  test("churn feedback_text through the text operators: real-text quality + TF-IDF goldens") {
+    val bt = Timestamp.valueOf("2026-01-01 00:00:00")
+    // the natural real-text fixture (SURVEY §7.5): 452 of 600 churn
+    // events carry one of three feedback strings (derived with DuckDB
+    // over the reference CSV)
+    val fb = sources(bt)("raw_churn_events")
+      .filter($"feedback_text".isNotNull)
+      .select($"churn_event_id", lower($"feedback_text").as("text"))
+    assert(fb.count() == 452)
+
+    // quality score: 'switched to competitor' (n_tok=3, one stopword →
+    // stopword-band arm fires, diversity arm fires) scores 3; the two
+    // stopword-free strings score 1; nothing passes the keep threshold —
+    // correct behavior for 2-3-token fragments in a training-data filter
+    val q = graft.queries.TextQueries.qualityScore(fb, "churn_event_id", "text")
+      .groupBy($"quality_score", $"keep").count()
+      .as[(Int, Boolean, Long)].collect().toSet
+    assert(q == Set((3, false, 136L), (1, false, 316L)))
+
+    // TF-IDF over the 452-doc corpus: uniform per-term weights (tf=1
+    // everywhere) matching DuckDB-derived goldens — idf separates the
+    // 136-doc phrases from the 155/161-doc phrases
+    val golden = Map(
+      "competitor" -> 1.201, "switched" -> 1.201, "to" -> 1.201,
+      "expensive" -> 1.0323, "too" -> 1.0323,
+      "features" -> 1.0703, "missing" -> 1.0703)
+    val got = graft.queries.TextQueries.tfidf(fb, "churn_event_id", "text")
+      .groupBy($"term").agg(max($"tfidf").as("mx"), min($"tfidf").as("mn"))
+      .as[(String, Double, Double)].collect()
+    assert(got.length == golden.size)
+    got.foreach { case (term, mx, mn) =>
+      assert(mx == mn && math.abs(mx - golden(term)) < 1e-9,
+        s"tfidf($term): got [$mn,$mx], want ${golden(term)}")
     }
   }
 
