@@ -258,7 +258,38 @@ object FinanceWarehouse {
         Checks.singular("eom_boundary")(df =>
           df.filter(col("subscription_end_date").isNotNull &&
             col("subscription_end_date") < date_sub(add_months(col("month_start_date"), 1), 1) &&
-            coalesce(col("mrr_amount"), lit(0.0)) =!= 0.0))))((s, r, target) => {
+            coalesce(col("mrr_amount"), lit(0.0)) =!= 0.0)),
+        // Out-of-window late-data tripwire: the audit the reference
+        // README DESCRIBES but never ships (README.md:75,124-132 — late
+        // rows older than reprocess_months are silently unrestated, the
+        // documented fix being a manual wider-window backfill). Violation
+        // rows are current-truth subscriptions whose expected month span
+        // (clamped to the calendar) disagrees with the months actually in
+        // the fact: a subscription that arrived 3 months late is missing
+        // its pre-window history (expected_start < min_present), a late
+        // end-date shrink leaves stale trailing months
+        // (max_present > expected_end). Value-level corrections within
+        // existing months restate inside the window and do not trip.
+        // Cost: one fact scan + one per-subscription agg shuffle — the
+        // price of the audit, run as a gating check like every dbt test.
+        Checks.singularWithRefs("late_data_outside_restatement_window") { (df, r) =>
+          val cal = r("dim_date").filter(col("is_month_start"))
+            .agg(min(col("date_day")).as("cal_min"), max(col("date_day")).as("cal_max"))
+          val present = df.groupBy(col("subscription_id"))
+            .agg(min(col("month_start_date")).as("min_present"),
+              max(col("month_start_date")).as("max_present"))
+          r("int_subscriptions_current")
+            .crossJoin(broadcast(cal))
+            .select(col("subscription_id"),
+              greatest(Exprs.monthStart(col("start_date")), col("cal_min")).as("expected_start"),
+              least(coalesce(Exprs.monthStart(col("end_date")), col("cal_max")), col("cal_max"))
+                .as("expected_end"))
+            .filter(col("expected_start") <= col("expected_end"))
+            .join(present, Seq("subscription_id"), "left")
+            .filter(col("min_present").isNull ||
+              col("expected_start") < col("min_present") ||
+              col("max_present") > col("expected_end"))
+        }))((s, r, target) => {
       val allMonths = r("dim_date").filter(col("is_month_start"))
         .select(col("date_day").as("month_start_date"))
       // rolling restatement window (fct_subscription_month.sql:14-22):

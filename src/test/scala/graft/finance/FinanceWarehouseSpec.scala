@@ -284,4 +284,42 @@ class FinanceWarehouseSpec extends SparkSpec {
       .as[(Double, Double, String)].head()
     assert(am == ((100.0, 200.0, "upgrade")))
   }
+
+  test("late-data tripwire: a 3-months-late subscription fails the build; widened-window backfill clears it") {
+    val v = FinanceWarehouse.Vars(dateEnd = "2024-06-30", reprocessMonths = 2)
+    val acc = Seq(("a1", "Acme", "enterprise", "2023-12-01"))
+    val b1 = Seq(("s1", "a1", "Basic", "2024-01-10", "", 100.0, false))
+    // batch 2: s2 arrives LATE with a February start — 3 months older
+    // than the Apr..Jun restatement window
+    val b2 = Seq(
+      ("s1", "a1", "Basic", "2024-01-10", "", 100.0, false),
+      ("s2", "a1", "Basic", "2024-02-05", "", 50.0, false))
+
+    val dir = tmpDir("whtrip")
+    val e1 = engine(dir, accounts(acc: _*)(ts(1)), subs(b1: _*)(ts(1)), ts(1), v)
+    assert(e1.build(ts(1)).ok)
+    val e2 = engine(dir, accounts(acc: _*)(ts(2)), subs(b2: _*)(ts(2)), ts(2), v)
+    val rpt = e2.build(ts(2))
+
+    // the engine would previously drop s2's Feb/Mar history silently
+    // (the reference's documented tradeoff); the tripwire turns that
+    // into a visible build failure instead
+    assert(!rpt.ok)
+    assert(rpt("fct_subscription_month").status == "test_failed")
+    assert(rpt("fct_subscription_month").failedChecks
+      .contains("late_data_outside_restatement_window"))
+    assert(rpt("fct_account_month").status == "skipped_upstream")
+    // the condition it flagged: s2's pre-window months are absent
+    assert(e2.ref("fct_subscription_month")
+      .filter($"subscription_id" === "s2" &&
+        $"month_start_date" < Date.valueOf("2024-04-01")).count() == 0)
+
+    // the documented fix (reference README.md:124-132): re-run with a
+    // widened reprocess window — backfill lands, tripwire goes green
+    val e3 = engine(dir, accounts(acc: _*)(ts(3)), subs(b2: _*)(ts(3)), ts(3),
+      FinanceWarehouse.Vars(dateEnd = "2024-06-30", reprocessMonths = 12))
+    assert(e3.build(ts(3)).ok)
+    assert(e3.ref("fct_subscription_month")
+      .filter($"subscription_id" === "s2").count() == 5) // Feb..Jun
+  }
 }
