@@ -15,7 +15,7 @@ object SparkEntry {
     RelationalQueries.qs ++ WindowQueries.qs ++ DateQueries.qs ++
       TextQueries.qs ++ FinanceQueries.qs ++ DedupQueries.qs ++
       SimilarityQueries.qs ++ MultimodalQueries.qs ++ StreamingQueries.qs ++
-      SqlSurfaceQueries.qs ++ OlapExtrasQueries.qs
+      SqlSurfaceQueries.qs ++ OlapExtrasQueries.qs ++ PipelineQueries.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
     * rows>0. The MRR waterfall is the reference's headline mart — it

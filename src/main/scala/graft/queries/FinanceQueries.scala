@@ -30,12 +30,16 @@ import graft.Tables
   *    calendar-bounded month→MRR map; begin/end/movement are per-row map
   *    lookups (two exchanges total, no self-join, no window sort —
   *    pinned in PlanSpec).
-  *  - Noted for 100 TB: a difference-array formulation (+mrr at the
-  *    first active month, −mrr after the last, prefix-sum per account)
-  *    would cut the months fan-out ~36× for the ACCOUNT-grain rollups;
-  *    kept the spine formulation because the subscription-month fact
-  *    must materialize the fan-out anyway and the rollup shares its
-  *    plan.
+  *  - The difference-array formulation (+mrr at the first EOM-active
+  *    month, −mrr after the last, per-account prefix sum) is implemented
+  *    as q_fct_account_month_delta against the SAME oracle: it skips the
+  *    sub×month fan-out entirely (events are 2 rows per subscription),
+  *    which is what survives 100 TB — the 64× amplification probe has
+  *    the spine formulation going superlinear (90× time, the
+  *    high-cardinality partial agg over the fan-out falls back to
+  *    sort-based) while the delta runs ~13× less data through every
+  *    exchange. The spine form stays the default because the
+  *    subscription-month fact materializes the fan-out anyway.
   */
 object FinanceQueries {
 
@@ -157,6 +161,67 @@ object FinanceQueries {
         .when(mrrBegin > 0 && mrrEnd === 0, "churn")
         .when(mrrEnd > mrrBegin, "expansion")
         .when(mrrEnd < mrrBegin, "contraction")
+        .otherwise("flat").as("movement"))
+  }
+
+  /** fct_account_month via interval deltas — NO sub×month fan-out.
+    * Presence bounds come from a plain min/max per account; EOM-active
+    * MRR becomes ±mrr events at the active range's edges (2 rows per
+    * subscription); the account's monthly series is one prefix-sum
+    * window over its spine. Exact because money is whole-dollar doubles
+    * (integer adds in any order); hash-matches the spine formulation's
+    * oracle. The movement/begin columns need no lag: begin = cumsum −
+    * this month's delta. */
+  private def fctAccountMonthDelta(s: SparkSession, dir: String): DataFrame = {
+    val subs = subscriptions(s, dir)
+    val maxMonth = subs
+      .agg(max(date_trunc("month", coalesce(col("end_date"), col("start_date"))).cast("date")))
+      .first().getDate(0)
+    val startMonth = date_trunc("month", col("start_date")).cast("date")
+    val presEnd = least(
+      coalesce(date_trunc("month", col("end_date")).cast("date"), lit(maxMonth)), lit(maxMonth))
+    // presence bounds ≡ the months the sub-month spine would emit
+    val bounds = subs
+      .groupBy(col("account_id"))
+      .agg(min(startMonth).as("first_m"), max(presEnd).as("last_m"))
+    // last month the sub is active AT EOM: the month of (end+1 day) minus
+    // one month — equals month(end) exactly when end is its month's last day
+    val eomEnd = when(col("end_date").isNull, lit(maxMonth))
+      .otherwise(add_months(date_trunc("month", date_add(col("end_date"), 1)).cast("date"), -1))
+    val events = subs
+      .filter(!col("is_trial") && col("mrr_amount").isNotNull)
+      .withColumn("sm", startMonth)
+      .withColumn("ee", eomEnd)
+      .filter(col("sm") <= col("ee"))
+      .select(col("account_id"), explode(array(
+        struct(col("sm").as("month_start_date"), col("mrr_amount").as("d")),
+        struct(add_months(col("ee"), 1).as("month_start_date"),
+          (-col("mrr_amount")).as("d")))).as("ev"))
+      .select(col("account_id"), col("ev.month_start_date"), col("ev.d"))
+      .groupBy(col("account_id"), col("month_start_date"))
+      .agg(sum(col("d")).as("delta"))
+    val spine = bounds.withColumn("month_start_date",
+      explode(sequence(col("first_m"), add_months(col("last_m"), 1), expr("interval 1 month"))))
+    val joined = spine.join(events, Seq("account_id", "month_start_date"), "left")
+      .withColumn("delta", coalesce(col("delta"), lit(0.0)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("account_id")).orderBy(col("month_start_date"))
+    import org.apache.spark.sql.expressions.Window.{unboundedPreceding, currentRow}
+    val mrrEnd = sum(col("delta")).over(w.rowsBetween(unboundedPreceding, currentRow))
+    val cum = joined
+      .withColumn("mrr_end", mrrEnd)
+      .withColumn("mrr_begin", col("mrr_end") - col("delta"))
+      .withColumn("was_paid", coalesce(
+        max(when(col("mrr_end") > 0, 1).otherwise(0))
+          .over(w.rowsBetween(unboundedPreceding, -1)), lit(0)))
+    cum.select(
+      col("account_id"), col("month_start_date"),
+      col("mrr_begin"), col("mrr_end"),
+      when(col("mrr_begin") === 0 && col("mrr_end") > 0 && col("was_paid") === 0, "new")
+        .when(col("mrr_begin") === 0 && col("mrr_end") > 0, "reactivation")
+        .when(col("mrr_begin") > 0 && col("mrr_end") === 0, "churn")
+        .when(col("mrr_end") > col("mrr_begin"), "expansion")
+        .when(col("mrr_end") < col("mrr_begin"), "contraction")
         .otherwise("flat").as("movement"))
   }
 
@@ -371,6 +436,9 @@ object FinanceQueries {
   val qs: Seq[Q] = Seq(
     Q.sql("q_fct_subscription_month", fctSubMonthSql)(fctSubscriptionMonth),
     Q.sql("q_fct_account_month", fctAcctMonthSql)(fctAccountMonth),
+    // same oracle text as q_fct_account_month: the delta formulation
+    // must hash-match the spine formulation's results exactly
+    Q.sql("q_fct_account_month_delta", fctAcctMonthSql)(fctAccountMonthDelta),
     Q.sql("q_mrr_waterfall", waterfallSql)(waterfall),
     // same oracle text as q_mrr_waterfall: the delta formulation must
     // hash-match the spine formulation's results exactly

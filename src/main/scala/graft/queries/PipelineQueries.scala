@@ -1,0 +1,232 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Training-data curation operators a 100 TB pretraining pipeline runs
+  * between dedup and shard writing (builder brief — these generalize the
+  * reference's quality-gate idea, `models/staging/schema.yml` tests, to
+  * corpus curation):
+  *
+  *  - '''Decontamination''': flag training documents that share any
+  *    word n-gram with an evaluation/benchmark set (the standard
+  *    n-gram-overlap protocol). The eval side of the join is tiny
+  *    (benchmarks are MBs, the corpus is TBs), so the right 100 TB plan
+  *    broadcasts the eval gram set and the corpus side stays scan-local
+  *    until the per-doc count aggregation; nothing here forces a hint —
+  *    AQE picks broadcast from actual sizes.
+  *  - '''Shard packing''': assign documents to fixed-token-budget
+  *    training shards by global running token offset. The global prefix
+  *    sum is the classic non-distributable window; it is computed in two
+  *    phases — per-bucket totals (one small agg), a prefix sum over the
+  *    bucket-totals table (1/64th the rows; apply the same split again
+  *    at extreme scale), then a per-bucket window with the bucket offset
+  *    joined back (broadcast-sized). No single-partition window ever
+  *    sees document-grain rows.
+  *  - '''Mix sampling''': deterministic stratified downsampling by
+  *    source weight (upweight low-resource languages). Keep decisions
+  *    hash the stable doc id with md5 and compare the first 4 hex chars
+  *    against a per-stratum threshold string — lexicographic compare of
+  *    lowercase hex equals numeric compare, so the same rows survive in
+  *    any engine with md5, with zero hex→int conversion. Scan-local,
+  *    zero shuffles, trivially reproducible (the keep set is a pure
+  *    function of doc_id).
+  *  - '''Quantile quality gate''': keep documents above a per-language
+  *    quantile of a quality metric (here integer lexical diversity —
+  *    exact in both engines). Exact ranking costs one shuffle + sort per
+  *    stratum; at corpus scale the approx_percentile sketch (SURVEY
+  *    §7.4) computes the threshold instead and the gate becomes a
+  *    scan-local filter — both shapes are library functions here.
+  */
+object PipelineQueries {
+
+  /** Word n-grams as `(id, ng)` rows, distinct per document. Documents
+    * shorter than `n` tokens emit nothing (they cannot carry an n-gram
+    * match). Scan-local: split/slice/join are per-row expressions. */
+  def ngrams(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val t = split(col(textCol), " ")
+    docs
+      .select(col(idCol), t.as("t"))
+      .filter(size(col("t")) >= n)
+      .select(col(idCol), explode(array_distinct(
+        transform(sequence(lit(0), size(col("t")) - n),
+          i => array_join(slice(col("t"), i + 1, lit(n)), " ")))).as("ng"))
+  }
+
+  /** N-gram-overlap decontamination: training docs sharing ≥1 `n`-gram
+    * with the eval set, with match counts (how many distinct n-grams,
+    * how many distinct eval docs). Join stays hint-free: the eval gram
+    * set is benchmark-sized, AQE broadcasts it. */
+  def decontaminate(train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    val tg = ngrams(train, idCol, textCol, n)
+    val eg = ngrams(eval, idCol, textCol, n)
+      .select(col(idCol).as("eval_id"), col("ng"))
+    tg.join(eg, Seq("ng"))
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("ng")).as("matched_ngrams"),
+        countDistinct(col("eval_id")).as("eval_docs"))
+  }
+
+  /** Fixed-token-budget shard assignment: a document lands in the shard
+    * where its global running token offset starts (deterministic
+    * sequential packing — the distributed equivalent of concatenate-
+    * and-chunk with document alignment). Two-phase prefix sum as
+    * described in the object doc; `bucketWidth` trades bucket-table size
+    * against per-bucket window width. */
+  def shardPack(docs: DataFrame, idCol: String, tokens: Column,
+      budget: Long, bucketWidth: Long = 64): DataFrame = {
+    val d = docs.select(col(idCol), tokens.cast("long").as("n_tokens"))
+      .withColumn("bucket", expr(s"$idCol div $bucketWidth"))
+    // bucket-totals table: 1/bucketWidth the rows; its prefix-sum window
+    // is single-partition over THAT table only (recurse for more depth)
+    val boff = d.groupBy(col("bucket")).agg(sum(col("n_tokens")).as("btot"))
+      .withColumn("boff", coalesce(sum(col("btot")).over(
+        Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("bucket"), col("boff"))
+    val wi = Window.partitionBy(col("bucket")).orderBy(col(idCol))
+    d.join(boff, Seq("bucket")) // bucket offsets are broadcast-sized
+      .withColumn("cum", col("boff") + sum(col("n_tokens")).over(wi))
+      .select(col(idCol), col("n_tokens"),
+        expr(s"(cum - n_tokens) div $budget").as("shard_id"))
+  }
+
+  /** 4-hex-char keep threshold for a sampling rate: floor(rate·16^4) as
+    * a zero-padded lowercase hex string; `hkey < threshold` keeps ~rate
+    * of uniformly-hashed rows. Inlined verbatim into oracle SQL (the
+    * deterministic-constants trick SimilarityQueries uses for its LSH
+    * hyperplanes). */
+  def rateThreshold(rate: Double): String =
+    f"${math.min((rate * 65536).toLong, 65535L)}%04x"
+
+  /** Deterministic stratified sampling: per-stratum rates, md5-keyed.
+    * Strata absent from `rates` are kept whole. */
+  def mixSample(docs: DataFrame, idCol: String, stratumCol: String,
+      rates: Map[String, Double]): DataFrame = {
+    val hkey = substring(md5(col(idCol).cast("string")), 1, 4)
+    val keep = rates.foldLeft(when(lit(false), lit(true))) {
+      case (acc, (stratum, rate)) =>
+        acc.when(col(stratumCol) === stratum, hkey < lit(rateThreshold(rate)))
+    }.otherwise(lit(true))
+    docs.withColumn("hkey", hkey).filter(keep)
+  }
+
+  /** Exact per-stratum quantile gate: keep rows whose percent_rank over
+    * `(metric, id)` within the stratum is ≥ q. The `(metric, id)` order
+    * is total, so ranks — and the kept set — are deterministic. */
+  def quantileFilter(docs: DataFrame, idCol: String, stratumCol: String,
+      metric: Column, q: Double): DataFrame = {
+    val d = docs.select(col(idCol), col(stratumCol), metric.as("metric"))
+    val w = Window.partitionBy(col(stratumCol)).orderBy(col("metric"), col(idCol))
+    d.withColumn("pr", percent_rank().over(w)).filter(col("pr") >= q)
+  }
+
+  /** Scale-path variant of the quantile gate: the threshold comes from
+    * the approx_percentile sketch (partial-aggregable, one small agg)
+    * and the gate is a scan-local filter — no per-stratum sort. Not
+    * oracle-checked (sketch internals differ across engines); bounds in
+    * PipelineSpec. */
+  def quantileFilterApprox(docs: DataFrame, idCol: String, stratumCol: String,
+      metric: Column, q: Double): DataFrame = {
+    val d = docs.select(col(idCol), col(stratumCol), metric.as("metric"))
+    val thr = d.groupBy(col(stratumCol))
+      .agg(expr(s"approx_percentile(metric, $q, 10000)").as("thr"))
+    d.join(broadcast(thr), Seq(stratumCol)).filter(col("metric") >= col("thr"))
+      .select(col(idCol), col(stratumCol), col("metric"))
+  }
+
+  // ---------- driver-contract queries over `documents` ----------
+
+  private val NGram = 8
+  private val Budget = 512L
+  // en is the dominant stratum in the synthetic corpus; downsample it
+  // hard, trim the mid-resource languages, keep zh whole
+  private val MixRates = Map("en" -> 0.35, "de" -> 0.8, "es" -> 0.8, "fr" -> 0.8)
+
+  // integer lexical diversity: distinct-token ratio ×10000, exact in
+  // both engines (`div`, not `/` — Spark's Divide widens to double)
+  private val diversity: Column = expr(
+    "(cast(size(array_distinct(split(text, ' '))) as bigint) * 10000)" +
+      " div size(split(text, ' '))")
+
+  val qs: Seq[Q] = Seq(
+
+    // ---- n-gram decontamination against an embedded eval set (every
+    // 50th document stands in for the benchmark)
+    Q.sql(
+      "q_pipeline_decontaminate",
+      s"""WITH g AS (
+         |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) >= $NGram THEN
+         |      list_transform(generate_series(1, len(t) - ${NGram - 1}),
+         |                     i -> array_to_string(t[i:i+${NGram - 1}], ' '))
+         |    ELSE []::VARCHAR[] END)) AS ng
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
+         |SELECT tr.doc_id, count(DISTINCT tr.ng) AS matched_ngrams,
+         |       count(DISTINCT ev.doc_id) AS eval_docs
+         |FROM g tr JOIN g ev ON tr.ng = ev.ng AND ev.doc_id % 50 = 0
+         |WHERE tr.doc_id % 50 <> 0
+         |GROUP BY 1""".stripMargin
+    ) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      decontaminate(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0),
+        "doc_id", "text", NGram)
+    },
+
+    // ---- token-budget shard packing (global offsets via the two-phase
+    // prefix sum; the oracle's single ORDER BY window is the semantic
+    // spec the distributed form must reproduce exactly)
+    Q.sql(
+      "q_pipeline_shard_pack",
+      s"""WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+         |           FROM documents)
+         |SELECT doc_id, n_tokens,
+         |       (CAST(sum(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) - n_tokens)
+         |         // $Budget AS shard_id
+         |FROM d""".stripMargin
+    ) { (s, dir) =>
+      shardPack(Tables.documents(s, dir), "doc_id",
+        size(split(col("text"), " ")), Budget)
+    },
+
+    // ---- deterministic stratified mix sampling
+    Q.sql(
+      "q_pipeline_mix_sample",
+      s"""SELECT doc_id, lang, source,
+         |       substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS hkey
+         |FROM documents
+         |WHERE CASE
+         |  WHEN lang = 'en'
+         |    THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '${rateThreshold(0.35)}'
+         |  WHEN lang IN ('de', 'es', 'fr')
+         |    THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '${rateThreshold(0.8)}'
+         |  ELSE true END""".stripMargin
+    ) { (s, dir) =>
+      mixSample(Tables.documents(s, dir), "doc_id", "lang", MixRates)
+        .select(col("doc_id"), col("lang"), col("source"), col("hkey"))
+    },
+
+    // ---- per-language quality-quantile gate (exact form; the sketch
+    // form is quantileFilterApprox, bounds-checked in PipelineSpec)
+    Q.sql(
+      "q_pipeline_quality_quantile",
+      """WITH d AS (SELECT doc_id, lang,
+        |    (len(list_distinct(string_split(text, ' '))) * 10000)
+        |      // len(string_split(text, ' ')) AS diversity
+        |  FROM documents),
+        |r AS (SELECT doc_id, lang, diversity,
+        |    percent_rank() OVER (PARTITION BY lang ORDER BY diversity, doc_id) AS pr
+        |  FROM d)
+        |SELECT doc_id, lang, diversity, round(pr, 4) AS pct_rank
+        |FROM r WHERE pr >= 0.25""".stripMargin
+    ) { (s, dir) =>
+      quantileFilter(Tables.documents(s, dir), "doc_id", "lang", diversity, 0.25)
+        .select(col("doc_id"), col("lang"), col("metric").as("diversity"),
+          round(col("pr"), 4).as("pct_rank"))
+    }
+  )
+}

@@ -4,32 +4,52 @@ import org.apache.spark.sql.functions._
 
 /** Scale sanity: amplify orders N× (unique keys preserved) and check the
   * heaviest pipelines' runtime scales ~linearly — evidence the plans
-  * survive data growth (no quadratic fan-out, no driver collects). */
+  * survive data growth (no quadratic fan-out, no driver collects).
+  *
+  * Args = amplification factors (default `16 64`); each point reruns the
+  * probe queries against a freshly amplified copy so the output is a
+  * scaling CURVE, not one ratio. The timed action is a noop-format write
+  * (same honesty rule as Bench: `count()` dead-codes output expressions).
+  */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
+    val amps = if (args.nonEmpty) args.toSeq.map(_.toInt) else Seq(16, 64)
     val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions","32")
-      .config("spark.sql.session.timeZone","UTC")
-      .config("spark.ui.enabled","false").getOrCreate()
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.1"
-    val amp = 16
-    val orders = spark.read.parquet(s"$dir/orders.parquet")
-    val big = orders.crossJoin(spark.range(amp).toDF("rep"))
-      .withColumn("o_orderkey", col("o_orderkey") * amp + col("rep"))
-      .withColumn("o_custkey", col("o_custkey") * amp + col("rep"))
-      .drop("rep")
-    big.write.mode("overwrite").parquet("/tmp/scale/orders.parquet")
-    for (t <- Seq("lineitem","customer","nation","region"))
-      spark.read.parquet(s"$dir/$t.parquet").write.mode("overwrite").parquet(s"/tmp/scale/$t.parquet")
-    println(s"amplified orders: ${spark.read.parquet("/tmp/scale/orders.parquet").count()} rows")
-    for (q <- Seq("q_fct_subscription_month","q_fct_account_month","q_mrr_waterfall","q_mrr_waterfall_delta","q_win_lag","q_agg_rollup")) {
-      // warm at sf0.1 then measure amplified
-      graft.SparkEntry.queries(q)(spark, dir).count()
-      val t0 = System.nanoTime(); val base = graft.SparkEntry.queries(q)(spark, dir).count()
-      val t1 = System.nanoTime(); val bigN = graft.SparkEntry.queries(q)(spark, "/tmp/scale").count()
-      val t2 = System.nanoTime()
-      println(f"$q base=${(t1-t0)/1e9}%.2fs ($base rows) x$amp=${(t2-t1)/1e9}%.2fs ($bigN rows) ratio=${(t2-t1).toDouble/(t1-t0)}%.1f")
+    def consume(df: org.apache.spark.sql.DataFrame): Long = {
+      df.write.format("noop").mode("overwrite").save(); 0L
+    }
+    val queries = Seq("q_fct_subscription_month", "q_fct_account_month",
+      "q_mrr_waterfall", "q_mrr_waterfall_delta", "q_win_lag", "q_agg_rollup")
+    def time(q: String, d: String): Double = {
+      val t0 = System.nanoTime()
+      consume(graft.SparkEntry.queries(q)(spark, d))
+      (System.nanoTime() - t0) / 1e9
+    }
+    // warm once, then baseline
+    queries.foreach(q => consume(graft.SparkEntry.queries(q)(spark, dir)))
+    val base = queries.map(q => q -> time(q, dir)).toMap
+    println(queries.map(q => f"$q base=${base(q)}%.2fs").mkString("  "))
+
+    for (amp <- amps) {
+      val scaled = s"/tmp/scale_$amp"
+      val orders = spark.read.parquet(s"$dir/orders.parquet")
+      orders.crossJoin(spark.range(amp.toLong).toDF("rep"))
+        .withColumn("o_orderkey", col("o_orderkey") * amp + col("rep"))
+        .withColumn("o_custkey", col("o_custkey") * amp + col("rep"))
+        .drop("rep")
+        .write.mode("overwrite").parquet(s"$scaled/orders.parquet")
+      for (t <- Seq("lineitem", "customer", "nation", "region"))
+        spark.read.parquet(s"$dir/$t.parquet")
+          .write.mode("overwrite").parquet(s"$scaled/$t.parquet")
+      for (q <- queries) {
+        val sec = time(q, scaled)
+        println(f"$q x$amp=${sec}%.2fs ratio=${sec / base(q)}%.1f")
+      }
     }
     spark.stop()
   }

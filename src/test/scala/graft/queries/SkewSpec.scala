@@ -60,4 +60,46 @@ class SkewSpec extends SparkSpec {
       s"salting failed to split the hot key: max group $firstStageMax of $hotRows hot rows")
     info(f"direct=$tDirect%.2fs salted=$tSalted%.2fs (local[4]; the win grows with executor count)")
   }
+
+  test("AQE skew-join splits the hot partition — no manual salting needed for joins") {
+    // Salting is the fix for skewed AGGREGATION; for skewed JOINS Spark's
+    // adaptive skew-join already splits the hot partition at runtime and
+    // replicates the matching build side, so manual salting is
+    // unnecessary. Proof: a 90%-skewed fact joined to a dim, broadcast
+    // disabled (forcing the shuffle join AQE rewrites), skew thresholds
+    // scaled to sandbox bytes, and the FINAL adaptive plan asserted to
+    // carry the skew=true join marker.
+    val restore = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64KB")
+
+      val n = 400000L
+      val fact = spark.range(n).select(
+        when(col("id") % 10 < 9, lit(0L)).otherwise(col("id") % 100 + 1).as("k"),
+        col("id").as("v"))
+      val dim = spark.range(101).select(col("id").as("k"),
+        concat(lit("name_"), col("id")).as("name"))
+      val j = fact.join(dim, "k")
+      // correctness: every fact row matches exactly one dim row
+      assert(j.count() == n)
+      // execute THIS dataframe's own QueryExecution (count() plans a
+      // separate one) so its adaptive plan finalizes, then read it back
+      assert(j.queryExecution.toRdd.count() == n)
+      val finalPlan = j.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(finalPlan.contains("skew=true"),
+        s"expected a skew=true join in the final adaptive plan:\n$finalPlan")
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
