@@ -1,0 +1,176 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Engine-side semantics for the curation pipeline operators
+  * (PipelineQueries): the approx quantile gate is bounded against the
+  * exact gate, shard packing is pinned to its single-window spec at
+  * multiple bucket widths, mix-sample keep rates land inside binomial
+  * bounds, and decontamination hits planted overlaps and nothing else.
+  */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private val diversity =
+    expr("(cast(size(array_distinct(split(text, ' '))) as bigint) * 10000)" +
+      " div size(split(text, ' '))")
+
+  // ---------- quantile gate: approx within sketch tolerance of exact ----------
+
+  test("quantileFilterApprox agrees with the exact gate up to threshold-boundary ties") {
+    val docs = graft.Tables.documents(spark, dir)
+    val q = 0.25
+    val exact = PipelineQueries.quantileFilter(docs, "doc_id", "lang", diversity, q)
+      .select($"doc_id", $"lang", $"metric")
+    val approx = PipelineQueries.quantileFilterApprox(docs, "doc_id", "lang", diversity, q)
+
+    val thr = approx.groupBy($"lang").agg(min($"metric").as("thr_lb"))
+      .as[(String, Long)].collect().toMap
+    val eKept = exact.select($"lang", $"doc_id").as[(String, Long)].collect()
+      .groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2).toSet }
+    val aKept = approx.select($"lang", $"doc_id").as[(String, Long)].collect()
+      .groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2).toSet }
+    val metricOf = docs.select($"lang", $"doc_id", diversity.as("m"))
+      .as[(String, Long, Long)].collect().map { case (l, id, m) => (l, id) -> m }.toMap
+    val byLang = metricOf.keys.groupBy(_._1)
+
+    assert(eKept.keySet == aKept.keySet)
+    eKept.keySet.foreach { lang =>
+      val e = eKept(lang); val a = aKept(lang)
+      val n = byLang(lang).size
+      // 1) the two gates may only disagree at the threshold boundary:
+      //    every disagreeing doc's metric equals one of the two gates'
+      //    boundary values (exact gate's lowest kept metric vs sketch
+      //    threshold) — no interior doc flips
+      val eBoundary = e.map(id => metricOf((lang, id))).min
+      val aBoundary = thr(lang)
+      val lo = math.min(eBoundary, aBoundary); val hi = math.max(eBoundary, aBoundary)
+      val disagree = (e diff a) ++ (a diff e)
+      disagree.foreach { id =>
+        val m = metricOf((lang, id))
+        assert(m >= lo && m <= hi, s"lang=$lang doc=$id metric=$m outside [$lo,$hi]")
+      }
+      // 2) kept-count within 5% of the stratum (sketch accuracy 10000
+      //    stores all values at this scale, so drift is tie-mass only)
+      assert(math.abs(e.size - a.size) <= math.max(1, n / 20),
+        s"lang=$lang exact=${e.size} approx=${a.size} n=$n")
+      // 3) approx keeps everything strictly above its threshold and
+      //    nothing below it (the gate really is a scan-local filter)
+      assert(a.forall(id => metricOf((lang, id)) >= aBoundary))
+      assert(byLang(lang).forall { case (_, id) =>
+        metricOf((lang, id)) < aBoundary || a.contains(id) })
+    }
+  }
+
+  // ---------- shard packing: distributed form ≡ single-window spec ----------
+
+  test("shardPack matches the single-window spec at several bucket widths") {
+    val docs = graft.Tables.documents(spark, dir)
+    val tokens = size(split($"text", " "))
+    val budget = 512L
+    val d = docs.select($"doc_id", tokens.cast("long").as("n_tokens"))
+    val spec = d.withColumn("cum",
+        sum($"n_tokens").over(Window.orderBy($"doc_id")))
+      .select($"doc_id", expr(s"(cum - n_tokens) div $budget").as("shard_id"))
+      .as[(Long, Long)].collect().toMap
+    for (bw <- Seq(1L, 7L, 64L, 100000L)) {
+      val got = PipelineQueries.shardPack(docs, "doc_id", tokens, budget, bw)
+        .select($"doc_id", $"shard_id").as[(Long, Long)].collect().toMap
+      assert(got == spec, s"bucketWidth=$bw diverges from the window spec")
+    }
+  }
+
+  test("shardPack: one shard per document, ids contiguous and monotone in doc order") {
+    val docs = graft.Tables.documents(spark, dir)
+    val out = PipelineQueries.shardPack(docs, "doc_id", size(split($"text", " ")), 512L)
+      .select($"doc_id", $"shard_id").as[(Long, Long)].collect().sortBy(_._1)
+    assert(out.length == docs.count()) // never splits or drops a document
+    val shards = out.map(_._2)
+    assert(shards.zip(shards.tail).forall { case (a, b) => a <= b }) // monotone
+    assert(shards.distinct.sorted.sameElements(0L to shards.max)) // no gaps
+  }
+
+  // ---------- mix sampling: deterministic, binomial-bounded ----------
+
+  test("mixSample keep rates land within 4-sigma binomial bounds per stratum") {
+    // synthetic corpus large enough for tight bounds (n=20000 ⇒ 4σ≈1.3%)
+    val n = 20000L
+    val corpus = spark.range(n).select($"id".as("doc_id"),
+      when($"id" % 4 === 0, "keepall").otherwise("sampled").as("stratum"))
+    val rate = 0.35
+    val kept = PipelineQueries.mixSample(corpus, "doc_id", "stratum", Map("sampled" -> rate))
+    val counts = kept.groupBy($"stratum").count().as[(String, Long)].collect().toMap
+    // absent stratum kept whole
+    assert(counts("keepall") == corpus.filter($"stratum" === "keepall").count())
+    val ns = corpus.filter($"stratum" === "sampled").count()
+    val sigma = math.sqrt(rate * (1 - rate) / ns)
+    // + 1/65536 threshold-granularity slack on top of the 4σ band
+    val tol = 4 * sigma + 1.0 / 65536
+    val got = counts("sampled").toDouble / ns
+    assert(math.abs(got - rate) <= tol, s"keep rate $got vs $rate (tol $tol)")
+  }
+
+  test("mixSample is a pure function of doc_id: identical keep set on any layout") {
+    val docs = graft.Tables.documents(spark, dir)
+    val a = PipelineQueries.mixSample(docs, "doc_id", "lang",
+      Map("en" -> 0.35, "de" -> 0.8)).select($"doc_id").as[Long].collect().toSet
+    val b = PipelineQueries.mixSample(docs.repartition(13, $"lang"), "doc_id", "lang",
+      Map("en" -> 0.35, "de" -> 0.8)).select($"doc_id").as[Long].collect().toSet
+    assert(a == b)
+    assert(a.nonEmpty && a.size < docs.count())
+  }
+
+  // ---------- decontamination: planted hits, disjoint misses ----------
+
+  test("decontaminate flags planted n-gram overlap with exact match counts") {
+    val n = 4
+    // train doc 1 shares one 4-gram with eval 100 AND eval 101 (same
+    // gram), doc 2 shares two distinct 4-grams with eval 100, doc 3 is
+    // clean, doc 4 is a too-short exact prefix (3 tokens < n)
+    val shared = "alpha beta gamma delta"
+    val shared2 = "epsilon zeta eta theta"
+    val train = Seq(
+      (1L, s"intro words $shared trailing tail"),
+      (2L, s"$shared padding filler words $shared2"),
+      (3L, "completely unrelated content nothing here matches at all"),
+      (4L, "alpha beta gamma")).toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, s"$shared and also $shared2"),
+      (101L, s"prefix $shared suffix")).toDF("doc_id", "text")
+    val got = PipelineQueries.decontaminate(train, eval, "doc_id", "text", n)
+      .select($"doc_id", $"matched_ngrams", $"eval_docs")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // doc 1: grams {shared} hit both eval docs; doc 2: {shared, shared2}
+    // (shared2 only in eval 100). Window grams across the plant add the
+    // boundary-spanning grams too, so assert with the real gram algebra:
+    def grams(t: String) = t.split(" ").sliding(n).map(_.mkString(" ")).toSet
+    val eg = Seq(100L -> grams(s"$shared and also $shared2"),
+      101L -> grams(s"prefix $shared suffix"))
+    def expected(text: String) = {
+      val tg = grams(text)
+      val hits = eg.filter { case (_, g) => (g & tg).nonEmpty }
+      (hits.flatMap(_._2 & tg).distinct.size.toLong, hits.size.toLong)
+    }
+    val exp1 = expected(s"intro words $shared trailing tail")
+    val exp2 = expected(s"$shared padding filler words $shared2")
+    assert(got == Seq((1L, exp1._1, exp1._2), (2L, exp2._1, exp2._2)))
+  }
+
+  test("decontaminate passes a disjoint corpus and ignores sub-n-gram docs") {
+    val n = 8
+    val train = Seq(
+      (1L, "one two three four five six seven"), // 7 tokens < n: no grams
+      (2L, "w x y z a b c d e f g h")).toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, "entirely different benchmark text with eight tokens minimum here yes"))
+      .toDF("doc_id", "text")
+    assert(PipelineQueries.decontaminate(train, eval, "doc_id", "text", n).count() == 0)
+    // even an exact copy of a too-short doc cannot match
+    val evalShort = Seq((200L, "one two three four five six seven")).toDF("doc_id", "text")
+    assert(PipelineQueries.decontaminate(train, evalShort, "doc_id", "text", n).count() == 0)
+  }
+}
