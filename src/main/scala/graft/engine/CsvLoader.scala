@@ -34,15 +34,22 @@ object CsvLoader {
       .withColumn("source_file", lit(sourceFile))
   }
 
-  /** S2 replace / S3+S4 append-with-bootstrap, onto a parquet dir. */
+  /** S2 replace / S3+S4 append-with-bootstrap, onto a parquet dir.
+    * Returns the rows THIS batch wrote (the loader's "rows affected",
+    * reference `load_csvs_to_duckdb.py:79-80`), harvested from an
+    * observed metric riding the write plan — a post-write `count()`
+    * re-scan would pay a parquet footer pass over the whole accumulated
+    * target per ingested CSV, and under `append` it would report the
+    * table's total instead of the batch's contribution. */
   def load(
       spark: SparkSession,
       csvPath: String,
       targetDir: String,
       batchTs: Timestamp,
-      mode: String): Long = {
+      mode: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): Long = {
     val name = csvPath.split('/').last
-    val df = readCsv(spark, csvPath, batchTs, name)
+    val df = readCsv(spark, csvPath, batchTs, name, schema)
     val writeMode = mode match {
       case "replace" => "overwrite"
       case "append" =>
@@ -52,7 +59,8 @@ object CsvLoader {
         "append"
       case other => throw new IllegalArgumentException(s"mode $other")
     }
-    df.write.mode(writeMode).parquet(targetDir)
-    spark.read.parquet(targetDir).count() // row-count verification (:79-80)
+    val obs = org.apache.spark.sql.Observation()
+    df.observe(obs, count(lit(1)).as("rows")).write.mode(writeMode).parquet(targetDir)
+    obs.get("rows").asInstanceOf[Long]
   }
 }
