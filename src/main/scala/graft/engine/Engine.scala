@@ -54,11 +54,28 @@ final class Engine(
 
   private def path(name: String): String = s"$warehouseDir/$name"
   private def exists(name: String): Boolean = {
-    // dynamic-partition-overwrite writes create no root _SUCCESS marker,
-    // so a non-empty target directory also counts
-    val dir = new java.io.File(path(name))
-    Files.exists(Paths.get(path(name), "_SUCCESS")) ||
-      (dir.isDirectory && dir.listFiles != null && dir.listFiles.nonEmpty)
+    // A root _SUCCESS marker means the last full write committed.
+    // Dynamic-partition-overwrite writes create no root marker, so
+    // committed `part-*` data files also count — but a directory torn by
+    // a crashed write (an in-flight `_temporary/` staging dir, or no data
+    // file at all) must NOT count as materialized: the next build has to
+    // take the rebuild branch, not incremental-append onto a corrupt
+    // target.
+    if (Files.exists(Paths.get(path(name), "_SUCCESS"))) return true
+    val root = new java.io.File(path(name))
+    if (!root.isDirectory) return false
+    var hasPart = false
+    var torn = false
+    def scan(d: java.io.File): Unit = {
+      val fs = d.listFiles
+      if (fs != null) fs.foreach { f =>
+        if (f.getName == "_temporary") torn = true
+        else if (f.isDirectory) scan(f)
+        else if (f.getName.startsWith("part-")) hasPart = true
+      }
+    }
+    scan(root)
+    hasPart && !torn
   }
 
   /** Kahn topological order; fails fast on cycles or unknown refs. */

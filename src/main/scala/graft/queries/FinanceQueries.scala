@@ -315,8 +315,8 @@ object FinanceQueries {
   /** The waterfall from INTERVAL DELTAS — O(subs) rows, no sub×month
     * fan-out: each subscription contributes +mrr at its first active
     * month and −mrr after its last (EOM semantics folded into the
-    * interval bounds), a per-account fold over its few delta months
-    * classifies movements, and calendar-grain prefix sums produce the
+    * interval bounds), per-account prefix-sum windows over its few delta
+    * months classify movements, and calendar-grain prefix sums produce the
     * totals. ~36× fewer shuffled rows than the spine formulation at this
     * calendar — the formulation of choice when only month-grain output
     * is needed. Oracle: the SAME SQL as q_mrr_waterfall, so the
@@ -327,7 +327,6 @@ object FinanceQueries {
     * `after == 0` churn compare is safe.
     */
   private def waterfallDelta(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val subs = subscriptions(s, dir)
     val maxMonth = subs
       .agg(max(date_trunc("month", coalesce(col("end_date"), col("start_date"))).cast("date")))
@@ -351,34 +350,27 @@ object FinanceQueries {
       .select(col("account_id"), col("start_month").as("month"), col("m").as("d"))
       .unionByName(contributing.select(
         col("account_id"), add_months(col("active_end"), 1).as("month"), negate(col("m")).as("d")))
-    // per-account fold: value before/after each delta month + paid-ever
-    val trans = deltas.groupBy(col("account_id"))
-      .agg(collect_list(struct(col("month"), col("d"))).as("ds"))
-      .as[(Long, Seq[(java.sql.Date, Double)])]
-      .flatMap { case (acct, ds) =>
-        val byMonth = ds.groupBy(_._1).map { case (m, xs) => (m, xs.map(_._2).sum) }
-          .toSeq.sortBy(_._1.toLocalDate.toEpochDay)
-        var cur = 0.0
-        var paidEver = false
-        byMonth.flatMap { case (m, d) =>
-          val before = cur
-          val after = before + d
-          cur = after
-          val out =
-            if (d == 0.0) None
-            else {
-              val movement =
-                if (before == 0.0 && after > 0.0 && !paidEver) "new"
-                else if (before == 0.0 && after > 0.0) "reactivation"
-                else if (before > 0.0 && after == 0.0) "churn"
-                else if (after > before) "expansion"
-                else "contraction"
-              Some((acct, m, before, after, movement))
-            }
-          if (after > 0.0) paidEver = true
-          out
-        }
-      }.toDF("account_id", "month", "before", "after", "movement")
+    // per-account transitions as pure window expressions (same shape as
+    // fctAccountMonthDelta — stays in codegen, no encoder boundary):
+    // after = prefix sum of the month's net delta, before = after − delta,
+    // paid-ever = any strictly-prior month with after > 0. Zero-net months
+    // carry state through the prefix sums but emit no transition row.
+    val wAcct = Window.partitionBy(col("account_id")).orderBy(col("month"))
+    val trans = deltas
+      .groupBy(col("account_id"), col("month")).agg(sum(col("d")).as("d"))
+      .withColumn("after",
+        sum(col("d")).over(wAcct.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("before", col("after") - col("d"))
+      .withColumn("paid_ever", coalesce(
+        max(when(col("after") > 0, 1).otherwise(0))
+          .over(wAcct.rowsBetween(Window.unboundedPreceding, -1)), lit(0)))
+      .filter(col("d") =!= 0.0)
+      .select(col("account_id"), col("month"), col("before"), col("after"),
+        when(col("before") === 0 && col("after") > 0 && col("paid_ever") === 0, "new")
+          .when(col("before") === 0 && col("after") > 0, "reactivation")
+          .when(col("before") > 0 && col("after") === 0, "churn")
+          .when(col("after") > col("before"), "expansion")
+          .otherwise("contraction").as("movement"))
     val byMonth = trans.groupBy(col("month")).agg(
       sum(col("after") - col("before")).as("dm"),
       sum((col("after") > 0).cast("int") - (col("before") > 0).cast("int")).as("dactive"),

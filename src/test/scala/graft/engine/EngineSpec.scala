@@ -75,6 +75,39 @@ class EngineSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/log").count() == 2)
   }
 
+  test("torn write (no _SUCCESS) forces rebuild, not append-to-corrupt") {
+    val dir = tmpDir("eng")
+    var batch = Seq((1L, Timestamp.valueOf("2024-01-01 00:00:00"), 1.0))
+      .toDF("id", "ingested_at", "v")
+    val m = Model("log", Seq(), Materialization.IncrementalAppend("ingested_at"))(
+      (_, _) => batch)
+    val e = new Engine(spark, dir, Map.empty, Seq(m))
+    assert(e.build()("log").rows == 1)
+    // simulate a crashed write: the committed marker is gone and an
+    // in-flight staging dir is left behind (FileOutputCommitter shape)
+    val root = new java.io.File(s"$dir/log")
+    assert(new java.io.File(root, "_SUCCESS").delete())
+    val staging = new java.io.File(root, "_temporary/0")
+    assert(staging.mkdirs())
+    java.nio.file.Files.write(
+      staging.toPath.resolve("part-00000-attempt"), Array[Byte](1, 2, 3))
+    // next build must take the full-rebuild branch: target ends up with
+    // exactly the fresh batch, staging debris gone
+    batch = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
+      (2L, Timestamp.valueOf("2024-01-02 00:00:00"), 2.0)).toDF("id", "ingested_at", "v")
+    assert(e.build()("log").rows == 2)
+    assert(spark.read.parquet(s"$dir/log").count() == 2)
+    assert(!new java.io.File(root, "_temporary").exists())
+    // and a directory holding no data file at all (marker debris only)
+    // is likewise not materialized
+    val dir2 = tmpDir("eng")
+    val root2 = new java.io.File(s"$dir2/log")
+    assert(new java.io.File(root2, "junk").mkdirs())
+    val e2 = new Engine(spark, dir2, Map.empty, Seq(m))
+    assert(e2.build()("log").rows == 2)
+  }
+
   test("delete+insert restates only the window's partitions (≡ full refresh)") {
     val dir = tmpDir("eng")
     def fact(rows: Seq[(Long, String, Double)]) = rows.toDF("id", "month", "v")
@@ -128,8 +161,11 @@ class EngineSpec extends SparkSpec {
     val t1 = Timestamp.valueOf("2024-01-01 00:00:00")
     val t2 = Timestamp.valueOf("2024-01-02 00:00:00")
     assert(CsvLoader.load(spark, csv, s"$dir/raw", t1, "append") == 2)
-    assert(CsvLoader.load(spark, csv, s"$dir/raw", t2, "append") == 4)
+    // append reports THIS batch's rows (the loader's "rows affected"),
+    // not the accumulated table's total
+    assert(CsvLoader.load(spark, csv, s"$dir/raw", t2, "append") == 2)
     val df = spark.read.parquet(s"$dir/raw")
+    assert(df.count() == 4)
     assert(df.columns.toSet == Set("account_id", "name", "ingested_at", "source_file"))
     assert(df.filter($"ingested_at" === lit(t2)).count() == 2)
     assert(CsvLoader.load(spark, csv, s"$dir/raw", t2, "replace") == 2)
