@@ -7,6 +7,14 @@ import org.apache.spark.sql.SparkSession
   * codegen compiled), not first-call JVM warmup — standard JVM
   * benchmarking practice; the warmup pass is untimed.
   *
+  * Each query is then timed MEDIAN-OF-3: single-shot timings in this
+  * sandbox drifted ±30% across rounds of identical code (a no-change
+  * query once "regressed" 29%), which is below the noise floor a
+  * round-over-round comparison needs. The reported per-query value and
+  * the total are sums of medians; `single_shot_total` (sum of each
+  * query's FIRST timed run) is also emitted once so the series stays
+  * comparable with pre-median rounds.
+  *
   * The timed action is a `noop`-format write, not `count()`: under a
   * count Catalyst dead-codes every unreferenced output expression (a
   * projection-only query would measure just the scan), while the noop
@@ -16,8 +24,9 @@ import org.apache.spark.sql.SparkSession
   * prints FIRST and is also persisted to target/bench.json, so a log
   * capture that keeps only the last few lines still leaves the file and
   * the short total line intact. A query whose action throws records the
-  * sentinel -1.0 (never its time-to-failure) and is excluded from the
-  * total, so a fast crash cannot masquerade as a fast success.
+  * sentinel -1.0 (never its time-to-failure), skips its remaining
+  * repeats, and is excluded from the totals, so a fast crash cannot
+  * masquerade as a fast success.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -36,20 +45,29 @@ object Bench {
     queries.foreach { case (_, fn) =>
       try consume(fn(spark, warmDir)) catch { case _: Throwable => () }
     }
-    val results = queries.map { case (name, fn) =>
+    val Repeats = 3
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      val sec =
-        try { consume(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
-        catch { case _: Throwable => -1.0 }
-      name -> sec
+      try { consume(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
+      catch { case _: Throwable => -1.0 }
     }
+    // (median, first-run) per query; a failed run short-circuits to the
+    // sentinel for both series
+    val timed = queries.map { case (name, fn) =>
+      val runs = Iterator.continually(once(fn))
+        .take(Repeats).takeWhile(_ >= 0).toSeq
+      if (runs.size < Repeats) name -> (-1.0, -1.0)
+      else name -> (runs.sorted.apply(Repeats / 2), runs.head)
+    }
+    val results = timed.map { case (k, (med, _)) => k -> med }
     val failed = results.collect { case (k, v) if v < 0 => k }
     def toJson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    val singleShot = timed.map(_._2._2).filter(_ >= 0).sum
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     def line(qs: String) =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","repeats":$Repeats,"single_shot_total":$singleShot%.3f,"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     val full = line(toJson(results))
     // Full per-query map → file (survives any log truncation).
     try {

@@ -15,6 +15,23 @@ import org.apache.spark.sql.functions._
   * real near-dup components are cliques or near-cliques (diameter ≤ 3).
   * Labels are cached per round and unpersisted after; convergence check
   * is a count of changed labels (one aggregate), not a full compare.
+  *
+  * Incremental posture: with [[IncrementalDedup]] the CANDIDATE stage is
+  * delta-only, but components + survivors re-run batch over the
+  * accumulated candidate table each build. That is the right trade, not
+  * a shortcut: (a) the candidate table is bounded — per band, a bucket
+  * of b docs emits ≤ C(min(b, MaxBucket), 2) pairs and oversized buckets
+  * degrade to one edge per doc, so candidates are O(dup_rate × corpus)
+  * rows of three longs (a 100 TB corpus with 20% near-dups is ~tens of
+  * GB of pairs — cluster-trivial, and it only grows with NEW duplicates);
+  * (b) merging components incrementally is not local — one new pair can
+  * fuse two old clusters, re-electing survivors for every member, so a
+  * correct incremental merge needs the old component state joined at
+  * full width anyway; (c) survivor flips on merge mean downstream keep
+  * decisions are not append-only, so a rebuild from the (tiny) candidate
+  * table is both cheaper and simpler than patching state. If candidates
+  * ever stopped being small relative to the cluster, the fix is a
+  * coarser candidate threshold, not an incremental CC.
   */
 object Dedup {
 

@@ -29,7 +29,10 @@ import graft.queries.DedupQueries
   *    candidates therefore equals the batch pipeline's output on the
   *    final corpus while each build does only delta work
   *    (IncrementalDedupSpec proves pair-set equality batch-by-batch, and
-  *    component equality when the chain cap engages).
+  *    component equality when the chain cap engages). Each build also
+  *    appends one null-pair MARKER row carrying the scan frontier in
+  *    [[CandidateWatermark]], so the high-water mark advances even when
+  *    a batch yields no pairs — consumers read real pairs via [[pairs]].
   *
   * Bucket statistics (size, min member) are one aggregate over the index
   * per build; the index is ~tens of bytes per document, so even at
@@ -39,10 +42,19 @@ import graft.queries.DedupQueries
   */
 object IncrementalDedup {
 
-  /** Candidate rows carry `hwm_doc_id` = greatest(doc_a, doc_b): every
-    * emitted pair involves a document newer than all previously paired
-    * ones, so the max over this column is the model's high-water mark. */
+  /** Candidate rows carry `hwm_doc_id` = the band-index FRONTIER (max
+    * doc_id the index held when the build ran) — the documents scanned
+    * through, not the documents paired. Watermarking on emitted pairs
+    * would stall on a duplicate-free batch (nothing emitted ⇒ HWM stuck ⇒
+    * the next build re-joins the whole unpaired history — O(corpus) work
+    * per build at 100 TB); the frontier advances whether or not pairs
+    * emit, carried by one marker row per build (see [[pairs]]). */
   val CandidateWatermark = "hwm_doc_id"
+
+  /** Strip the per-build frontier marker rows (null doc_a/doc_b) — every
+    * consumer of the `neardup_candidates` model reads pairs through this. */
+  def pairs(candidates: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    candidates.filter(col("doc_a").isNotNull)
 
   /** The two models, wired to read documents from `docsRef`
     * (doc_id, text). Add both to an Engine alongside the source. */
@@ -67,37 +79,54 @@ object IncrementalDedup {
     Model.incremental(
       "neardup_candidates", Seq("band_index"),
       Materialization.IncrementalAppend(CandidateWatermark)) {
-      (_, r, prior) =>
+      (s, r, prior) =>
         val index = r("band_index") // full persisted index, incl. this batch
         val hwm = prior
           .map(_.agg(max(col(CandidateWatermark))).first())
           .filter(!_.isNullAt(0)).map(_.getLong(0)).getOrElse(-1L)
-        // docs newer than the last PAIRED doc. A doc may be re-scanned
-        // here across builds if it never produced a pair (the watermark
-        // only advances on emission) — harmless: a pair needs a shared
-        // bucket, and had one existed in an earlier build it would have
-        // been emitted then, so re-scans emit nothing twice.
-        val newBands = index.filter(col("doc_id") > hwm)
-        val stats = index.groupBy(col("band_idx"), col("band_key"))
-          .agg(count(lit(1)).as("bsz"))
-        val joined = newBands.select(
-            col("band_idx"), col("band_key"), col("doc_id").as("new_id"))
-          .join(index.withColumnRenamed("doc_id", "other_id"),
-            Seq("band_idx", "band_key"))
-          .filter(col("new_id") =!= col("other_id"))
-          .join(stats, Seq("band_idx", "band_key"))
-        val small = joined.filter(col("bsz") <= DedupQueries.MaxBucket)
-          .select(least(col("new_id"), col("other_id")).as("doc_a"),
-            greatest(col("new_id"), col("other_id")).as("doc_b"))
-        // oversized buckets: ONE edge per new doc — to the smallest
-        // other member — keeps the bucket's component connected at
-        // linear cost (the incremental analogue of the batch chain cap)
-        val capped = joined.filter(col("bsz") > DedupQueries.MaxBucket)
-          .groupBy(col("band_idx"), col("band_key"), col("new_id"))
-          .agg(min(col("other_id")).as("other_id"))
-          .select(least(col("new_id"), col("other_id")).as("doc_a"),
-            greatest(col("new_id"), col("other_id")).as("doc_b"))
-        small.union(capped).distinct()
-          .withColumn(CandidateWatermark, greatest(col("doc_a"), col("doc_b")))
+        // The scan frontier as of THIS build — one scalar off the index's
+        // parquet footer stats, same cost class as the HWM read itself.
+        val frontierRow = index.agg(max(col("doc_id"))).first()
+        if (frontierRow.isNullAt(0)) {
+          // empty corpus: nothing scanned, nothing to watermark
+          s.range(0).select(
+            lit(null).cast("long").as("doc_a"),
+            lit(null).cast("long").as("doc_b"),
+            lit(null).cast("long").as(CandidateWatermark))
+        } else {
+          val frontier = frontierRow.getLong(0)
+          // docs past the frontier the PREVIOUS build scanned through —
+          // always exactly this batch, pairs or no pairs last time.
+          val newBands = index.filter(col("doc_id") > hwm)
+          val stats = index.groupBy(col("band_idx"), col("band_key"))
+            .agg(count(lit(1)).as("bsz"))
+          val joined = newBands.select(
+              col("band_idx"), col("band_key"), col("doc_id").as("new_id"))
+            .join(index.withColumnRenamed("doc_id", "other_id"),
+              Seq("band_idx", "band_key"))
+            .filter(col("new_id") =!= col("other_id"))
+            .join(stats, Seq("band_idx", "band_key"))
+          val small = joined.filter(col("bsz") <= DedupQueries.MaxBucket)
+            .select(least(col("new_id"), col("other_id")).as("doc_a"),
+              greatest(col("new_id"), col("other_id")).as("doc_b"))
+          // oversized buckets: ONE edge per new doc — to the smallest
+          // other member — keeps the bucket's component connected at
+          // linear cost (the incremental analogue of the batch chain cap)
+          val capped = joined.filter(col("bsz") > DedupQueries.MaxBucket)
+            .groupBy(col("band_idx"), col("band_key"), col("new_id"))
+            .agg(min(col("other_id")).as("other_id"))
+            .select(least(col("new_id"), col("other_id")).as("doc_a"),
+              greatest(col("new_id"), col("other_id")).as("doc_b"))
+          // one marker row records the frontier even when zero pairs
+          // emit; the engine's HWM append filter (hwm_doc_id > previous
+          // frontier) drops everything — marker included — on a no-new-
+          // docs rebuild, so re-runs stay append-nothing idempotent.
+          val marker = s.range(1).select(
+            lit(null).cast("long").as("doc_a"),
+            lit(null).cast("long").as("doc_b"))
+          small.union(capped).distinct()
+            .unionByName(marker)
+            .withColumn(CandidateWatermark, lit(frontier))
+        }
     })
 }

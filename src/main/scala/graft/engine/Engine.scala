@@ -57,25 +57,34 @@ final class Engine(
     // A root _SUCCESS marker means the last full write committed.
     // Dynamic-partition-overwrite writes create no root marker, so
     // committed `part-*` data files also count — but a directory torn by
-    // a crashed write (an in-flight `_temporary/` staging dir, or no data
-    // file at all) must NOT count as materialized: the next build has to
-    // take the rebuild branch, not incremental-append onto a corrupt
-    // target.
+    // a crashed write (an in-flight staging dir, or no data file at all)
+    // must NOT count as materialized: the next build has to take the
+    // rebuild branch, not incremental-append onto a corrupt target.
     if (Files.exists(Paths.get(path(name), "_SUCCESS"))) return true
-    val root = new java.io.File(path(name))
-    if (!root.isDirectory) return false
-    var hasPart = false
-    var torn = false
-    def scan(d: java.io.File): Unit = {
-      val fs = d.listFiles
-      if (fs != null) fs.foreach { f =>
-        if (f.getName == "_temporary") torn = true
-        else if (f.isDirectory) scan(f)
-        else if (f.getName.startsWith("part-")) hasPart = true
-      }
+    val rootFiles = new java.io.File(path(name)).listFiles
+    if (rootFiles == null) return false // not a directory
+    // Both committers stage at the ROOT of the write path:
+    // FileOutputCommitter under `_temporary/`, dynamic-partition-overwrite
+    // under `.spark-staging-<jobId>/`. Either present ⇒ torn. (part-*
+    // files INSIDE a staging dir are uncommitted and must not count —
+    // the hidden-dir skip below keeps them out of the data scan too.)
+    if (rootFiles.exists { f =>
+        f.getName == "_temporary" || f.getName.startsWith(".spark-staging")
+      }) return false
+    // Committed data = any part-* outside hidden/metadata paths ('.'/'_'
+    // prefixes — the same names Spark's own reads skip). Stop at the
+    // FIRST hit: at 100 TB a model dir holds millions of part files, and
+    // this predicate runs per model per build — a full driver-side tree
+    // walk here would dwarf the planning it gates.
+    def hasPart(fs: Array[java.io.File]): Boolean = fs.exists { f =>
+      val n = f.getName
+      if (n.startsWith(".") || n.startsWith("_")) false
+      else if (f.isDirectory) {
+        val sub = f.listFiles
+        sub != null && hasPart(sub)
+      } else n.startsWith("part-")
     }
-    scan(root)
-    hasPart && !torn
+    hasPart(rootFiles)
   }
 
   /** Kahn topological order; fails fast on cycles or unknown refs. */

@@ -352,15 +352,26 @@ object FinanceQueries {
         col("account_id"), add_months(col("active_end"), 1).as("month"), negate(col("m")).as("d")))
     // per-account transitions as pure window expressions (same shape as
     // fctAccountMonthDelta — stays in codegen, no encoder boundary):
-    // after = prefix sum of the month's net delta, before = after − delta,
+    // after = prefix sum of the month's net delta, before = the same
+    // prefix over strictly PRIOR rows (so before_n is bit-identical to
+    // after_{n-1} — same left-to-right fold, not a float subtraction),
     // paid-ever = any strictly-prior month with after > 0. Zero-net months
     // carry state through the prefix sums but emit no transition row.
+    //
+    // ONE exchange for the whole section: the explicit repartition on
+    // account_id satisfies both the (account_id, month) hash aggregate
+    // (hash on a subset of the grouping keys clusters the full key) and
+    // every account-partitioned window after it — a plain
+    // groupBy(account_id, month) would hash-partition on BOTH keys and
+    // force the windows to re-shuffle on account_id alone.
     val wAcct = Window.partitionBy(col("account_id")).orderBy(col("month"))
     val trans = deltas
+      .repartition(col("account_id"))
       .groupBy(col("account_id"), col("month")).agg(sum(col("d")).as("d"))
       .withColumn("after",
         sum(col("d")).over(wAcct.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("before", col("after") - col("d"))
+      .withColumn("before", coalesce(
+        sum(col("d")).over(wAcct.rowsBetween(Window.unboundedPreceding, -1)), lit(0.0)))
       .withColumn("paid_ever", coalesce(
         max(when(col("after") > 0, 1).otherwise(0))
           .over(wAcct.rowsBetween(Window.unboundedPreceding, -1)), lit(0)))

@@ -24,7 +24,9 @@ object ScaleProbe {
       df.write.format("noop").mode("overwrite").save(); 0L
     }
     val queries = Seq("q_fct_subscription_month", "q_fct_account_month",
-      "q_mrr_waterfall", "q_mrr_waterfall_delta", "q_win_lag", "q_agg_rollup")
+      "q_mrr_waterfall", "q_mrr_waterfall_delta", "q_win_lag", "q_agg_rollup",
+      // LLM-pipeline operators (documents-table amplification below)
+      "q_pipeline_decontaminate", "q_pipeline_shard_pack", "q_dedup_minhash_lsh")
     def time(q: String, d: String): Double = {
       val t0 = System.nanoTime()
       consume(graft.SparkEntry.queries(q)(spark, d))
@@ -43,6 +45,20 @@ object ScaleProbe {
         .withColumn("o_custkey", col("o_custkey") * amp + col("rep"))
         .drop("rep")
         .write.mode("overwrite").parquet(s"$scaled/orders.parquet")
+      // documents: every replica's TOKENS get a replica suffix, so
+      // replicas share no shingles/n-grams — an amplified corpus with the
+      // base corpus's per-document statistics and duplicate RATE. Naive
+      // text copies would instead multiply every LSH bucket and n-gram
+      // group by amp (a 100%-duplicate workload — deliberately quadratic
+      // until the chain cap), measuring a different operator than the
+      // one scaled.
+      spark.read.parquet(s"$dir/documents.parquet")
+        .crossJoin(spark.range(amp.toLong).toDF("rep"))
+        .withColumn("doc_id", col("doc_id") * amp + col("rep"))
+        .withColumn("text", array_join(
+          transform(split(col("text"), " "), w => concat(w, lit("_"), col("rep"))), " "))
+        .drop("rep")
+        .write.mode("overwrite").parquet(s"$scaled/documents.parquet")
       for (t <- Seq("lineitem", "customer", "nation", "region"))
         spark.read.parquet(s"$dir/$t.parquet")
           .write.mode("overwrite").parquet(s"$scaled/$t.parquet")

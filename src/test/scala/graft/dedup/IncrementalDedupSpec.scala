@@ -17,7 +17,8 @@ class IncrementalDedupSpec extends SparkSpec {
     rows.toDF("doc_id", "text")
 
   private def pairSet(df: DataFrame): Set[(Long, Long)] =
-    df.select($"doc_a".cast("long"), $"doc_b".cast("long"))
+    IncrementalDedup.pairs(df)
+      .select($"doc_a".cast("long"), $"doc_b".cast("long"))
       .as[(Long, Long)].collect().toSet
 
   // near-dup families: shared word 3-grams within a family, none across
@@ -36,14 +37,9 @@ class IncrementalDedupSpec extends SparkSpec {
   test("two-batch incremental candidates ≡ full-corpus LSH; delta-only hashing") {
     var docs = docsDf(batch1)
     val dir = tmpDir("incdedup")
-    val e = new Engine(spark, dir, Map("documents" -> docsDf(Nil)), // placeholder
-      IncrementalDedup.models("docs")
-        .map(m => new graft.engine.Model(m.name,
-          m.deps.map(d => if (d == "docs") "documents" else d),
-          m.materialization, m.checks, m.buildFn)))
-    // simpler: rebuild engine per batch with the current docs snapshot —
-    // warehouse state persists across Engine instances (all state is on
-    // disk), which is exactly how a scheduled pipeline re-instantiates
+    // rebuild engine per batch with the current docs snapshot — warehouse
+    // state persists across Engine instances (all state is on disk),
+    // which is exactly how a scheduled pipeline re-instantiates
     def engineFor(current: DataFrame) = new Engine(
       spark, dir, Map("documents" -> current), IncrementalDedup.models("documents"))
 
@@ -89,7 +85,8 @@ class IncrementalDedupSpec extends SparkSpec {
       spark, dir, Map("documents" -> current), IncrementalDedup.models("documents"))
     assert(engineFor(docsDf(all.take(50))).build().ok)
     assert(engineFor(docsDf(all)).build().ok)
-    val pairs = spark.read.parquet(s"$dir/neardup_candidates")
+    val pairs = IncrementalDedup.pairs(
+      spark.read.parquet(s"$dir/neardup_candidates"))
     // batch1's bucket (50 ≤ 64) is all-pairs: C(50,2); batch2's 40 new
     // docs land in a 90-member bucket → one edge each. Linear from here.
     assert(pairs.count() == 50L * 49 / 2 + 40)
@@ -104,5 +101,45 @@ class IncrementalDedupSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(incClusters == fullClusters)
     assert(incClusters.forall(_._2 == 1L)) // one component, survivor = min
+  }
+
+  test("duplicate-free corpus still advances the candidates watermark") {
+    // no shared word 3-grams anywhere: zero pairs in every build. The
+    // watermark must STILL move to each build's band-index frontier —
+    // a pair-emission watermark would stall at -1 and re-join the whole
+    // accumulated index against itself on every subsequent build.
+    val uniq1 = Seq(
+      1L -> "solar panels convert sunlight into usable electricity",
+      2L -> "ancient mariners navigated oceans using star positions",
+      3L -> "fermented cabbage dishes appear across many cuisines")
+    val uniq2 = Seq(
+      4L -> "volcanic soil produces exceptionally fertile farmland",
+      5L -> "migratory birds cross continents twice every year")
+    val dir = tmpDir("incdedup_nodup")
+    def engineFor(current: DataFrame) = new Engine(
+      spark, dir, Map("documents" -> current), IncrementalDedup.models("documents"))
+    def hwm(): Long = spark.read.parquet(s"$dir/neardup_candidates")
+      .agg(max($"hwm_doc_id")).first().getLong(0)
+
+    val r1 = engineFor(docsDf(uniq1)).build()
+    assert(r1.ok, r1.results.mkString("; "))
+    val cands1 = spark.read.parquet(s"$dir/neardup_candidates")
+    assert(IncrementalDedup.pairs(cands1).count() == 0)
+    // zero pairs, yet the frontier is recorded: build 2's newBands
+    // filter (doc_id > hwm) will therefore scan ONLY batch-2 bands
+    assert(hwm() == 3L)
+
+    val r2 = engineFor(docsDf(uniq1 ++ uniq2)).build()
+    assert(r2.ok, r2.results.mkString("; "))
+    assert(r2("band_index").rows == 4L * uniq2.size) // delta-only hashing
+    assert(r2("neardup_candidates").rows == 1) // the marker row alone
+    assert(IncrementalDedup.pairs(
+      spark.read.parquet(s"$dir/neardup_candidates")).count() == 0)
+    assert(hwm() == 5L)
+
+    // no new docs: append-nothing idempotent, frontier unchanged
+    val r3 = engineFor(docsDf(uniq1 ++ uniq2)).build()
+    assert(r3("neardup_candidates").rows == 0)
+    assert(hwm() == 5L)
   }
 }

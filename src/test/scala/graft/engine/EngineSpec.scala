@@ -108,6 +108,31 @@ class EngineSpec extends SparkSpec {
     assert(e2.build()("log").rows == 2)
   }
 
+  test("crashed dynamic-partition-overwrite staging reads as torn") {
+    // dynamic partition overwrite stages under `.spark-staging-<jobId>`
+    // at the target root, NOT `_temporary`; part files inside it are
+    // UNCOMMITTED and must neither count as data nor mask the tear
+    val dir = tmpDir("eng")
+    var batch = Seq((1L, Timestamp.valueOf("2024-01-01 00:00:00"), 1.0))
+      .toDF("id", "ingested_at", "v")
+    val m = Model("log", Seq(), Materialization.IncrementalAppend("ingested_at"))(
+      (_, _) => batch)
+    val e = new Engine(spark, dir, Map.empty, Seq(m))
+    assert(e.build()("log").rows == 1)
+    val root = new java.io.File(s"$dir/log")
+    assert(new java.io.File(root, "_SUCCESS").delete())
+    val staging = new java.io.File(root, ".spark-staging-8d3e/month=2024-01-01")
+    assert(staging.mkdirs())
+    java.nio.file.Files.write(
+      staging.toPath.resolve("part-00000-c000.parquet"), Array[Byte](1, 2, 3))
+    // target is torn → next build takes the full-rebuild branch
+    batch = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
+      (2L, Timestamp.valueOf("2024-01-02 00:00:00"), 2.0)).toDF("id", "ingested_at", "v")
+    assert(e.build()("log").rows == 2)
+    assert(spark.read.parquet(s"$dir/log").count() == 2)
+  }
+
   test("delete+insert restates only the window's partitions (≡ full refresh)") {
     val dir = tmpDir("eng")
     def fact(rows: Seq[(Long, String, Double)]) = rows.toDF("id", "month", "v")

@@ -81,6 +81,24 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("waterfall delta transitions reuse ONE account_id exchange") {
+    // the per-account transition section must be: repartition(account_id)
+    // → (account_id, month) hash aggregate → account-partitioned windows,
+    // all on the SAME exchange (hash on a subset of the grouping keys
+    // clusters the full key). A regression to a bare groupBy(account_id,
+    // month) shows up as an exchange on BOTH keys plus a second one on
+    // account_id alone for the windows.
+    val p = plan("q_mrr_waterfall_delta").split("== Initial Plan ==")(0)
+    val exchanges =
+      "Exchange hashpartitioning\\([^)]*\\)".r.findAllIn(p).toSeq
+    assert(!exchanges.exists(e => e.contains("account_id") && e.contains("month")),
+      s"(account_id, month) exchange reappeared:\n$p")
+    // account_id exchanges: the transitions repartition + the presence
+    // branch's per-account bounds aggregate — exactly two
+    val acct = exchanges.count(_.contains("account_id"))
+    assert(acct == 2, s"expected 2 account_id exchanges, got $acct in:\n$p")
+  }
+
   test("as-of union formulation is a single shuffle on the key") {
     val p = plan("q_asof_join_scd2")
     // no join operator at all — the window carries the state; every
