@@ -10,8 +10,9 @@ import graft.Tables
   */
 object SqlSurfaceQueries {
 
-  /** Dialect-neutral SQL — the SAME text runs on Spark and DuckDB. */
-  private val biSql =
+  /** Dialect-neutral SQL — the SAME text runs on Spark and DuckDB (and,
+    * via ConnectSmokeSpec, over the out-of-process Spark Connect client). */
+  val biSql =
     """SELECT r_name,
       |       CAST(extract(year FROM o_orderdate) AS INT) AS o_year,
       |       count(*) AS n_orders,

@@ -20,5 +20,11 @@ object SparkSpec {
     .config("spark.sql.warehouse.dir",
       java.nio.file.Files.createTempDirectory("spark-wh").toString)
     .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+    // off the default 15002 so ConnectSmokeSpec can't collide with a
+    // concurrently-running Connect server on the host
+    .config("spark.connect.grpc.binding.port", ConnectPort.toString)
     .getOrCreate()
+  /** Port the ConnectSmokeSpec gRPC server binds (static conf — must be
+    * on the SparkConf before the context exists). */
+  val ConnectPort = 15999
 }
