@@ -114,6 +114,26 @@ object PipelineQueries {
     docs.withColumn("hkey", hkey).filter(keep)
   }
 
+  /** Cross-document repetition signal: per document, how many of its
+    * distinct word `n`-grams occur in at least one OTHER document — the
+    * boilerplate/template detector (headers, licence blocks, scraped
+    * nav text) that corpus-curation pipelines threshold on alongside
+    * near-dup removal. Gram frequencies are one aggregate at gram grain
+    * (vocabulary-sized — far smaller than the corpus once n ≥ 5); the
+    * join back is hint-free, so AQE broadcasts a small frequency table
+    * and shuffles a web-scale one, and nothing is ever all-pairs. */
+  def repeatedNgrams(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val g = ngrams(docs, idCol, textCol, n) // distinct per doc by construction
+    val freq = g.groupBy(col("ng")).agg(count(lit(1)).as("ndocs"))
+    val rep = sum(when(col("ndocs") >= 2, 1).otherwise(0))
+    g.join(freq, Seq("ng"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_ngrams"),
+        rep.as("n_repeated"),
+        round(rep.cast("double") / count(lit(1)), 4).as("repeated_ratio"))
+  }
+
   /** Exact per-stratum quantile gate: keep rows whose percent_rank over
     * `(metric, id)` within the stratum is ≥ q. The `(metric, id)` order
     * is total, so ranks — and the kept set — are deterministic. */
@@ -191,6 +211,27 @@ object PipelineQueries {
     ) { (s, dir) =>
       shardPack(Tables.documents(s, dir), "doc_id",
         size(split(col("text"), " ")), Budget)
+    },
+
+    // ---- cross-document repeated-n-gram coverage (boilerplate signal)
+    Q.sql(
+      "q_pipeline_repeated_ngrams",
+      s"""WITH g AS (
+         |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) >= $NGram THEN
+         |      list_transform(generate_series(1, len(t) - ${NGram - 1}),
+         |                     i -> array_to_string(t[i:i+${NGram - 1}], ' '))
+         |    ELSE []::VARCHAR[] END)) AS ng
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+         |f AS (SELECT ng, count(*) AS ndocs FROM g GROUP BY 1)
+         |SELECT g.doc_id,
+         |       CAST(count(*) AS BIGINT) AS n_ngrams,
+         |       CAST(sum(CASE WHEN f.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeated,
+         |       round(CAST(sum(CASE WHEN f.ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         |             / count(*), 4) AS repeated_ratio
+         |FROM g JOIN f USING (ng)
+         |GROUP BY 1""".stripMargin
+    ) { (s, dir) =>
+      repeatedNgrams(Tables.documents(s, dir), "doc_id", "text", NGram)
     },
 
     // ---- deterministic stratified mix sampling

@@ -281,6 +281,38 @@ object TextQueries {
             (id, fp)
           }
         }.toDF("doc_id", "fingerprint")
+    },
+
+    // ---- token-distribution Shannon entropy: the perplexity-proxy
+    // quality signal (low entropy = repetitive/boilerplate text, the
+    // band a curation pipeline cuts below). H = ln(n) − Σ c·ln(c) / n
+    // over per-document token counts — exact integer counts into one
+    // ln-sum, rounded AFTER the fold. ONE exchange: the explicit
+    // repartition on doc_id satisfies both the (doc_id, term) count and
+    // the per-doc rollup (hash on a key subset clusters the full key —
+    // same shape as waterfallDelta).
+    Q.sql(
+      "q_text_token_entropy",
+      """WITH tf AS (
+        |  SELECT doc_id, term, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |        FROM documents)
+        |  GROUP BY 1, 2)
+        |SELECT doc_id,
+        |       CAST(sum(c) AS BIGINT) AS n_tokens,
+        |       round(ln(CAST(sum(c) AS DOUBLE))
+        |             - sum(c * ln(CAST(c AS DOUBLE))) / sum(c), 4) AS token_entropy
+        |FROM tf GROUP BY 1""".stripMargin
+    ) { (s, dir) =>
+      val tf = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .repartition(col("doc_id"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+      tf.groupBy(col("doc_id")).agg(
+        sum(col("c")).as("n_tokens"),
+        round(log(sum(col("c")).cast("double"))
+          - sum(col("c") * log(col("c").cast("double"))) / sum(col("c")), 4)
+          .as("token_entropy"))
     }
   )
 

@@ -99,6 +99,30 @@ class PlanSpec extends SparkSpec {
     assert(acct == 2, s"expected 2 account_id exchanges, got $acct in:\n$p")
   }
 
+  test("token entropy reuses ONE doc_id exchange for both aggregates") {
+    // repartition(doc_id) → (doc_id, term) count → (doc_id) rollup: hash
+    // on doc_id clusters both grouping keys, so the two hash aggregates
+    // share a single exchange. A regression to bare groupBy(doc_id, term)
+    // would shuffle on both keys and again on doc_id for the rollup.
+    val p = plan("q_text_token_entropy").split("== Initial Plan ==")(0)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges in:\n$p")
+  }
+
+  test("repeated-ngrams gram-frequency join is hint-free") {
+    // the gram-frequency table must not be FORCE-broadcast: at web scale
+    // the vocabulary exceeds the broadcast bound, so the join has to be
+    // planner-chosen (broadcast now because it is small, shuffle at size)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = graft.SparkEntry.queries("q_pipeline_repeated_ngrams")(spark, dir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastHashJoin") && !p.contains("BroadcastNestedLoopJoin"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("as-of union formulation is a single shuffle on the key") {
     val p = plan("q_asof_join_scd2")
     // no join operator at all — the window carries the state; every
