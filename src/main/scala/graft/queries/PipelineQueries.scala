@@ -118,16 +118,24 @@ object PipelineQueries {
     * distinct word `n`-grams occur in at least one OTHER document — the
     * boilerplate/template detector (headers, licence blocks, scraped
     * nav text) that corpus-curation pipelines threshold on alongside
-    * near-dup removal. Gram frequencies are one aggregate at gram grain
-    * (vocabulary-sized — far smaller than the corpus once n ≥ 5); the
-    * join back is hint-free, so AQE broadcasts a small frequency table
-    * and shuffles a web-scale one, and nothing is ever all-pairs. */
+    * near-dup removal.
+    *
+    * Shuffle economics, since the output never exposes gram text:
+    * grams shuffle as 64-bit xxhash keys (~6× fewer bytes than ~50-byte
+    * 8-gram strings; a key collision — ~V²/2⁶⁵ for V distinct grams —
+    * merges two gram-frequency rows, the same benign failure class as
+    * any hashed-key dedup at corpus scale), and corpus frequency comes
+    * from a count window over the gram partition rather than an
+    * aggregate-and-join-back — one gram-grain exchange of the corpus
+    * instead of two, then one doc-grain exchange for the rollup.
+    * Nothing is ever all-pairs. */
   def repeatedNgrams(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
     val g = ngrams(docs, idCol, textCol, n) // distinct per doc by construction
-    val freq = g.groupBy(col("ng")).agg(count(lit(1)).as("ndocs"))
+      .select(col(idCol), xxhash64(col("ng")).as("ngh"))
+    val ndocs = count(lit(1)).over(Window.partitionBy(col("ngh")))
     val rep = sum(when(col("ndocs") >= 2, 1).otherwise(0))
-    g.join(freq, Seq("ng"))
+    g.withColumn("ndocs", ndocs)
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_ngrams"),
         rep.as("n_repeated"),

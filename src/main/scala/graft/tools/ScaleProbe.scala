@@ -10,14 +10,25 @@ import org.apache.spark.sql.functions._
   * probe queries against a freshly amplified copy so the output is a
   * scaling CURVE, not one ratio. The timed action is a noop-format write
   * (same honesty rule as Bench: `count()` dead-codes output expressions).
+  *
+  * SPARK_GRAFT_INIT_PARTS (optional): AQE initialPartitionNum. The
+  * production answer to shuffle spill at growing SF is sizing shuffle
+  * partitions to the data (brief §scale); with AQE coalescing, a high
+  * initial count lets the runtime pick per-stage parallelism from actual
+  * sizes instead of the static 32 — set e.g. 256 to measure how much of
+  * a 64× point's superlinearity is spill vs. algorithmic.
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val amps = if (args.nonEmpty) args.toSeq.map(_.toInt) else Seq(16, 64)
-    val spark = SparkSession.builder().master("local[32]")
+    val builder = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+    val spark = sys.env.get("SPARK_GRAFT_INIT_PARTS").fold(builder) { n =>
+      builder
+        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", n)
+    }.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.1"
     def consume(df: org.apache.spark.sql.DataFrame): Long = {
@@ -26,7 +37,8 @@ object ScaleProbe {
     val queries = Seq("q_fct_subscription_month", "q_fct_account_month",
       "q_mrr_waterfall", "q_mrr_waterfall_delta", "q_win_lag", "q_agg_rollup",
       // LLM-pipeline operators (documents-table amplification below)
-      "q_pipeline_decontaminate", "q_pipeline_shard_pack", "q_dedup_minhash_lsh")
+      "q_pipeline_decontaminate", "q_pipeline_shard_pack", "q_dedup_minhash_lsh",
+      "q_pipeline_repeated_ngrams", "q_text_token_entropy")
     def time(q: String, d: String): Double = {
       val t0 = System.nanoTime()
       consume(graft.SparkEntry.queries(q)(spark, d))

@@ -109,18 +109,17 @@ class PlanSpec extends SparkSpec {
     assert(exchanges == 1, s"expected 1 exchange, got $exchanges in:\n$p")
   }
 
-  test("repeated-ngrams gram-frequency join is hint-free") {
-    // the gram-frequency table must not be FORCE-broadcast: at web scale
-    // the vocabulary exceeds the broadcast bound, so the join has to be
-    // planner-chosen (broadcast now because it is small, shuffle at size)
-    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try {
-      val df = graft.SparkEntry.queries("q_pipeline_repeated_ngrams")(spark, dir)
-      df.collect()
-      val p = df.queryExecution.executedPlan.toString
-      assert(!p.contains("BroadcastHashJoin") && !p.contains("BroadcastNestedLoopJoin"), p)
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  test("repeated-ngrams is two exchanges, no join, hashed gram keys") {
+    // gram frequency comes from a count window over the hashed-gram
+    // partition, not an aggregate-and-join-back: one gram-grain exchange
+    // (64-bit xxhash keys, not ~50-byte strings) + one doc-grain rollup
+    // exchange. A regression to the join formulation shows a Join and a
+    // third corpus-sized exchange.
+    val p = plan("q_pipeline_repeated_ngrams").split("== Initial Plan ==")(0)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("xxhash64"), p)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 2, s"expected 2 exchanges, got $exchanges in:\n$p")
   }
 
   test("as-of union formulation is a single shuffle on the key") {
