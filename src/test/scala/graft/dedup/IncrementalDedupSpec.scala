@@ -103,6 +103,40 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(incClusters.forall(_._2 == 1L)) // one component, survivor = min
   }
 
+  test("randomized 3-batch incremental ≡ one-shot batch LSH (seeded property)") {
+    // seeded corpus: template families (shared word 3-grams within a
+    // family) mixed with unique fillers, split into three UNEVEN batches
+    // — after every build the accumulated candidate set must equal the
+    // batch pipeline on the corpus-so-far, with delta-only hashing
+    val rnd = new scala.util.Random(8) // fixed seed: reproducible corpus
+    val words = Vector("alpha", "bravo", "charlie", "delta", "echo",
+      "foxtrot", "golf", "hotel", "india", "juliet", "kilo", "lima")
+    def sentence(n: Int): String =
+      Seq.fill(n)(words(rnd.nextInt(words.size))).mkString(" ")
+    val templates = Seq.fill(12)(sentence(9))
+    val all: Seq[(Long, String)] = (1L to 120L).map { id =>
+      id -> (if (rnd.nextBoolean()) {
+        // family member: a template with one word perturbed at the tail
+        templates(rnd.nextInt(templates.size)) + " " + words(rnd.nextInt(words.size))
+      } else sentence(12 + rnd.nextInt(6))) // unique-ish filler
+    }
+    val cuts = Seq(0, 47, 81, 120)
+    val dir = tmpDir("incdedup_prop")
+    def engineFor(current: DataFrame) = new Engine(
+      spark, dir, Map("documents" -> current), IncrementalDedup.models("documents"))
+    for (b <- 1 until cuts.size) {
+      val sofar = all.take(cuts(b))
+      val r = engineFor(docsDf(sofar)).build()
+      assert(r.ok, r.results.mkString("; "))
+      // delta-only hashing: this build banded only its own batch
+      assert(r("band_index").rows == 4L * (cuts(b) - cuts(b - 1)))
+      // accumulated candidates ≡ one-shot batch LSH on the corpus-so-far
+      assert(pairSet(spark.read.parquet(s"$dir/neardup_candidates"))
+        == pairSet(DedupQueries.minhashCandidatesFor(docsDf(sofar))),
+        s"batch $b diverged")
+    }
+  }
+
   test("duplicate-free corpus still advances the candidates watermark") {
     // no shared word 3-grams anywhere: zero pairs in every build. The
     // watermark must STILL move to each build's band-index frontier —
