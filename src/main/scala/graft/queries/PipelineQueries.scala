@@ -166,6 +166,45 @@ object PipelineQueries {
       .select(col(idCol), col(stratumCol), col("metric"))
   }
 
+  /** The end-to-end curation decision — the row a production pipeline
+    * materializes per document before shard writing: quality score band,
+    * token-entropy floor (boilerplate/low-information cut), cross-doc
+    * repetition ceiling, then deterministic stratified sampling; `keep`
+    * is the conjunction. Composes [[TextQueries.qualityScore]],
+    * [[TextQueries.tokenEntropy]], [[repeatedNgrams]] and the
+    * [[mixSample]] hash rule — all doc-grain frames, so the joins
+    * shuffle on the id and every signal stays independently testable.
+    * Documents too short to carry an n-gram have no repetition evidence:
+    * their ratio coalesces to 0 (kept by that stage), matching the
+    * oracle's LEFT JOIN. Thresholds compare on ROUNDED values so the
+    * cut is engine-portable. */
+  def curationFunnel(docs: DataFrame, idCol: String, textCol: String,
+      stratumCol: String, rates: Map[String, Double], n: Int,
+      minEntropy: Double, maxRepeat: Double): DataFrame = {
+    val qual = TextQueries.qualityScore(docs, idCol, textCol)
+      .select(col(idCol), col("quality_score"), col("keep").as("q_keep"))
+    val ent = TextQueries.tokenEntropy(docs, idCol, textCol)
+      .select(col(idCol), col("token_entropy"))
+    val rep = repeatedNgrams(docs, idCol, textCol, n)
+      .select(col(idCol), col("repeated_ratio"))
+    val sampled = mixSample(docs.select(col(idCol), col(stratumCol)),
+      idCol, stratumCol, rates)
+      .select(col(idCol), lit(true).as("s_keep"))
+    docs.select(col(idCol), col(stratumCol),
+        substring(md5(col(idCol).cast("string")), 1, 4).as("hkey"))
+      .join(qual, Seq(idCol))
+      .join(ent, Seq(idCol))
+      .join(rep, Seq(idCol), "left")
+      .join(sampled, Seq(idCol), "left")
+      .select(col(idCol), col(stratumCol),
+        col("quality_score"), col("token_entropy"),
+        coalesce(col("repeated_ratio"), lit(0.0)).as("repeated_ratio"),
+        col("hkey"),
+        (col("q_keep") && col("token_entropy") >= minEntropy &&
+          coalesce(col("repeated_ratio"), lit(0.0)) <= maxRepeat &&
+          coalesce(col("s_keep"), lit(false))).as("keep"))
+  }
+
   // ---------- driver-contract queries over `documents` ----------
 
   private val NGram = 8
@@ -173,6 +212,11 @@ object PipelineQueries {
   // en is the dominant stratum in the synthetic corpus; downsample it
   // hard, trim the mid-resource languages, keep zh whole
   private val MixRates = Map("en" -> 0.35, "de" -> 0.8, "es" -> 0.8, "fr" -> 0.8)
+  // funnel cuts, set from the measured sf0.01 distributions: entropy
+  // ≥ 2.8 trims the repetitive-text quartile, repetition ≤ 0.5 drops
+  // documents sharing most 8-grams with the rest of the corpus
+  private val MinEntropy = 2.8
+  private val MaxRepeat = 0.5
 
   // integer lexical diversity: distinct-token ratio ×10000, exact in
   // both engines (`div`, not `/` — Spark's Divide widens to double)
@@ -257,6 +301,65 @@ object PipelineQueries {
     ) { (s, dir) =>
       mixSample(Tables.documents(s, dir), "doc_id", "lang", MixRates)
         .select(col("doc_id"), col("lang"), col("source"), col("hkey"))
+    },
+
+    // ---- the composed curation decision per document (quality band +
+    // entropy floor + repetition ceiling + stratified sample)
+    Q.sql(
+      "q_pipeline_curation_funnel",
+      s"""WITH tf AS (
+         |  SELECT doc_id, term, count(*) AS c
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |        FROM documents)
+         |  GROUP BY 1, 2),
+         |ent AS (
+         |  SELECT doc_id, round(ln(CAST(sum(c) AS DOUBLE))
+         |         - sum(c * ln(CAST(c AS DOUBLE))) / sum(c), 4) AS token_entropy
+         |  FROM tf GROUP BY 1),
+         |qf AS (
+         |  SELECT doc_id,
+         |         len(string_split(text, ' ')) AS n_tok,
+         |         len(list_filter(string_split(text, ' '),
+         |             t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS n_stop,
+         |         len(list_distinct(string_split(text, ' '))) AS n_uniq
+         |  FROM documents),
+         |qual AS (
+         |  SELECT doc_id,
+         |         CAST((CASE WHEN n_tok BETWEEN 20 AND 200 THEN 2
+         |                    WHEN n_tok >= 10 THEN 1 ELSE 0 END)
+         |            + (CASE WHEN n_stop * 100 BETWEEN 2 * n_tok AND 40 * n_tok THEN 2 ELSE 0 END)
+         |            + (CASE WHEN n_uniq * 2 > n_tok THEN 1 ELSE 0 END) AS INT) AS quality_score
+         |  FROM qf),
+         |g AS (
+         |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) >= $NGram THEN
+         |      list_transform(generate_series(1, len(t) - ${NGram - 1}),
+         |                     i -> array_to_string(t[i:i+${NGram - 1}], ' '))
+         |    ELSE []::VARCHAR[] END)) AS ng
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+         |fr AS (SELECT ng, count(*) AS ndocs FROM g GROUP BY 1),
+         |rep AS (
+         |  SELECT g.doc_id,
+         |         round(CAST(sum(CASE WHEN fr.ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         |               / count(*), 4) AS repeated_ratio
+         |  FROM g JOIN fr USING (ng) GROUP BY 1)
+         |SELECT d.doc_id, d.lang, qual.quality_score, ent.token_entropy,
+         |       coalesce(rep.repeated_ratio, 0.0) AS repeated_ratio,
+         |       substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) AS hkey,
+         |       (qual.quality_score >= 4
+         |        AND ent.token_entropy >= $MinEntropy
+         |        AND coalesce(rep.repeated_ratio, 0.0) <= $MaxRepeat
+         |        AND CASE
+         |          WHEN d.lang = 'en'
+         |            THEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < '${rateThreshold(0.35)}'
+         |          WHEN d.lang IN ('de', 'es', 'fr')
+         |            THEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < '${rateThreshold(0.8)}'
+         |          ELSE true END) AS keep
+         |FROM documents d
+         |JOIN qual USING (doc_id) JOIN ent USING (doc_id)
+         |LEFT JOIN rep USING (doc_id)""".stripMargin
+    ) { (s, dir) =>
+      curationFunnel(Tables.documents(s, dir), "doc_id", "text", "lang",
+        MixRates, NGram, MinEntropy, MaxRepeat)
     },
 
     // ---- per-language quality-quantile gate (exact form; the sketch

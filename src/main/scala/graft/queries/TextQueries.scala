@@ -303,18 +303,25 @@ object TextQueries {
         |       round(ln(CAST(sum(c) AS DOUBLE))
         |             - sum(c * ln(CAST(c AS DOUBLE))) / sum(c), 4) AS token_entropy
         |FROM tf GROUP BY 1""".stripMargin
-    ) { (s, dir) =>
-      val tf = Tables.documents(s, dir)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-        .repartition(col("doc_id"))
-        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
-      tf.groupBy(col("doc_id")).agg(
-        sum(col("c")).as("n_tokens"),
-        round(log(sum(col("c")).cast("double"))
-          - sum(col("c") * log(col("c").cast("double"))) / sum(col("c")), 4)
-          .as("token_entropy"))
-    }
+    ) { (s, dir) => tokenEntropy(Tables.documents(s, dir), "doc_id", "text") }
   )
+
+  /** Token-distribution Shannon entropy over any `(id, text)` frame —
+    * see the q_text_token_entropy doc for the plan shape (one doc_id
+    * exchange serves both aggregates). Output: id, n_tokens,
+    * token_entropy (rounded, so downstream thresholds compare equal
+    * across engines). Reused by PipelineQueries.curationFunnel. */
+  def tokenEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("term"))
+      .repartition(col(idCol))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("c"))
+    tf.groupBy(col(idCol)).agg(
+      sum(col("c")).as("n_tokens"),
+      round(log(sum(col("c")).cast("double"))
+        - sum(col("c") * log(col("c").cast("double"))) / sum(col("c")), 4)
+        .as("token_entropy"))
+  }
 
   /** Composite quality score over any `(id, text)` frame — the filter
     * signal a training-data pipeline thresholds on (length band +
