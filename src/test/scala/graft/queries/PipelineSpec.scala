@@ -173,4 +173,36 @@ class PipelineSpec extends SparkSpec {
     val evalShort = Seq((200L, "one two three four five six seven")).toDF("doc_id", "text")
     assert(PipelineQueries.decontaminate(train, evalShort, "doc_id", "text", n).count() == 0)
   }
+
+  test("token entropy: closed-form values on crafted distributions") {
+    // H = ln(n) − Σ c·ln(c)/n: all-same tokens → 0; k distinct uniform
+    // tokens → ln(k); a 2:1:1 split → ln(4) − (2·ln 2)/4
+    val docs = Seq(
+      (1L, "a a a a"),
+      (2L, "a b c d"),
+      (3L, "a a b c")).toDF("doc_id", "text")
+    val got = TextQueries.tokenEntropy(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    def r4(x: Double) = math.rint(x * 10000) / 10000
+    assert(got(0) == ((1L, 4L, 0.0)))
+    assert(got(1) == ((2L, 4L, r4(math.log(4)))))
+    assert(got(2) == ((3L, 4L, r4(math.log(4) - 2 * math.log(2) / 4))))
+  }
+
+  test("repeated-ngrams: planted boilerplate scores, unique docs score zero") {
+    val boiler = "common header block repeated across many documents verbatim"
+    val docs = Seq(
+      (1L, s"$boiler unique tail one"),  // shares the boilerplate grams
+      (2L, s"$boiler unique tail two"),  // with doc 1
+      (3L, "entirely distinct text carrying no shared eight gram content here"))
+      .toDF("doc_id", "text")
+    val got = PipelineQueries.repeatedNgrams(docs, "doc_id", "text", 8)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    // docs 1/2: 11 tokens → 4 distinct 8-grams; every gram not touching
+    // the final differing token ("one"/"two") is shared → 3 of 4
+    // repeated. doc 3: 10 tokens → 3 grams, none shared.
+    assert(got.map(x => (x._1, x._2)).toSeq == Seq((1L, 4L), (2L, 4L), (3L, 3L)))
+    assert(got(0)._3 == 3L && got(1)._3 == 3L && got(2)._3 == 0L)
+    assert(got(0)._4 == 0.75 && got(2)._4 == 0.0)
+  }
 }
