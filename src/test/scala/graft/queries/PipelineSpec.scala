@@ -189,6 +189,48 @@ class PipelineSpec extends SparkSpec {
     assert(got(2) == ((3L, 4L, r4(math.log(4) - 2 * math.log(2) / 4))))
   }
 
+  test("token entropy: 200 seeded random docs match a reference fold") {
+    val rnd = new scala.util.Random(17)
+    val vocab = Vector("red", "green", "blue", "cyan", "teal", "plum", "gold")
+    val docs = (1L to 200L).map { id =>
+      id -> Seq.fill(1 + rnd.nextInt(40))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    def refEntropy(text: String): Double = {
+      val counts = text.split(" ", -1).groupBy(identity).map(_._2.length)
+      val n = counts.sum.toDouble
+      val h = math.log(n) - counts.map(c => c * math.log(c.toDouble)).sum / n
+      math.rint(h * 10000) / 10000
+    }
+    val got = TextQueries.tokenEntropy(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .select($"doc_id", $"token_entropy").as[(Long, Double)].collect().toMap
+    docs.foreach { case (id, text) =>
+      assert(got(id) == refEntropy(text), s"doc $id: '$text'")
+    }
+  }
+
+  test("curation funnel keep == conjunction of its independently-computed stages") {
+    val docs = graft.Tables.documents(spark, dir)
+    val rates = Map("en" -> 0.35, "de" -> 0.8, "es" -> 0.8, "fr" -> 0.8)
+    val funnel = PipelineQueries.curationFunnel(
+        docs, "doc_id", "text", "lang", rates, 8, 2.8, 0.5)
+      .select($"doc_id", $"keep").as[(Long, Boolean)].collect().toMap
+    val qual = TextQueries.qualityScore(docs, "doc_id", "text")
+      .select($"doc_id", $"keep").as[(Long, Boolean)].collect().toMap
+    val ent = TextQueries.tokenEntropy(docs, "doc_id", "text")
+      .select($"doc_id", $"token_entropy").as[(Long, Double)].collect().toMap
+    val rep = PipelineQueries.repeatedNgrams(docs, "doc_id", "text", 8)
+      .select($"doc_id", $"repeated_ratio").as[(Long, Double)].collect().toMap
+    val sampled = PipelineQueries.mixSample(docs, "doc_id", "lang", rates)
+      .select($"doc_id").as[Long].collect().toSet
+    val ids = docs.select($"doc_id").as[Long].collect()
+    assert(ids.nonEmpty)
+    ids.foreach { id =>
+      val expected = qual(id) && ent(id) >= 2.8 &&
+        rep.getOrElse(id, 0.0) <= 0.5 && sampled(id)
+      assert(funnel(id) == expected, s"doc $id")
+    }
+  }
+
   test("repeated-ngrams: planted boilerplate scores, unique docs score zero") {
     val boiler = "common header block repeated across many documents verbatim"
     val docs = Seq(
