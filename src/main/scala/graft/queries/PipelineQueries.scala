@@ -58,7 +58,13 @@ object PipelineQueries {
   /** N-gram-overlap decontamination: training docs sharing ≥1 `n`-gram
     * with the eval set, with match counts (how many distinct n-grams,
     * how many distinct eval docs). Join stays hint-free: the eval gram
-    * set is benchmark-sized, AQE broadcasts it. */
+    * set is benchmark-sized, AQE broadcasts it.
+    *
+    * Unlike [[repeatedNgrams]], grams here stay strings: under the
+    * broadcast plan the corpus-side grams never shuffle (they probe the
+    * broadcast eval map scan-locally and only matches — a sliver —
+    * reach the aggregation), so hashing them to 64-bit keys would buy
+    * nothing and cost exactness of the match counts. */
   def decontaminate(train: DataFrame, eval: DataFrame,
       idCol: String, textCol: String, n: Int): DataFrame = {
     val tg = ngrams(train, idCol, textCol, n)
