@@ -39,11 +39,16 @@ object ScaleProbe {
       // LLM-pipeline operators (documents-table amplification below)
       "q_pipeline_decontaminate", "q_pipeline_shard_pack", "q_dedup_minhash_lsh",
       "q_pipeline_repeated_ngrams", "q_text_token_entropy")
-    def time(q: String, d: String): Double = {
-      val t0 = System.nanoTime()
-      consume(graft.SparkEntry.queries(q)(spark, d))
-      (System.nanoTime() - t0) / 1e9
-    }
+    // median-of-3 per point: single-shot probe timings drifted ±20%
+    // between runs of identical code (same noise floor that moved Bench
+    // to medians), which is fatal to a ratio whose denominator is a
+    // few seconds
+    def time(q: String, d: String): Double =
+      Seq.fill(3) {
+        val t0 = System.nanoTime()
+        consume(graft.SparkEntry.queries(q)(spark, d))
+        (System.nanoTime() - t0) / 1e9
+      }.sorted.apply(1)
     // warm once, then baseline
     queries.foreach(q => consume(graft.SparkEntry.queries(q)(spark, dir)))
     val base = queries.map(q => q -> time(q, dir)).toMap
