@@ -211,10 +211,88 @@ object PipelineQueries {
           coalesce(col("s_keep"), lit(false))).as("keep"))
   }
 
+  /** Leakage-guarded train/val split: assign each document a split with
+    * `splitCol` (deterministic — e.g. an md5-threshold rule like
+    * [[mixSample]]'s), then flag documents with a *near-duplicate on the
+    * other side of the split*: the standard eval-contamination guard a
+    * training pipeline runs before trusting held-out loss (a val doc
+    * whose near-twin was trained on measures memorization, not
+    * generalization).
+    *
+    * Cross-split near-dups reuse the dedup pipeline wholesale:
+    * [[DedupQueries]] LSH band candidates → keep only pairs whose
+    * members land in different splits → exact bigram-Jaccard verify
+    * (≥ 0.1) via the shared typed kernel. Scale shape therefore
+    * inherits: candidate generation is bucket-grouped (never all-pairs,
+    * degenerate buckets chain-capped), the split filter halves the
+    * candidate table before any text is fetched, and the verify join
+    * shuffles only candidate pairs against the corpus on doc_id. The
+    * final per-doc leak count is one doc-grain aggregation of the
+    * (tiny) verified-pair table. Requires `doc_id`/`text` columns like
+    * the band builders. */
+  def splitLeakage(docs: DataFrame, splitCol: Column): DataFrame = {
+    val sp = docs.select(col("doc_id"), splitCol.as("split"))
+    val cross = DedupQueries.minhashCandidatesFor(docs)
+      .join(sp.select(col("doc_id").as("doc_a"), col("split").as("split_a")), "doc_a")
+      .join(sp.select(col("doc_id").as("doc_b"), col("split").as("split_b")), "doc_b")
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("doc_a"), col("doc_b"))
+    val verified = DedupQueries.bigramJaccardPairs(docs, cross)
+    val leaks = verified.select(col("doc_a").as("doc_id"))
+      .union(verified.select(col("doc_b").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_leaks"))
+    sp.join(leaks, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("split"),
+        coalesce(col("n_leaks"), lit(0L)).as("n_leaks"),
+        (coalesce(col("n_leaks"), lit(0L)) > 0).as("leaky"))
+  }
+
+  /** Global keep-first dedup of fixed-width token blocks (the
+    * C4/RefinedWeb-style "remove duplicated spans corpus-wide" pass,
+    * with non-overlapping `blockTokens`-token blocks standing in for
+    * lines/sentences — the testdata corpus has no newline structure).
+    * A block survives only at its first occurrence in the corpus's
+    * total (doc_id, block_no) order — later copies are dropped from
+    * their documents, and each document's cleaned text is rebuilt from
+    * its surviving blocks in order.
+    *
+    * Scale shape: blocking is scan-local (`slice` over the token
+    * array); the keep-first decision is one block-grain exchange (a
+    * row_number window over the block text — the hashed-key variant of
+    * [[repeatedNgrams]] applies verbatim if block strings ever dominate
+    * shuffle width, at the cost of oracle-exactness); the rebuild is
+    * one doc-grain aggregation with an in-memory sort of that doc's
+    * blocks only. Nothing is all-pairs, no driver-side state. */
+  def blockDedup(docs: DataFrame, blockTokens: Int): DataFrame = {
+    val b = lit(blockTokens)
+    val blocks = docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), expr(s"(size(t) + ${blockTokens - 1}) div $blockTokens") - 1),
+        j => array_join(slice(col("t"), j * b + 1, b), " "))))
+      .toDF("doc_id", "block_no", "block")
+    val firstSeen = Window.partitionBy(col("block"))
+      .orderBy(col("doc_id"), col("block_no"))
+    blocks
+      .withColumn("keep", row_number().over(firstSeen) === 1)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_blocks"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        // collect_list skips the nulls `when` leaves for dropped blocks;
+        // array_sort on (block_no, block) structs restores doc order
+        array_join(transform(
+          array_sort(collect_list(when(col("keep"),
+            struct(col("block_no"), col("block"))))),
+          x => x.getField("block")), " ").as("text_clean"))
+  }
+
   // ---------- driver-contract queries over `documents` ----------
 
   private val NGram = 8
   private val Budget = 512L
+  private val ValRate = 0.1 // held-out fraction for the leakage-guarded split
+  private val BlockTokens = 16 // block width for corpus-wide block dedup
   // en is the dominant stratum in the synthetic corpus; downsample it
   // hard, trim the mid-resource languages, keep zh whole
   private val MixRates = Map("en" -> 0.35, "de" -> 0.8, "es" -> 0.8, "fr" -> 0.8)
@@ -385,6 +463,75 @@ object PipelineQueries {
       quantileFilter(Tables.documents(s, dir), "doc_id", "lang", diversity, 0.25)
         .select(col("doc_id"), col("lang"), col("metric").as("diversity"),
           round(col("pr"), 4).as("pct_rank"))
+    },
+
+    // ---- leakage-guarded train/val split (cross-split near-dup flag
+    // through the shared LSH-candidate → bigram-Jaccard pipeline)
+    Q.sql(
+      "q_pipeline_split_leakage",
+      s"""WITH ${DedupQueries.minhashCandSql},
+         |sp AS (
+         |  SELECT doc_id,
+         |         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+         |                   < '${rateThreshold(ValRate)}'
+         |              THEN 'val' ELSE 'train' END AS split
+         |  FROM documents),
+         |d AS (
+         |  SELECT doc_id,
+         |         list_distinct(CASE WHEN len(t) >= 2 THEN
+         |             list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1])
+         |           ELSE t END) AS sh
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+         |x AS (
+         |  SELECT c.doc_a, c.doc_b
+         |  FROM cand c JOIN sp a ON c.doc_a = a.doc_id
+         |              JOIN sp b ON c.doc_b = b.doc_id
+         |  WHERE a.split <> b.split),
+         |v AS (
+         |  SELECT doc_a, doc_b FROM (
+         |    SELECT x.doc_a, x.doc_b,
+         |           len(list_filter(a.sh, g -> list_contains(b.sh, g))) AS inter,
+         |           len(a.sh) + len(b.sh) AS sz
+         |    FROM x JOIN d a ON x.doc_a = a.doc_id JOIN d b ON x.doc_b = b.doc_id)
+         |  WHERE inter * 10 >= (sz - inter)),
+         |l AS (
+         |  SELECT doc_id, count(*) AS n
+         |  FROM (SELECT doc_a AS doc_id FROM v
+         |        UNION ALL SELECT doc_b AS doc_id FROM v)
+         |  GROUP BY 1)
+         |SELECT s.doc_id, s.split,
+         |       CAST(coalesce(l.n, 0) AS BIGINT) AS n_leaks,
+         |       coalesce(l.n, 0) > 0 AS leaky
+         |FROM sp s LEFT JOIN l ON s.doc_id = l.doc_id""".stripMargin
+    ) { (s, dir) =>
+      splitLeakage(Tables.documents(s, dir),
+        when(substring(md5(col("doc_id").cast("string")), 1, 4)
+               < lit(rateThreshold(ValRate)), "val").otherwise("train"))
+    },
+
+    // ---- corpus-wide keep-first block dedup + document text rebuild
+    Q.sql(
+      "q_pipeline_block_dedup",
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |bn AS (
+         |  SELECT doc_id, t,
+         |         unnest(generate_series(0, ((len(t) + ${BlockTokens - 1}) // $BlockTokens) - 1)) AS block_no
+         |  FROM tok),
+         |b AS (
+         |  SELECT doc_id, block_no,
+         |         array_to_string(t[block_no * $BlockTokens + 1 : block_no * $BlockTokens + $BlockTokens], ' ') AS block
+         |  FROM bn),
+         |k AS (
+         |  SELECT doc_id, block_no, block,
+         |         row_number() OVER (PARTITION BY block ORDER BY doc_id, block_no) = 1 AS keep
+         |  FROM b)
+         |SELECT doc_id,
+         |       CAST(count(*) AS BIGINT) AS n_blocks,
+         |       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |       coalesce(string_agg(block, ' ' ORDER BY block_no) FILTER (WHERE keep), '') AS text_clean
+         |FROM k GROUP BY 1""".stripMargin
+    ) { (s, dir) =>
+      blockDedup(Tables.documents(s, dir), BlockTokens)
     }
   )
 }

@@ -38,7 +38,8 @@ object ScaleProbe {
       "q_mrr_waterfall", "q_mrr_waterfall_delta", "q_win_lag", "q_agg_rollup",
       // LLM-pipeline operators (documents-table amplification below)
       "q_pipeline_decontaminate", "q_pipeline_shard_pack", "q_dedup_minhash_lsh",
-      "q_pipeline_repeated_ngrams", "q_text_token_entropy")
+      "q_pipeline_repeated_ngrams", "q_text_token_entropy",
+      "q_pipeline_split_leakage", "q_pipeline_block_dedup")
     // median-of-3 per point: single-shot probe timings drifted ±20%
     // between runs of identical code (same noise floor that moved Bench
     // to medians), which is fatal to a ratio whose denominator is a

@@ -247,4 +247,91 @@ class PipelineSpec extends SparkSpec {
     assert(got(0)._3 == 3L && got(1)._3 == 3L && got(2)._3 == 0L)
     assert(got(0)._4 == 0.75 && got(2)._4 == 0.0)
   }
+
+  // ---------- block dedup: corpus-wide keep-first semantics ----------
+
+  test("blockDedup drops later copies corpus-wide and rebuilds text in block order") {
+    val blockA = (1 to 16).map(i => s"a$i").mkString(" ")
+    val blockC = (1 to 16).map(i => s"c$i").mkString(" ")
+    val blockD = (1 to 16).map(i => s"d$i").mkString(" ")
+    val tail4 = "p1 p2 p3 p4"
+    val docs = Seq(
+      (1L, s"$blockA $blockC"), // first occurrence of A and C
+      (2L, s"$blockA $blockD"), // A already seen in doc 1 → dropped
+      (3L, s"$blockD $blockD"), // both copies post-date doc 2's D → doc empties
+      (4L, "x y z"), // shorter than one block → single short block, kept
+      (5L, s"$blockA $tail4")) // partial tail block survives alone
+      .toDF("doc_id", "text")
+    val got = PipelineQueries.blockDedup(docs, 16)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 2L, 2L, s"$blockA $blockC")))
+    assert(got(2L) == ((2L, 2L, 1L, blockD)))
+    assert(got(3L) == ((3L, 2L, 0L, "")))
+    assert(got(4L) == ((4L, 1L, 1L, "x y z")))
+    assert(got(5L) == ((5L, 2L, 1L, tail4)))
+  }
+
+  test("blockDedup conserves tokens: kept blocks partition the corpus's distinct blocks") {
+    val docs = graft.Tables.documents(spark, dir)
+    val out = PipelineQueries.blockDedup(docs, 16).cache()
+    // every document row comes back, kept ≤ total, and the number of
+    // kept blocks corpus-wide equals the number of DISTINCT blocks
+    // (keep-first retains exactly one copy of each)
+    assert(out.count() == docs.count())
+    assert(out.filter($"n_kept" > $"n_blocks").count() == 0)
+    val distinctBlocks = docs
+      .select($"doc_id", split($"text", " ").as("t"))
+      .select(explode(transform(
+        sequence(lit(0), expr("(size(t) + 15) div 16") - 1),
+        j => array_join(slice($"t", j * lit(16) + 1, lit(16)), " "))).as("b"))
+      .select(countDistinct($"b")).as[Long].head()
+    val kept = out.select(sum($"n_kept")).as[Long].head()
+    assert(kept == distinctBlocks, s"kept=$kept distinct=$distinctBlocks")
+    out.unpersist()
+  }
+
+  // ---------- split leakage: cross-split near-dup guard ----------
+
+  test("splitLeakage flags exactly the cross-split near-duplicates") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, base), // train (odd) — near-twin of doc 2
+      (2L, base), // val (even) — leaks against doc 1
+      (3L, (101 to 140).map(i => s"u$i").mkString(" ")), // train, unique
+      (4L, (201 to 240).map(i => s"v$i").mkString(" ")), // val, unique
+      (5L, (301 to 340).map(i => s"y$i").mkString(" ")), // train dup pair —
+      (7L, (301 to 340).map(i => s"y$i").mkString(" "))) // same split: NOT leakage
+      .toDF("doc_id", "text")
+    val split = when($"doc_id" % 2 === 0, "val").otherwise("train")
+    val got = PipelineQueries.splitLeakage(docs, split)
+      .as[(Long, String, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, "train", 1L, true)))
+    assert(got(2L) == ((2L, "val", 1L, true)))
+    assert(got(3L) == ((3L, "train", 0L, false)))
+    assert(got(4L) == ((4L, "val", 0L, false)))
+    assert(got(5L) == ((5L, "train", 0L, false)))
+    assert(got(7L) == ((7L, "train", 0L, false)))
+  }
+
+  test("splitLeakage md5 split is deterministic and leak counts are pair-symmetric") {
+    val docs = graft.Tables.documents(spark, dir)
+    val thr = PipelineQueries.rateThreshold(0.1)
+    val split = when(substring(md5($"doc_id".cast("string")), 1, 4) < lit(thr), "val")
+      .otherwise("train")
+    val out = PipelineQueries.splitLeakage(docs, split).cache()
+    // split assignment reproduces a driver-side md5 of the same ids
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex4(id: Long): String =
+      md.digest(id.toString.getBytes("UTF-8")).take(2).map("%02x".format(_)).mkString
+    val ids = docs.select($"doc_id").as[Long].collect()
+    val expectVal = ids.count(id => hex4(id) < thr)
+    assert(out.filter($"split" === "val").count() == expectVal)
+    assert(out.count() == ids.length)
+    // each verified pair contributes one leak to each side → total even,
+    // and the flag is exactly n_leaks > 0
+    val total = out.select(sum($"n_leaks")).as[Long].head()
+    assert(total % 2 == 0)
+    assert(out.filter($"leaky" =!= ($"n_leaks" > 0)).count() == 0)
+    out.unpersist()
+  }
 }
