@@ -264,17 +264,30 @@ object PipelineQueries {
     * one doc-grain aggregation with an in-memory sort of that doc's
     * blocks only. Nothing is all-pairs, no driver-side state. */
   def blockDedup(docs: DataFrame, blockTokens: Int): DataFrame = {
+    val firstSeen = Window.partitionBy(col("block"))
+      .orderBy(col("doc_id"), col("block_no"))
+    rebuildCleaned(blocksOf(docs, blockTokens)
+      .withColumn("keep", row_number().over(firstSeen) === 1))
+  }
+
+  /** Non-overlapping `blockTokens`-token blocks as
+    * `(doc_id, block_no, block)` rows — scan-local (`slice` over the
+    * token array). Shared by [[blockDedup]] and the incremental
+    * block-dedup engine models ([[graft.dedup.IncrementalBlockDedup]]). */
+  def blocksOf(docs: DataFrame, blockTokens: Int): DataFrame = {
     val b = lit(blockTokens)
-    val blocks = docs
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .select(col("doc_id"), posexplode(transform(
         sequence(lit(0), expr(s"(size(t) + ${blockTokens - 1}) div $blockTokens") - 1),
         j => array_join(slice(col("t"), j * b + 1, b), " "))))
       .toDF("doc_id", "block_no", "block")
-    val firstSeen = Window.partitionBy(col("block"))
-      .orderBy(col("doc_id"), col("block_no"))
+  }
+
+  /** Per-document rollup of `(doc_id, block_no, block, keep)` rows into
+    * `(doc_id, n_blocks, n_kept, text_clean)`. */
+  private[graft] def rebuildCleaned(blocks: DataFrame): DataFrame =
     blocks
-      .withColumn("keep", row_number().over(firstSeen) === 1)
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_blocks"),
@@ -285,7 +298,6 @@ object PipelineQueries {
           array_sort(collect_list(when(col("keep"),
             struct(col("block_no"), col("block"))))),
           x => x.getField("block")), " ").as("text_clean"))
-  }
 
   // ---------- driver-contract queries over `documents` ----------
 
@@ -532,6 +544,49 @@ object PipelineQueries {
          |FROM k GROUP BY 1""".stripMargin
     ) { (s, dir) =>
       blockDedup(Tables.documents(s, dir), BlockTokens)
+    },
+
+    // ---- incremental block dedup under the same oracle as the batch
+    // op: two engine builds (half corpus, then full) accumulate the
+    // block_first state, and the rebuilt corpus must hash-match the
+    // one-shot batch dedup — the incremental ≡ batch claim checked by
+    // the driver, not just the spec
+    Q.sql(
+      "q_pipeline_block_dedup_incremental",
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |bn AS (
+         |  SELECT doc_id, t,
+         |         unnest(generate_series(0, ((len(t) + ${BlockTokens - 1}) // $BlockTokens) - 1)) AS block_no
+         |  FROM tok),
+         |b AS (
+         |  SELECT doc_id, block_no,
+         |         array_to_string(t[block_no * $BlockTokens + 1 : block_no * $BlockTokens + $BlockTokens], ' ') AS block
+         |  FROM bn),
+         |k AS (
+         |  SELECT doc_id, block_no, block,
+         |         row_number() OVER (PARTITION BY block ORDER BY doc_id, block_no) = 1 AS keep
+         |  FROM b)
+         |SELECT doc_id,
+         |       CAST(count(*) AS BIGINT) AS n_blocks,
+         |       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |       coalesce(string_agg(block, ' ' ORDER BY block_no) FILTER (WHERE keep), '') AS text_clean
+         |FROM k GROUP BY 1""".stripMargin
+    ) { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val b = docs.agg(min(col("doc_id")), max(col("doc_id"))).first()
+      val mid = (b.getLong(0) + b.getLong(1)) / 2
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_incblock").toString
+      def build(src: DataFrame): Unit = {
+        val rpt = new graft.engine.Engine(s, wh,
+          Map("documents" -> src),
+          graft.dedup.IncrementalBlockDedup.models("documents", BlockTokens)).build()
+        require(rpt.ok, rpt.results.mkString("; "))
+      }
+      build(docs.filter(col("doc_id") <= mid))
+      build(docs)
+      graft.dedup.IncrementalBlockDedup.cleanedDocs(
+        docs, s.read.parquet(s"$wh/block_first"), BlockTokens)
     }
   )
 }

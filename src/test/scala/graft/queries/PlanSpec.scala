@@ -130,4 +130,15 @@ class PlanSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning\\(\\w+".r.findAllIn(p).toSeq
     assert(exchanges.nonEmpty && exchanges.forall(_.endsWith("user_id")), p)
   }
+
+  test("block dedup is two exchanges, no join: block window + doc rollup") {
+    // keep-first is a row_number window over the block partition (one
+    // block-grain exchange), then one doc-grain rollup exchange. A
+    // regression to a first-occurrence aggregate joined back to the
+    // blocks would show a Join and a third corpus-sized exchange.
+    val p = plan("q_pipeline_block_dedup").split("== Initial Plan ==")(0)
+    assert(!p.contains("Join"), p)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 2, s"expected 2 exchanges, got $exchanges in:\n$p")
+  }
 }
