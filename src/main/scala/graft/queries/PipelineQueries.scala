@@ -120,6 +120,31 @@ object PipelineQueries {
     docs.withColumn("hkey", hkey).filter(keep)
   }
 
+  /** Temperature-based mixture sampling (α = 0.5): target stratum share
+    * ∝ n_s^α, realized as per-stratum keep rate r_s = sqrt(n_min/n_s) —
+    * the smallest stratum is kept (almost) whole, larger strata are
+    * downsampled toward balance. Unlike [[mixSample]], the rates are
+    * DERIVED FROM THE DATA: the float chain (sqrt, divide, multiply,
+    * floor) uses only correctly-rounded IEEE-754 ops evaluated in the
+    * same order as the oracle SQL, so the 4-hex keep threshold is
+    * bit-identical across engines. (`rate·65536` saturates at 65535 the
+    * same way [[rateThreshold]] does, so a rate-1.0 stratum sheds its
+    * `hkey = 'ffff'` 1/65536.) Scale: one stratum-count aggregate, a
+    * 1-row global min, a k-row broadcast join — the per-row keep
+    * decision is scan-local. */
+  def mixTemperature(docs: DataFrame, idCol: String, stratumCol: String): DataFrame = {
+    val counts = docs.groupBy(col(stratumCol)).agg(count(lit(1)).as("n_s"))
+    val thr = counts.crossJoin(counts.agg(min(col("n_s")).as("n_min")))
+      .withColumn("thr", format_string("%04x",
+        least(floor(sqrt(col("n_min").cast("double")) /
+          sqrt(col("n_s").cast("double")) * 65536), lit(65535L)).cast("int")))
+      .select(col(stratumCol), col("thr"))
+    val hkey = substring(md5(col(idCol).cast("string")), 1, 4)
+    docs.join(broadcast(thr), Seq(stratumCol))
+      .withColumn("hkey", hkey)
+      .filter(col("hkey") < col("thr"))
+  }
+
   /** Cross-document repetition signal: per document, how many of its
     * distinct word `n`-grams occur in at least one OTHER document — the
     * boilerplate/template detector (headers, licence blocks, scraped
@@ -399,6 +424,25 @@ object PipelineQueries {
         .select(col("doc_id"), col("lang"), col("source"), col("hkey"))
     },
 
+    // ---- temperature-based mixture sampling: rates derived from the
+    // observed stratum sizes (α = 0.5), not a hand-written rate map
+    Q.sql(
+      "q_pipeline_mix_temperature",
+      """WITH c AS (SELECT lang, count(*) AS n_s FROM documents GROUP BY 1),
+        |m AS (SELECT min(n_s) AS n_min FROM c),
+        |t AS (SELECT lang, printf('%04x', CAST(LEAST(floor(
+        |         sqrt(CAST(n_min AS DOUBLE)) / sqrt(CAST(n_s AS DOUBLE)) * 65536),
+        |         65535) AS INT)) AS thr
+        |      FROM c CROSS JOIN m)
+        |SELECT d.doc_id, d.lang,
+        |       substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) AS hkey, t.thr
+        |FROM documents d JOIN t ON d.lang = t.lang
+        |WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < t.thr""".stripMargin
+    ) { (s, dir) =>
+      mixTemperature(Tables.documents(s, dir), "doc_id", "lang")
+        .select(col("doc_id"), col("lang"), col("hkey"), col("thr"))
+    },
+
     // ---- the composed curation decision per document (quality band +
     // entropy floor + repetition ceiling + stratified sample)
     Q.sql(
@@ -587,6 +631,48 @@ object PipelineQueries {
       build(docs)
       graft.dedup.IncrementalBlockDedup.cleanedDocs(
         docs, s.read.parquet(s"$wh/block_first"), BlockTokens)
+    },
+
+    // ---- incremental decontamination as an engine model: two builds
+    // accumulate per-doc contamination flags delta-only; the result must
+    // hash-match the batch protocol's full-corpus answer (zeros incl.)
+    Q.sql(
+      "q_pipeline_decontaminate_incremental",
+      s"""WITH g AS (
+         |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) >= $NGram THEN
+         |      list_transform(generate_series(1, len(t) - ${NGram - 1}),
+         |                     i -> array_to_string(t[i:i+${NGram - 1}], ' '))
+         |    ELSE []::VARCHAR[] END)) AS ng
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+         |m AS (
+         |  SELECT tr.doc_id, count(DISTINCT tr.ng) AS matched_ngrams,
+         |         count(DISTINCT ev.doc_id) AS eval_docs
+         |  FROM g tr JOIN g ev ON tr.ng = ev.ng AND ev.doc_id % 50 = 0
+         |  WHERE tr.doc_id % 50 <> 0
+         |  GROUP BY 1)
+         |SELECT d.doc_id,
+         |       CAST(coalesce(m.matched_ngrams, 0) AS BIGINT) AS matched_ngrams,
+         |       CAST(coalesce(m.eval_docs, 0) AS BIGINT) AS eval_docs,
+         |       (m.doc_id IS NOT NULL) AS contaminated
+         |FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
+         |WHERE d.doc_id % 50 <> 0""".stripMargin
+    ) { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val train = docs.filter(col("doc_id") % 50 =!= 0)
+      val evalSet = docs.filter(col("doc_id") % 50 === 0)
+      val b = train.agg(min(col("doc_id")), max(col("doc_id"))).first()
+      val mid = (b.getLong(0) + b.getLong(1)) / 2
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_incdecon").toString
+      def build(src: DataFrame): Unit = {
+        val rpt = new graft.engine.Engine(s, wh,
+          Map("train" -> src, "evalset" -> evalSet),
+          graft.dedup.IncrementalDecontam.models("train", "evalset", NGram)).build()
+        require(rpt.ok, rpt.results.mkString("; "))
+      }
+      build(train.filter(col("doc_id") <= mid))
+      build(train)
+      s.read.parquet(s"$wh/contam_flags")
     }
   )
 }

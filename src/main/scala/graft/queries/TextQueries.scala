@@ -23,6 +23,12 @@ object TextQueries {
     "fr" -> Seq("le", "la", "et"),
     "es" -> Seq("el", "los", "y"))
 
+  /** PII patterns, written in the dialect subset RE2 (DuckDB) and
+    * java.util.regex (Spark) interpret identically. */
+  private[queries] val EmailPat = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  private[queries] val IpPat    = """\b\d{1,3}(\.\d{1,3}){3}\b"""
+  private[queries] val PhonePat = """\+\d{1,2} \d{3} \d{4}"""
+
   val qs: Seq[Q] = Seq(
 
     // ---- scalar string functions over customer (trim/lower/nullif/…;
@@ -303,7 +309,56 @@ object TextQueries {
         |       round(ln(CAST(sum(c) AS DOUBLE))
         |             - sum(c * ln(CAST(c AS DOUBLE))) / sum(c), 4) AS token_entropy
         |FROM tf GROUP BY 1""".stripMargin
-    ) { (s, dir) => tokenEntropy(Tables.documents(s, dir), "doc_id", "text") }
+    ) { (s, dir) => tokenEntropy(Tables.documents(s, dir), "doc_id", "text") },
+
+    // ---- PII detection + redaction (emails / IPv4 / phone numbers).
+    // The corpus is synthetic, so PII is planted deterministically from
+    // doc_id with IDENTICAL concat expressions in both engines; the
+    // patterns use the RE2 ∩ java.util.regex dialect (no backrefs, no
+    // lookaround, ASCII \b) so match sets agree. Counts are taken before
+    // redaction; the redacted text is md5'd — a bit-exact cross-engine
+    // check of every replacement, not just the counts. Scale shape:
+    // per-row column expressions only — scan-local, zero shuffles, and
+    // the regex work stays inside whole-stage codegen.
+    Q.sql(
+      "q_text_pii_redact",
+      s"""WITH aug AS (
+         |  SELECT doc_id,
+         |         concat(text, ' Contact user', CAST(doc_id AS VARCHAR),
+         |                '@example.com or +1 555 ',
+         |                lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+         |                ' from 10.', CAST(doc_id % 200 AS VARCHAR), '.',
+         |                CAST((doc_id * 7) % 200 AS VARCHAR), '.',
+         |                CAST(doc_id % 250 AS VARCHAR), '.') AS t
+         |  FROM documents)
+         |SELECT doc_id,
+         |       CAST(len(regexp_extract_all(t, '$EmailPat')) AS INT) AS n_emails,
+         |       CAST(len(regexp_extract_all(t, '$IpPat')) AS INT) AS n_ips,
+         |       CAST(len(regexp_extract_all(t, '$PhonePat')) AS INT) AS n_phones,
+         |       md5(regexp_replace(regexp_replace(regexp_replace(t,
+         |           '$EmailPat', '<EMAIL>', 'g'),
+         |           '$IpPat', '<IP>', 'g'),
+         |           '$PhonePat', '<PHONE>', 'g')) AS red_md5
+         |FROM aug""".stripMargin
+    ) { (s, dir) =>
+      val aug = concat(col("text"), lit(" Contact user"),
+        col("doc_id").cast("string"), lit("@example.com or +1 555 "),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" from 10."), (col("doc_id") % 200).cast("string"), lit("."),
+        ((col("doc_id") * 7) % 200).cast("string"), lit("."),
+        (col("doc_id") % 250).cast("string"), lit("."))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), aug.as("t"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("t"), lit(EmailPat), lit(0))).as("n_emails"),
+          size(regexp_extract_all(col("t"), lit(IpPat), lit(0))).as("n_ips"),
+          size(regexp_extract_all(col("t"), lit(PhonePat), lit(0))).as("n_phones"),
+          md5(regexp_replace(
+            regexp_replace(
+              regexp_replace(col("t"), EmailPat, "<EMAIL>"),
+              IpPat, "<IP>"),
+            PhonePat, "<PHONE>")).as("red_md5"))
+    }
   )
 
   /** Token-distribution Shannon entropy over any `(id, text)` frame —

@@ -39,7 +39,8 @@ object ScaleProbe {
       // LLM-pipeline operators (documents-table amplification below)
       "q_pipeline_decontaminate", "q_pipeline_shard_pack", "q_dedup_minhash_lsh",
       "q_pipeline_repeated_ngrams", "q_text_token_entropy",
-      "q_pipeline_split_leakage", "q_pipeline_block_dedup")
+      "q_pipeline_split_leakage", "q_pipeline_block_dedup",
+      "q_text_pii_redact", "q_pipeline_mix_temperature", "q_dedup_semantic")
     // median-of-3 per point: single-shot probe timings drifted ±20%
     // between runs of identical code (same noise floor that moved Bench
     // to medians), which is fatal to a ratio whose denominator is a
@@ -77,6 +78,24 @@ object ScaleProbe {
           transform(split(col("text"), " "), w => concat(w, lit("_"), col("rep"))), " "))
         .drop("rep")
         .write.mode("overwrite").parquet(s"$scaled/documents.parquet")
+      // embeddings: replicas are the base vectors ROTATED by rep%dims
+      // positions — norm-preserving and near-orthogonal to the
+      // originals on random data, so the amplified corpus keeps the
+      // base similar-pair RATE (identical copies would instead measure
+      // the adversarial 100%-duplicate case). Labels are remapped per
+      // replica so the cluster COUNT grows with the corpus and cluster
+      // SIZE stays bounded — the published SemDeDup configuration (k ∝
+      // corpus); a fixed k would grow clusters by amp and measure the
+      // within-cluster quadratic, not the operator's scaling.
+      spark.read.parquet(s"$dir/embeddings.parquet")
+        .crossJoin(spark.range(amp.toLong).toDF("rep"))
+        .withColumn("vec_id", col("vec_id") * amp + col("rep"))
+        .withColumn("label", (col("label") * amp + col("rep")).cast("int"))
+        .withColumn("embedding", expr(
+          "concat(slice(embedding, (CAST(rep AS INT) % 64) + 1, 64 - (CAST(rep AS INT) % 64)), " +
+            "slice(embedding, 1, CAST(rep AS INT) % 64))"))
+        .drop("rep")
+        .write.mode("overwrite").parquet(s"$scaled/embeddings.parquet")
       for (t <- Seq("lineitem", "customer", "nation", "region"))
         spark.read.parquet(s"$dir/$t.parquet")
           .write.mode("overwrite").parquet(s"$scaled/$t.parquet")

@@ -1,0 +1,147 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Engine-side semantics for the round-8 curation additions: the PII
+  * patterns hit exactly what they should (closed-form fixtures), the
+  * temperature sampler's derived thresholds match a driver-side
+  * recompute and its keep rates land in binomial bounds, and the
+  * semantic (SemDeDup-style) dedup obeys its greedy keep-first
+  * contract: nearest-centroid assignment, smallest id per cluster
+  * always kept, no two similar survivors.
+  */
+class CurationOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  // ---------- PII patterns: closed-form redaction ----------
+
+  test("PII patterns redact emails, IPs and phones and nothing else") {
+    val fixtures = Seq(
+      ("reach a.b-c%x@foo-bar.org.", "reach <EMAIL>."),
+      ("at 10.0.254.9, then 1.2.3.4.", "at <IP>, then <IP>."),
+      ("call +1 555 0100 now", "call <PHONE> now"),
+      // negative guards: 3 octets are not an IP, a bare number is not a
+      // phone (no '+'), a TLD-less '@' is no email. (A 5-octet dotted
+      // run DOES contain an embedded 4-octet match after the first dot
+      // — both engines agree, so no parity hazard, just not testable as
+      // a negative here.)
+      ("v1.2.3 build 555 0100 at x@y", "v1.2.3 build 555 0100 at x@y"),
+      ("", ""))
+    val got = fixtures.toDF("t", "want")
+      .select($"want", regexp_replace(regexp_replace(regexp_replace($"t",
+        TextQueries.EmailPat, "<EMAIL>"),
+        TextQueries.IpPat, "<IP>"),
+        TextQueries.PhonePat, "<PHONE>").as("got"))
+      .as[(String, String)].collect()
+    got.foreach { case (want, g) => assert(g == want) }
+  }
+
+  test("q_text_pii_redact finds exactly the planted PII per document") {
+    val out = graft.SparkEntry.queries("q_text_pii_redact")(spark, dir)
+      .select($"doc_id", $"n_emails", $"n_ips", $"n_phones")
+      .as[(Long, Int, Int, Int)].collect()
+    assert(out.length == 500)
+    // one planted email/IP/phone per doc; the synthetic corpus text
+    // itself contains none, so every count is exactly 1
+    out.foreach { case (id, e, i, p) =>
+      assert(e == 1 && i == 1 && p == 1, s"doc $id counts ($e,$i,$p)")
+    }
+  }
+
+  // ---------- temperature sampling ----------
+
+  test("mixTemperature thresholds equal the closed-form sqrt(n_min/n_s) rates") {
+    val docs = graft.Tables.documents(spark, dir)
+    val counts = docs.groupBy($"lang").count().as[(String, Long)].collect().toMap
+    val nMin = counts.values.min
+    val out = PipelineQueries.mixTemperature(docs, "doc_id", "lang")
+    val thrs = out.select($"lang", $"thr").distinct().as[(String, String)].collect().toMap
+    assert(thrs.keySet == counts.keySet) // every stratum sampled, none lost
+    for ((lang, n) <- counts) {
+      val want = f"${math.min(
+        math.floor(math.sqrt(nMin.toDouble) / math.sqrt(n.toDouble) * 65536).toLong,
+        65535L)}%04x"
+      assert(thrs(lang) == want, s"$lang thr ${thrs(lang)} want $want")
+    }
+    // smallest stratum: rate saturates at 65535/65536 — at most the
+    // 'ffff'-keyed sliver may drop
+    val minLang = counts.minBy(_._2)._1
+    val keptMin = out.filter($"lang" === minLang).count()
+    assert(keptMin >= (counts(minLang) * 65535L) / 65536)
+  }
+
+  test("mixTemperature keep rates land within 4-sigma binomial bounds") {
+    val n = 20000L
+    val corpus = spark.range(n).select($"id".as("doc_id"),
+      when($"id" % 5 === 0, "small").otherwise("big").as("stratum"))
+    val kept = PipelineQueries.mixTemperature(corpus, "doc_id", "stratum")
+      .groupBy($"stratum").count().as[(String, Long)].collect().toMap
+    val sizes = Map("small" -> n / 5, "big" -> (n - n / 5))
+    for ((s, ns) <- sizes) {
+      val rate = math.min(
+        math.floor(math.sqrt(sizes.values.min.toDouble) / math.sqrt(ns.toDouble) * 65536) / 65536,
+        65535.0 / 65536)
+      val sigma = math.sqrt(rate * (1 - rate) / ns)
+      val tol = 4 * sigma + 1.0 / 65536
+      val got = kept(s).toDouble / ns
+      assert(math.abs(got - rate) <= tol, s"$s keep rate $got vs $rate (tol $tol)")
+    }
+  }
+
+  // ---------- semantic dedup: greedy keep-first contract ----------
+
+  test("q_dedup_semantic assigns by nearest centroid and drops greedily") {
+    val out = graft.SparkEntry.queries("q_dedup_semantic")(spark, dir)
+      .select($"vec_id", $"cluster", $"cos_centroid", $"keep")
+      .as[(Long, Int, Double, Boolean)].collect()
+    assert(out.length == 500)
+    assert(out.exists(!_._4) && out.exists(_._4)) // both outcomes occur
+
+    // driver-side recompute on the quantized vectors (500 × 64 ints)
+    val vecs = graft.Tables.embeddings(spark, dir)
+      .select($"vec_id", transform($"embedding", x => round(x * 100, 0).cast("long")).as("q"))
+      .as[(Long, Array[Long])].collect().toMap
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def similar(a: Long, b: Long): Boolean = {
+      val d = dot(vecs(a), vecs(b))
+      d > 0 && d * d * 100 >= 9 * dot(vecs(a), vecs(a)) * dot(vecs(b), vecs(b))
+    }
+
+    // assignment: the reported cluster maximizes cosine over all
+    // centroids (centroid = per-label integer sum, labels from source)
+    val labels = graft.Tables.embeddings(spark, dir)
+      .select($"vec_id", $"label").as[(Long, Int)].collect().toMap
+    // toSeq before transpose: a Set of columns would collapse duplicate
+    // values inside a dimension and corrupt the centroid sums
+    val cents = labels.groupBy(_._2).map { case (l, m) =>
+      l -> m.keys.toSeq.map(vecs).transpose.map(_.sum).toArray }
+    def cos(q: Array[Long], c: Array[Long]): Double =
+      dot(q, c) / math.sqrt(dot(q, q).toDouble * dot(c, c).toDouble)
+    out.foreach { case (id, cl, _, _) =>
+      val best = cents.map { case (l, c) => (cos(vecs(id), c), l) }
+        .maxBy { case (s, l) => (s, -l) }._2
+      assert(cl == best, s"vec $id assigned $cl, nearest centroid $best")
+    }
+
+    val byCluster = out.groupBy(_._2)
+    for ((_, members) <- byCluster) {
+      val ids = members.map(_._1).sorted
+      val keepOf = members.map(m => m._1 -> m._4).toMap
+      // smallest id can never be a 'b' side — always kept
+      assert(keepOf(ids.min))
+      // greedy contract both ways
+      for (id <- ids) {
+        val hasSmallerDup = ids.filter(_ < id).exists(similar(_, id))
+        assert(keepOf(id) == !hasSmallerDup, s"vec $id keep=${keepOf(id)}")
+      }
+      // no two survivors in a cluster are similar
+      val kept = ids.filter(keepOf)
+      for (i <- kept.indices; j <- (i + 1) until kept.length)
+        assert(!similar(kept(i), kept(j)))
+    }
+  }
+}

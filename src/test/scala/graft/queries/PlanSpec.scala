@@ -141,4 +141,21 @@ class PlanSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(exchanges == 2, s"expected 2 exchanges, got $exchanges in:\n$p")
   }
+
+  test("temperature sampling broadcasts its derived thresholds") {
+    // the k-row threshold table joins the corpus via broadcast — the
+    // per-row keep decision must stay scan-local (no corpus shuffle)
+    val p = plan("q_pipeline_mix_temperature")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("semantic dedup assignment is a map-side partial argmax") {
+    // centroids broadcast into the cross product; the argmax collapses
+    // the k candidate rows per vector BEFORE the exchange (partial
+    // max_by), so the assignment shuffle carries ~N rows, not N×k
+    val p = plan("q_dedup_semantic")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_max_by"), p)
+  }
 }
