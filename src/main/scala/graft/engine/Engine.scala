@@ -53,6 +53,15 @@ final class Engine(
   require(byName.size == models.size, "duplicate model names")
 
   private def path(name: String): String = s"$warehouseDir/$name"
+
+  /** Catalog home for [[Materialization.BucketedTable]] models — bucket
+    * metadata only exists in the catalog, and scoping the database to the
+    * warehouse dir keeps same-named models of two engines apart. */
+  private lazy val bucketDb: String =
+    "graft_" + java.lang.Integer.toHexString(warehouseDir.hashCode)
+  private def bucketTable(name: String): String = s"$bucketDb.$name"
+  private def isBucketed(name: String): Boolean = byName.get(name).exists(
+    _.materialization.isInstanceOf[Materialization.BucketedTable])
   private def exists(name: String): Boolean = {
     // A root _SUCCESS marker means the last full write committed.
     // Dynamic-partition-overwrite writes create no root marker, so
@@ -143,6 +152,7 @@ final class Engine(
       case Some(m) if m.materialization == Materialization.View =>
         m.build(spark, ref)
       case Some(_) if isSnapshot(name) => readSnapshot(name)
+      case Some(_) if isBucketed(name) => spark.table(bucketTable(name))
       case Some(_) => spark.read.parquet(path(name))
       case None => throw new UnknownRefException(name)
     }
@@ -188,6 +198,14 @@ final class Engine(
       case Materialization.View => -1L
       case Materialization.Table =>
         writeCounted(df, _.write.mode("overwrite").parquet(path(m.name)))
+      case Materialization.BucketedTable(key, n) =>
+        // external table at the model's normal path; DROP clears stale
+        // catalog metadata (not the files — overwrite rewrites those)
+        spark.sql(s"CREATE DATABASE IF NOT EXISTS $bucketDb")
+        spark.sql(s"DROP TABLE IF EXISTS ${bucketTable(m.name)}")
+        writeCounted(df, _.write.bucketBy(n, key).sortBy(key)
+          .option("path", path(m.name)).mode("overwrite")
+          .saveAsTable(bucketTable(m.name)))
       case Materialization.IncrementalAppend(wm) =>
         if (!exists(m.name))
           writeCounted(df, _.write.mode("overwrite").parquet(path(m.name)))

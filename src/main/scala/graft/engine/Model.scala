@@ -22,6 +22,22 @@ object Materialization {
     */
   case object Table extends Materialization
 
+  /** Full rebuild like [[Table]], persisted as a BUCKETED table:
+    * hash-bucketed and sorted by `key` into `buckets` buckets, registered
+    * in the session catalog (bucket metadata lives there — a plain
+    * parquet path read would discard it) under a warehouse-scoped
+    * database so same-named models of two engines cannot collide. The
+    * data files still live under `warehouseDir/<name>` like every other
+    * model; refs resolve through the catalog so downstream joins and
+    * aggregations on `key` read co-located buckets with NO exchange
+    * (the BucketingSpec shape, lifted into the engine).
+    *
+    * At 100 TB this is the materialization for a fact several consumers
+    * re-join on one key: the shuffle is paid once at write time, not
+    * once per consumer per build.
+    */
+  final case class BucketedTable(key: String, buckets: Int) extends Materialization
+
   /** Incremental append: on first run write everything; afterwards append
     * only rows with `watermarkCol > max(watermarkCol)` already in the target.
     * Reference: `models/staging/stg_accounts.sql:1-11` (high-water-mark

@@ -345,4 +345,41 @@ class EngineSpec extends SparkSpec {
     intercept[IllegalArgumentException] { e.build(select = Seq("+nope")) }
     intercept[IllegalArgumentException] { e.build(select = Seq("nope+")) }
   }
+
+  test("bucketed models: downstream join on the bucket key skips the exchange") {
+    val n = 5000
+    val left = spark.range(n).select($"id".as("k"), ($"id" * 2).as("lv"))
+    val right = spark.range(n).select($"id".as("k"), ($"id" * 3).as("rv"))
+    val mk = Seq(
+      Model("bl", Seq("src_l"), Materialization.BucketedTable("k", 8))((_, r) => r("src_l")),
+      Model("br", Seq("src_r"), Materialization.BucketedTable("k", 8))((_, r) => r("src_r")),
+      Model("joined", Seq("bl", "br"), Materialization.Table)((_, r) =>
+        r("bl").join(r("br"), "k").select($"k", ($"lv" + $"rv").as("v"))))
+    val dir = tmpDir("engbkt")
+    val e = new Engine(spark, dir,
+      Map("src_l" -> left, "src_r" -> right), mk)
+
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val rpt = e.build()
+      assert(rpt.ok, rpt.results.mkString("; "))
+      assert(rpt("bl").rows == n && rpt("br").rows == n && rpt("joined").rows == n)
+
+      // the downstream join read catalog tables with bucket metadata:
+      // co-located buckets, so the join keys were never exchanged
+      val j = e.ref("bl").join(e.ref("br"), "k").select($"k", ($"lv" + $"rv").as("v"))
+      j.collect()
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p)
+      assert(p.contains("Bucketed: true"), p)
+      assert(!p.contains("Exchange hashpartitioning(k"), p)
+
+      // data still lives under the warehouse dir like any other model,
+      // and a rebuild (DROP + overwrite) converges to the same rows
+      assert(spark.read.parquet(s"$dir/bl").count() == n)
+      assert(e.build().ok)
+      assert(e.ref("joined").count() == n)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
