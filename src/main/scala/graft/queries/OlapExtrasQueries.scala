@@ -292,6 +292,36 @@ object OlapExtrasQueries {
         ntile(4).over(w).as("quartile"),
         first(col("o_orderkey")).over(w).as("biggest_order"),
         last(col("o_orderkey")).over(wFull).as("smallest_order"))
+    },
+
+    // ---- Z-order clustering key: bit-interleave (user, minute-of-day)
+    // so one sort key clusters BOTH dimensions — written with
+    // repartitionByRange(z) + sortWithinPartitions(z), a (user, time)
+    // rectangle predicate skips row groups by parquet min/max stats on
+    // either column (ZOrderSpec measures the skip; this query pins the
+    // key expression itself cross-engine). The interleave is pure
+    // per-row bit arithmetic — scan-local, zero shuffles, codegen'd.
+    Q.sql(
+      "q_layout_zorder", {
+        val bits = (0 until 10).map(i =>
+          s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})")
+        s"""SELECT event_id, x, y, ${bits.mkString(" + ")} AS z
+           |FROM (SELECT event_id,
+           |             user_id % 1024 AS x,
+           |             CAST(extract(hour FROM ts) * 60 + extract(minute FROM ts)
+           |                  AS BIGINT) % 1024 AS y
+           |      FROM events)""".stripMargin
+      }
+    ) { (s, dir) =>
+      val z = (0 until 10).map { i =>
+        shiftleft(shiftright(col("x"), i).bitwiseAND(1), 2 * i) +
+          shiftleft(shiftright(col("y"), i).bitwiseAND(1), 2 * i + 1)
+      }.reduce(_ + _)
+      Tables.events(s, dir).select(
+        col("event_id"),
+        (col("user_id") % 1024).as("x"),
+        ((hour(col("ts")) * 60 + minute(col("ts"))).cast("long") % 1024).as("y"))
+        .withColumn("z", z)
     }
   )
 }

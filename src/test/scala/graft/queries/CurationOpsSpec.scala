@@ -91,6 +91,42 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  // ---------- URL canonicalization ----------
+
+  test("canonicalUrl collapses aliases and leaves distinct pages apart") {
+    val fixtures = Seq(
+      // scheme/host case, www alias, fragment, utm params all collapse
+      ("HTTPS://WWW.Site.COM/Docs/1?utm_source=a&utm_id=2", "https://site.com/Docs/1"),
+      ("http://site.com/Docs/1#sec-3",                      "https://site.com/Docs/1"),
+      ("https://site.com/Docs/1/",                          "https://site.com/Docs/1"),
+      // non-tracking params survive, trailing utm after them is dropped
+      ("https://site.com/p?ref=keep&utm_medium=email",      "https://site.com/p?ref=keep"),
+      // path case and non-utm query are significant — no collapse
+      ("https://site.com/docs/1",                           "https://site.com/docs/1"),
+      ("https://site.com/Docs/1?page=2",                    "https://site.com/Docs/1?page=2"),
+      // bare host: root slash strips to the naked origin
+      ("https://www.site.com/",                             "https://site.com"))
+    val got = fixtures.toDF("url", "want")
+      .select($"want", DedupQueries.canonicalUrl($"url").as("got"))
+      .as[(String, String)].collect()
+    got.foreach { case (want, g) => assert(g == want) }
+  }
+
+  test("q_dedup_url keeps exactly the min doc_id per canonical URL") {
+    val out = graft.SparkEntry.queries("q_dedup_url")(spark, dir)
+      .select($"doc_id", $"canonical_url", $"keep", $"n_aliases")
+      .as[(Long, String, Boolean, Long)].collect()
+    assert(out.length == 500)
+    val byCanon = out.groupBy(_._2)
+    // the planted URLs really do alias at this SF (the op has work to do)
+    assert(byCanon.exists(_._2.length > 1))
+    for ((_, members) <- byCanon) {
+      assert(members.forall(_._4 == members.length)) // n_aliases consistent
+      val keepers = members.filter(_._3).map(_._1)
+      assert(keepers.toList == List(members.map(_._1).min)) // exactly the min kept
+    }
+  }
+
   // ---------- semantic dedup: greedy keep-first contract ----------
 
   test("q_dedup_semantic assigns by nearest centroid and drops greedily") {

@@ -150,6 +150,40 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("runtime bloom filter prunes the probe side of a selective shuffle join") {
+    // at 100 TB the big side of a selective fact-dim join should not be
+    // scanned in full: Catalyst's InjectRuntimeFilter builds a bloom
+    // filter from the filtered build side and pushes a
+    // bloom_filter_might_contain probe into the other side's scan. The
+    // size thresholds exist for small-data regimes, so the test lowers
+    // the application-side floor to let the sf0.001 plan show the shape
+    // a production-size plan gets by default.
+    import org.apache.spark.sql.functions.col
+    val c = spark.conf
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    val saved = keys.map(k => k -> c.getOption(k)).toMap
+    try {
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+      c.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      c.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val o = graft.Tables.orders(spark, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val j = graft.Tables.lineitem(spark, dir)
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag")).count()
+      j.collect()
+      val p = j.queryExecution.executedPlan.toString
+      // InjectRuntimeFilter: a bloom_filter_agg subquery on the filtered
+      // build side feeds a might_contain probe on the big side's scan
+      assert(p.contains("might_contain"), p)
+      assert(p.contains("bloom_filter_agg"), p)
+    } finally saved.foreach { case (k, v) => v.fold(c.unset(k))(c.set(k, _)) }
+  }
+
   test("semantic dedup assignment is a map-side partial argmax") {
     // centroids broadcast into the cross product; the argmax collapses
     // the k candidate rows per vector BEFORE the exchange (partial
