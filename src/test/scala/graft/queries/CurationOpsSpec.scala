@@ -112,6 +112,29 @@ class CurationOpsSpec extends SparkSpec {
     got.foreach { case (want, g) => assert(g == want) }
   }
 
+  test("canonicalUrl and PII redaction are idempotent over the corpus") {
+    // canonical output has a lowercase www-free host, no fragment, no
+    // utm params, no trailing slash — a second pass must change nothing
+    val urls = graft.SparkEntry.queries("q_dedup_url")(spark, dir)
+      .select($"canonical_url")
+      .withColumn("again", DedupQueries.canonicalUrl($"canonical_url"))
+      .filter($"again" =!= $"canonical_url")
+    assert(urls.count() == 0)
+    // redacted text contains only <EMAIL>/<IP>/<PHONE> placeholders,
+    // none of which match any PII pattern — re-redaction is identity
+    val redact: org.apache.spark.sql.Column => org.apache.spark.sql.Column = t =>
+      regexp_replace(regexp_replace(regexp_replace(t,
+        TextQueries.EmailPat, "<EMAIL>"),
+        TextQueries.IpPat, "<IP>"),
+        TextQueries.PhonePat, "<PHONE>")
+    val docs = graft.Tables.documents(spark, dir)
+      .select(concat($"text", lit(" a.b@c.io at 1.2.3.4 call +1 555 0000")).as("t"))
+      .select(redact($"t").as("r1"))
+      .withColumn("r2", redact($"r1"))
+      .filter($"r2" =!= $"r1")
+    assert(docs.count() == 0)
+  }
+
   test("q_dedup_url keeps exactly the min doc_id per canonical URL") {
     val out = graft.SparkEntry.queries("q_dedup_url")(spark, dir)
       .select($"doc_id", $"canonical_url", $"keep", $"n_aliases")
