@@ -65,6 +65,24 @@ object Checks {
   /** Singular test: arbitrary violation query over the model. */
   def singular(name: String)(q: DataFrame => DataFrame): Check = Check(name, q)
 
+  /** dbt source-freshness (`dbt source freshness`, `loaded_at_field` +
+    * `error_after`) as a check: fails when the newest `tsCol` value is
+    * older than `maxAgeSeconds` before `asOf` — attach it to the staging
+    * model that reads the source (this engine's checks run on models;
+    * dbt's run on the source table — same predicate either way). An
+    * EMPTY frame is also a violation: a source that has never loaded is
+    * the stalest possible source, which dbt reports as an error too.
+    *
+    * Scale: one max-aggregate over the timestamp column — parquet footer
+    * stats make it metadata-only in practice, like the incremental HWM.
+    */
+  def freshness(tsCol: String, maxAgeSeconds: Long,
+      asOf: java.sql.Timestamp): Check =
+    Check(s"freshness($tsCol < ${maxAgeSeconds}s before $asOf)",
+      df => df.agg(max(col(tsCol)).as("newest"))
+        .filter(col("newest").isNull ||
+          col("newest") < lit(asOf) - expr(s"INTERVAL $maxAgeSeconds SECONDS")))
+
   /** Numeric reconciliation helper used by the reference's singular tests
     * (`tests/test_waterfall_ties_out.sql:20-22`): |a-b| > tol rows. */
   def tiesOut(a: Column, b: Column, tol: Double = 1e-4): Column = abs(a - b) > tol

@@ -360,7 +360,8 @@ final class Engine(
         sources ++ pinned.map(n => n -> ref(n)).toMap, sub ++ viewsAlong.values)
       val rpt = eng.build(batchTs, threads)
       if (viewsRegistered) registerViews()
-      return BuildReport(rpt.results.filter(r => sel(r.name)))
+      writeManifest() // the inner engine wrote the subset's view; the
+      return BuildReport(rpt.results.filter(r => sel(r.name))) // full project wins
     }
     val order = topoOrder
     val report =
@@ -415,6 +416,36 @@ final class Engine(
         BuildReport(order.map(results.get))
       }
     if (viewsRegistered) registerViews() // refresh pinned file listings
+    writeManifest()
     report
+  }
+
+  /** dbt writes `target/manifest.json` on every invocation — the project
+    * graph as a machine-readable artifact for docs, lineage tooling and
+    * CI diffing. The engine analogue: `warehouseDir/manifest.json` with
+    * the source names and every node in topological order carrying its
+    * deps, materialization and check names. Driver-side metadata only —
+    * building it runs no Spark job. */
+  def manifestJson: String = {
+    def esc(s: String): String = s.flatMap {
+      case '"'           => "\\\""
+      case '\\'          => "\\\\"
+      case c if c < ' '  => f"\\u${c.toInt}%04x"
+      case c             => c.toString
+    }
+    def arr(xs: Seq[String]) = xs.map(x => s""""${esc(x)}"""").mkString("[", ",", "]")
+    val nodes = topoOrder.map(byName).map { m =>
+      s"""{"name":"${esc(m.name)}","deps":${arr(m.deps)}""" +
+        s""","materialization":"${esc(m.materialization.toString)}"""" +
+        s""","checks":${arr(m.checks.map(_.name))}}"""
+    }
+    s"""{"sources":${arr(sources.keys.toSeq.sorted)},"nodes":${nodes.mkString("[", ",", "]")}}"""
+  }
+
+  private def writeManifest(): Unit = {
+    Files.createDirectories(Paths.get(warehouseDir))
+    Files.write(Paths.get(warehouseDir, "manifest.json"),
+      manifestJson.getBytes("UTF-8"))
+    ()
   }
 }

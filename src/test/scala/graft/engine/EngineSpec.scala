@@ -346,6 +346,49 @@ class EngineSpec extends SparkSpec {
     intercept[IllegalArgumentException] { e.build(select = Seq("nope+")) }
   }
 
+  test("freshness check: stale or never-loaded source fails, fresh passes") {
+    val asOf = Timestamp.valueOf("2024-01-03 12:00:00")
+    // newest row is 2024-01-03 00:00:00 — 12h old
+    val fresh = Checks.freshness("ingested_at", 24 * 3600, asOf)
+    val stale = Checks.freshness("ingested_at", 6 * 3600, asOf)
+    def staged(c: Check) = Model("staged", Seq("raw_orders"),
+      Materialization.Table, checks = Seq(c))((_, r) => r("raw_orders"))
+
+    assert(eng(tmpDir("engfr1"), Seq(staged(fresh))).build().ok)
+    val rpt = eng(tmpDir("engfr2"), Seq(staged(stale))).build()
+    assert(!rpt.ok)
+    assert(rpt("staged").status == "test_failed")
+    // a source that has never loaded is the stalest possible source
+    val empty = new Engine(spark, tmpDir("engfr3"),
+      Map("raw" -> spark.range(0).select($"id".cast("timestamp").as("ingested_at"))),
+      Seq(Model("s", Seq("raw"), Materialization.Table,
+        checks = Seq(fresh))((_, r) => r("raw"))))
+    assert(!empty.build().ok)
+  }
+
+  test("build writes a manifest.json artifact for the whole project") {
+    val dir = tmpDir("engman")
+    val mk = Seq(
+      Model("a", Seq("raw_orders"), Materialization.Table,
+        checks = Seq(Checks.unique("id")))((_, r) => r("raw_orders")),
+      Model("b", Seq("a"), Materialization.IncrementalAppend("ingested_at"))(
+        (_, r) => r("a")))
+    val e = eng(dir, mk)
+    assert(e.build().ok)
+    val m = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "manifest.json")), "UTF-8")
+    assert(m.contains(""""sources":["raw_orders"]"""), m)
+    assert(m.indexOf(""""name":"a"""") < m.indexOf(""""name":"b""""), m) // topo order
+    assert(m.contains(""""deps":["a"]"""), m)
+    assert(m.contains("IncrementalAppend(ingested_at)"), m)
+    assert(m.contains("unique(id)"), m)
+    // a selective rebuild must leave the FULL project manifest in place
+    assert(e.build(select = Seq("b")).ok)
+    val m2 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "manifest.json")), "UTF-8")
+    assert(m2.contains(""""name":"a""""), m2)
+  }
+
   test("bucketed models: downstream join on the bucket key skips the exchange") {
     val n = 5000
     val left = spark.range(n).select($"id".as("k"), ($"id" * 2).as("lv"))
