@@ -53,6 +53,33 @@ class DedupSpec extends SparkSpec {
     assert(surv.filter($"survivor_doc_id" === 1L).count() == nDup)
   }
 
+  test("adversarial semantic corpus: degenerate cluster caps to a chain, keep-first survives") {
+    // 300 identical embeddings collapse into ONE learned cluster
+    // (> MaxCluster=64): uncapped in-cluster expansion would be
+    // 300·299/2 ≈ 45k pairs; the nearest-centroid-order chain emits
+    // exactly n-1. A 3-member orthogonal cluster stays all-pairs.
+    import graft.queries.DedupQueries
+    val nDup = 300
+    val v = Array.fill(64)(0.5) // the near-dup block
+    val w = Array.tabulate(64)(i => if (i % 2 == 0) 0.5 else -0.5) // dot(v,w)=0
+    val emb = ((1L to nDup.toLong).map(i => (i, 0L, v)) ++
+      Seq((1001L, 1L, w), (1002L, 1L, w), (1003L, 1L, w)))
+      .toDF("vec_id", "label", "embedding")
+    val assign = DedupQueries.semanticAssignFor(emb)
+    val pairs = DedupQueries.semanticPairsFor(assign)
+    // linear, not quadratic: (nDup-1) chain pairs + C(3,2) small-cluster pairs
+    assert(pairs.count() == (nDup - 1) + 3)
+    // keep-first survives the degradation: identical chain neighbours are
+    // all similar, the drop candidate is always the pair's larger id, so
+    // exactly the min id of each cluster keeps
+    val dropped = pairs
+      .filter($"dot" > 0 && $"dot" * $"dot" * 100 >= lit(9) * $"na" * $"nb")
+      .select($"vb").distinct()
+    val keep = assign.join(dropped, $"vec_id" === $"vb", "left")
+      .filter($"vb".isNull).select($"vec_id").as[Long].collect().sorted.toSeq
+    assert(keep == Seq(1L, 1001L))
+  }
+
   test("end-to-end: LSH candidates -> clusters over the documents table") {
     val dir = "/root/testdata/sf0.001"
     val out = graft.SparkEntry.queries("q_dedup_clusters")(spark, dir)
