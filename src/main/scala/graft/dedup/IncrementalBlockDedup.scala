@@ -3,7 +3,7 @@ package graft.dedup
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.engine.{Materialization, Model}
+import graft.engine.{Incremental, Materialization, Model}
 import graft.queries.PipelineQueries
 
 /** Incremental corpus-wide block dedup as an engine model — the
@@ -56,22 +56,19 @@ object IncrementalBlockDedup {
       "block_first", Seq(docsRef), Materialization.IncrementalAppend("doc_id")) {
       (s, r, prior) =>
         val docs = r(docsRef)
+        val schema: Incremental.Schema = Seq(
+          "block_hash" -> "long", "doc_id" -> "long", "block_no" -> "int")
         // HWM = the last build's frontier (marker or data rows, whichever
         // is newer) — one scalar off the prior state's parquet footer
         // stats; the doc_id predicate prunes the documents scan BEFORE
         // any blocking work.
-        val hwm = prior.map(_.agg(max(col("doc_id"))).first())
-          .filter(!_.isNullAt(0)).map(_.getLong(0)).getOrElse(-1L)
+        val hwm = Incremental.hwm(prior, "doc_id")
         val newDocs = docs.filter(col("doc_id") > hwm)
-        val frontierRow = newDocs.agg(max(col("doc_id"))).first()
-        if (frontierRow.isNullAt(0)) {
-          // no new documents: append nothing (idempotent re-run)
-          s.range(0).select(
-            lit(null).cast("long").as("block_hash"),
-            lit(null).cast("long").as("doc_id"),
-            lit(null).cast("int").as("block_no"))
-        } else {
-          val frontier = frontierRow.getLong(0)
+        Incremental.frontier(newDocs, "doc_id") match {
+          case None =>
+            // no new documents: append nothing (idempotent re-run)
+            Incremental.emptyFrame(s, schema)
+          case Some(frontier) =>
           val blocks = PipelineQueries.blocksOf(newDocs, blockTokens)
             .select(xxhash64(col("block")).as("block_hash"),
               col("doc_id"), col("block_no"))
@@ -89,11 +86,7 @@ object IncrementalBlockDedup {
               Seq("block_hash"), "left_anti")
             case None => batchFirst
           }
-          val marker = s.range(1).select(
-            lit(null).cast("long").as("block_hash"),
-            lit(frontier).as("doc_id"),
-            lit(null).cast("int").as("block_no"))
-          fresh.unionByName(marker)
+          fresh.unionByName(Incremental.markerRow(s, schema, "doc_id", frontier))
         }
     })
 

@@ -2,7 +2,7 @@ package graft.dedup
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.engine.{Materialization, Model}
+import graft.engine.{Incremental, Materialization, Model}
 import graft.queries.PipelineQueries
 
 /** Incremental n-gram decontamination as an engine model — the
@@ -41,8 +41,7 @@ object IncrementalDecontam {
     Model.incremental(
       "contam_flags", Seq(docsRef, evalRef), Materialization.IncrementalAppend("doc_id")) {
       (s, r, prior) =>
-        val hwm = prior.map(_.agg(max(col("doc_id"))).first())
-          .filter(!_.isNullAt(0)).map(_.getLong(0)).getOrElse(-1L)
+        val hwm = Incremental.hwm(prior, "doc_id")
         val newDocs = r(docsRef).filter(col("doc_id") > hwm)
           .select(col("doc_id"), col("text"))
         val matched = PipelineQueries.decontaminate(

@@ -1,7 +1,7 @@
 package graft.dedup
 
 import org.apache.spark.sql.functions._
-import graft.engine.{Materialization, Model}
+import graft.engine.{Incremental, Materialization, Model}
 import graft.queries.DedupQueries
 
 /** Incremental near-duplicate detection as engine models — the
@@ -81,20 +81,16 @@ object IncrementalDedup {
       Materialization.IncrementalAppend(CandidateWatermark)) {
       (s, r, prior) =>
         val index = r("band_index") // full persisted index, incl. this batch
-        val hwm = prior
-          .map(_.agg(max(col(CandidateWatermark))).first())
-          .filter(!_.isNullAt(0)).map(_.getLong(0)).getOrElse(-1L)
+        val schema: Incremental.Schema = Seq(
+          "doc_a" -> "long", "doc_b" -> "long", CandidateWatermark -> "long")
+        val hwm = Incremental.hwm(prior, CandidateWatermark)
         // The scan frontier as of THIS build — one scalar off the index's
         // parquet footer stats, same cost class as the HWM read itself.
-        val frontierRow = index.agg(max(col("doc_id"))).first()
-        if (frontierRow.isNullAt(0)) {
-          // empty corpus: nothing scanned, nothing to watermark
-          s.range(0).select(
-            lit(null).cast("long").as("doc_a"),
-            lit(null).cast("long").as("doc_b"),
-            lit(null).cast("long").as(CandidateWatermark))
-        } else {
-          val frontier = frontierRow.getLong(0)
+        Incremental.frontier(index, "doc_id") match {
+          case None =>
+            // empty corpus: nothing scanned, nothing to watermark
+            Incremental.emptyFrame(s, schema)
+          case Some(frontier) =>
           // docs past the frontier the PREVIOUS build scanned through —
           // always exactly this batch, pairs or no pairs last time.
           val newBands = index.filter(col("doc_id") > hwm)
@@ -118,15 +114,11 @@ object IncrementalDedup {
             .select(least(col("new_id"), col("other_id")).as("doc_a"),
               greatest(col("new_id"), col("other_id")).as("doc_b"))
           // one marker row records the frontier even when zero pairs
-          // emit; the engine's HWM append filter (hwm_doc_id > previous
-          // frontier) drops everything — marker included — on a no-new-
-          // docs rebuild, so re-runs stay append-nothing idempotent.
-          val marker = s.range(1).select(
-            lit(null).cast("long").as("doc_a"),
-            lit(null).cast("long").as("doc_b"))
+          // emit (see Incremental.markerRow for why emission-watermarking
+          // would stall); re-runs stay append-nothing idempotent.
           small.union(capped).distinct()
-            .unionByName(marker)
             .withColumn(CandidateWatermark, lit(frontier))
+            .unionByName(Incremental.markerRow(s, schema, CandidateWatermark, frontier))
         }
     })
 }

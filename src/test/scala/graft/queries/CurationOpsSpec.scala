@@ -101,6 +101,10 @@ class CurationOpsSpec extends SparkSpec {
       ("https://site.com/Docs/1/",                          "https://site.com/Docs/1"),
       // non-tracking params survive, trailing utm after them is dropped
       ("https://site.com/p?ref=keep&utm_medium=email",      "https://site.com/p?ref=keep"),
+      // a LEADING utm param takes its '?' with it — the orphaned
+      // remainder re-anchors on '?' so param position can't split aliases
+      ("https://site.com/p?utm_a=1&page=2",                 "https://site.com/p?page=2"),
+      ("https://site.com/p?utm_a=1&utm_b=2&page=2",         "https://site.com/p?page=2"),
       // path case and non-utm query are significant — no collapse
       ("https://site.com/docs/1",                           "https://site.com/docs/1"),
       ("https://site.com/Docs/1?page=2",                    "https://site.com/Docs/1?page=2"),
