@@ -10,13 +10,22 @@ import scala.collection.mutable
 final class UnknownRefException(val refName: String)
   extends IllegalArgumentException(s"unknown ref '$refName'")
 
-/** Outcome of one node in a build (≈ one line of `dbt build` output). */
+/** Outcome of one node in a build (≈ one line of `dbt build` output).
+  *
+  * @param shuffleBytes shuffle bytes WRITTEN by this node's
+  *   materialization jobs (Σ exchange payloads — see
+  *   [[ShuffleBytesListener]]); −1 where nothing was materialized
+  *   (views, skipped nodes). This is the measured counterpart to every
+  *   "one exchange" claim in the model scaladocs: a bucketed-input
+  *   consumer should show ~0 here while the bucketed write upstream
+  *   pays the shuffle once. */
 final case class NodeResult(
     name: String,
     status: String, // "ok" | "test_failed" | "skipped_upstream" | "error"
     rows: Long,
     failedChecks: Seq[String] = Nil,
-    error: Option[String] = None)
+    error: Option[String] = None,
+    shuffleBytes: Long = -1L)
 
 final case class BuildReport(results: Seq[NodeResult]) {
   def ok: Boolean = results.forall(_.status == "ok")
@@ -56,9 +65,17 @@ final class Engine(
 
   /** Catalog home for [[Materialization.BucketedTable]] models — bucket
     * metadata only exists in the catalog, and scoping the database to the
-    * warehouse dir keeps same-named models of two engines apart. */
-  private lazy val bucketDb: String =
-    "graft_" + java.lang.Integer.toHexString(warehouseDir.hashCode)
+    * warehouse dir keeps same-named models of two engines apart. The name
+    * is a 64-bit MD5 prefix of the CANONICAL path: `String.hashCode`'s 32
+    * bits collide across warehouses plausibly often, and a collision
+    * would let one engine `DROP` the other's tables. */
+  private lazy val bucketDb: String = {
+    val canon = java.nio.file.Paths.get(warehouseDir)
+      .toAbsolutePath.normalize.toString
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(canon.getBytes("UTF-8"))
+    "graft_" + md5.take(8).map("%02x".format(_)).mkString
+  }
   private def bucketTable(name: String): String = s"$bucketDb.$name"
   private def isBucketed(name: String): Boolean = byName.get(name).exists(
     _.materialization.isInstanceOf[Materialization.BucketedTable])
@@ -152,7 +169,15 @@ final class Engine(
       case Some(m) if m.materialization == Materialization.View =>
         m.build(spark, ref)
       case Some(_) if isSnapshot(name) => readSnapshot(name)
-      case Some(_) if isBucketed(name) => spark.table(bucketTable(name))
+      case Some(_) if isBucketed(name) =>
+        // A fresh session over an existing warehouse (or a build resumed
+        // after a failure between DROP and re-register) has the parquet
+        // files but no catalog entry: fall back to the plain path read —
+        // correctness is unchanged, only the bucket-metadata exchange
+        // elision is lost until the model's next materialization.
+        if (spark.catalog.tableExists(bucketTable(name)))
+          spark.table(bucketTable(name))
+        else spark.read.parquet(path(name))
       case Some(_) => spark.read.parquet(path(name))
       case None => throw new UnknownRefException(name)
     }
@@ -200,12 +225,18 @@ final class Engine(
         writeCounted(df, _.write.mode("overwrite").parquet(path(m.name)))
       case Materialization.BucketedTable(key, n) =>
         // external table at the model's normal path; DROP clears stale
-        // catalog metadata (not the files — overwrite rewrites those)
+        // catalog metadata (not the files — overwrite rewrites those).
+        // Repartition ON the bucket key first: bucketBy splits each
+        // WRITE TASK's rows across all n buckets, so an unaligned
+        // upstream (say 1000 executor tasks) would emit up to tasks×n
+        // small files; aligning task == bucket pays the one shuffle the
+        // materialization exists to amortize and writes exactly n files.
         spark.sql(s"CREATE DATABASE IF NOT EXISTS $bucketDb")
         spark.sql(s"DROP TABLE IF EXISTS ${bucketTable(m.name)}")
-        writeCounted(df, _.write.bucketBy(n, key).sortBy(key)
-          .option("path", path(m.name)).mode("overwrite")
-          .saveAsTable(bucketTable(m.name)))
+        writeCounted(df.repartition(n, col(key)),
+          _.write.bucketBy(n, key).sortBy(key)
+            .option("path", path(m.name)).mode("overwrite")
+            .saveAsTable(bucketTable(m.name)))
       case Materialization.IncrementalAppend(wm) =>
         if (!exists(m.name))
           writeCounted(df, _.write.mode("overwrite").parquet(path(m.name)))
@@ -266,11 +297,22 @@ final class Engine(
   /** Materialize one node + run its checks; `depBlocked` short-circuits
     * to the dbt skip status. */
   private def execNode(name: String, batchTs: java.sql.Timestamp,
-      depBlocked: Boolean): NodeResult = {
+      depBlocked: Boolean, shuffle: ShuffleBytesListener,
+      buildTag: String): NodeResult = {
     val m = byName(name)
     if (depBlocked) NodeResult(name, "skipped_upstream", 0)
     else try {
-      val rows = materialize(m, batchTs)
+      // Tag THIS node's jobs (thread-local property — safe under
+      // threads>1) so the listener can attribute shuffle bytes; drain
+      // the async bus before reading the total so it is final.
+      val group = s"graft.$buildTag.$name"
+      val sc = spark.sparkContext
+      sc.setJobGroup(group, s"graft build: $name")
+      val rows = try materialize(m, batchTs) finally sc.clearJobGroup()
+      org.apache.spark.graftaccess.SparkListenerAccess.drain(sc)
+      val sb =
+        if (m.materialization == Materialization.View) -1L
+        else shuffle.totalFor(group)
       // A check referencing a model that does not exist is skipped with
       // a warning, matching dbt (the reference declares tests against
       // nonexistent `dim_feature` / `mart_subscription_month_enriched`
@@ -284,8 +326,8 @@ final class Engine(
             None
         }
       }
-      if (failed.nonEmpty) NodeResult(name, "test_failed", rows, failed)
-      else NodeResult(name, "ok", rows)
+      if (failed.nonEmpty) NodeResult(name, "test_failed", rows, failed, shuffleBytes = sb)
+      else NodeResult(name, "ok", rows, shuffleBytes = sb)
     } catch {
       case e: Exception => NodeResult(name, "error", 0, error = Some(e.getMessage))
     }
@@ -364,11 +406,17 @@ final class Engine(
       return BuildReport(rpt.results.filter(r => sel(r.name))) // full project wins
     }
     val order = topoOrder
-    val report =
+    // Per-build shuffle accounting: one listener, removed on exit; the
+    // tag keeps two overlapping builds' job groups distinct.
+    val shuffle = new ShuffleBytesListener
+    val buildTag = java.util.UUID.randomUUID().toString.take(8)
+    spark.sparkContext.addSparkListener(shuffle)
+    val report = try {
       if (threads <= 1) {
         val blocked = mutable.Set.empty[String]
         BuildReport(order.map { name =>
-          val res = execNode(name, batchTs, byName(name).deps.exists(blocked))
+          val res = execNode(name, batchTs, byName(name).deps.exists(blocked),
+            shuffle, buildTag)
           if (res.status != "ok") blocked += name
           res
         })
@@ -390,7 +438,7 @@ final class Engine(
               val depBlocked = byName(name).deps
                 .filter(byName.contains)
                 .exists(d => Option(results.get(d)).forall(_.status != "ok"))
-              results.put(name, execNode(name, batchTs, depBlocked))
+              results.put(name, execNode(name, batchTs, depBlocked, shuffle, buildTag))
             } catch {
               // execNode catches Exceptions itself; this guards Errors so
               // a worker failure can never hang the await below
@@ -415,6 +463,7 @@ final class Engine(
         pool.shutdown()
         BuildReport(order.map(results.get))
       }
+    } finally spark.sparkContext.removeSparkListener(shuffle)
     if (viewsRegistered) registerViews() // refresh pinned file listings
     writeManifest()
     report

@@ -35,6 +35,14 @@ object Materialization {
     * At 100 TB this is the materialization for a fact several consumers
     * re-join on one key: the shuffle is paid once at write time, not
     * once per consumer per build.
+    *
+    * Sessions should set
+    * `spark.sql.requireAllClusterKeysForCoPartition=false` so a
+    * MULTI-key join (e.g. on `(key, month)`) also rides the buckets:
+    * clustering on a subset of the join keys is always CORRECT — equal
+    * `key` implies equal full join key on both sides, so matches stay
+    * colocated — and the default-true guard only hedges against reduced
+    * parallelism, which is the trade bucketing makes deliberately.
     */
   final case class BucketedTable(key: String, buckets: Int) extends Materialization
 

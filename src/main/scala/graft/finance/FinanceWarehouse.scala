@@ -350,27 +350,51 @@ object FinanceWarehouse {
           col("subscription_start_date"), col("subscription_end_date"))
     }),
 
+    // ---- account-month MRR rollup of fct_subscription_month, BUCKETED
+    // by account_id — the pay-the-shuffle-once-at-write shape
+    // (engine/Model.scala BucketedTable): fct_account_month's J6 join,
+    // its account spine, its account-partitioned windows, and the
+    // tie-out check below all key on account_id (alone or with month),
+    // and HashPartitioning(account_id) from the bucket metadata
+    // satisfies every one of those clustered distributions — the whole
+    // downstream hot path plans with zero exchanges
+    // (FinanceWarehouseSpec pins this on the executed plan). At 100 TB
+    // the rollup is the narrow (account, month) grain: one bucketed
+    // write of the small table per build buys a shuffle-free read in
+    // every consumer, where before each consumer re-aggregated the
+    // sub×month fact and re-shuffled the result.
+    Model("int_account_monthly_mrr", Seq("fct_subscription_month"),
+      Materialization.BucketedTable("account_id", 32),
+      checks = Seq(
+        Checks.uniqueCombination("account_id", "month_start_date"),
+        Checks.notNull("account_id", "month_start_date", "mrr_end_mrr")))((_, r) =>
+      r("fct_subscription_month")
+        .groupBy(col("account_id"), col("month_start_date"))
+        .agg(sum(coalesce(col("mrr_amount"), lit(0.0))).as("mrr_end_mrr"))),
+
     // ---- account-month fact with movement classification
     // (fct_account_month.sql — reference column names and 7-arm taxonomy)
-    Model.incremental("fct_account_month", Seq("fct_subscription_month", "dim_date", "dim_account"),
+    Model.incremental("fct_account_month",
+      Seq("int_account_monthly_mrr", "dim_date", "dim_account"),
       Materialization.DeleteInsert("month_start_date"),
       checks = Seq(
         Checks.uniqueCombination("account_id", "month_start_date"),
         Checks.notNull("account_key", "month_start_date"),
         Checks.relationshipsTo("account_key", "dim_account", "account_key"),
         Checks.relationshipsTo("month_start_date", "dim_date", "date_day"),
-        // tests/test_account_month_ties_subscription_month.sql
+        // tests/test_account_month_ties_subscription_month.sql — reads
+        // the bucketed rollup (which IS the sub-month fact aggregated;
+        // its own unique/notNull checks gate it, and
+        // ReferenceDataParitySpec pins end values against DuckDB-derived
+        // goldens), so the join probes co-located buckets instead of
+        // re-aggregating the sub×month fact every build
         Checks.singularWithRefs("ties_to_subscription_month") { (df, r) =>
-          val subsRoll = r("fct_subscription_month")
-            .groupBy(col("account_id"), col("month_start_date"))
-            .agg(sum(coalesce(col("mrr_amount"), lit(0.0))).as("subs_end_mrr"))
+          val subsRoll = r("int_account_monthly_mrr")
+            .withColumnRenamed("mrr_end_mrr", "subs_end_mrr")
           df.join(subsRoll, Seq("account_id", "month_start_date"), "left")
             .filter(Checks.tiesOut(col("mrr_end_mrr"), coalesce(col("subs_end_mrr"), lit(0.0))))
         }))((s, r, target) => {
-      val fct = r("fct_subscription_month")
-      val monthly = fct
-        .groupBy(col("account_id"), col("month_start_date"))
-        .agg(sum(coalesce(col("mrr_amount"), lit(0.0))).as("mrr_end_mrr"))
+      val monthly = r("int_account_monthly_mrr")
       val maxMonth = r("dim_date").filter(col("is_month_start"))
         .agg(max(col("date_day"))).first().getDate(0)
       // account spine: first activity → one month past last activity

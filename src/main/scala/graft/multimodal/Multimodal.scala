@@ -107,6 +107,50 @@ object Multimodal {
     }
   }
 
+  /** dHash-64 perceptual hash over the DECODED sample buffer, packed as
+    * 4×16-bit words (the LSH band grain): 65 evenly spaced samples —
+    * the byte-buffer analog of dHash's 9×8 thumbnail — and 64 gradient
+    * bits (`bit i = sample(i+1) > sample(i)`). Gradient bits are
+    * invariant under any MONOTONE intensity map (the re-encode /
+    * brightness-shift class of near-duplicate), and a local overlay
+    * ("scratch") flips at most 2 sampled gradients — so near-dup media
+    * cluster at small hamming distance while distinct payloads sit near
+    * the random-expectation 32. Positions are sampled at
+    * `(i·(L−1)) div 64`: scan-local integer math, no codec. On this
+    * corpus the stub decode yields the utf8 text, where byte index ==
+    * char index (ASCII), so the DuckDB oracle's substr/ascii
+    * formulation is bit-identical.
+    *
+    * Scale: one kernel pass, no shuffle; downstream banding reuses
+    * [[graft.queries.DedupQueries]]' capped bucket-join (the MaxBucket
+    * chain idiom — already adversarially tested on the LSH path). */
+  def dHashWords(
+      media: DataFrame,
+      decoder: MediaDecoder = MediaDecoder.Stub): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.select(col("media_id"), col("kind"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, kind, payload) =>
+          val buf = decoder.decode(kind, payload)
+          val n = buf.length
+          val words = new Array[Int](4)
+          if (n > 0) {
+            var prev = buf(0) & 0xff
+            var i = 1
+            while (i <= 64) {
+              val cur = buf(((i.toLong * (n - 1)) / 64).toInt) & 0xff
+              if (cur > prev) words((i - 1) / 16) |= 1 << ((i - 1) % 16)
+              prev = cur
+              i += 1
+            }
+          }
+          (id, words(0), words(1), words(2), words(3))
+        }
+      }.toDF("media_id", "w0", "w1", "w2", "w3")
+  }
+
   /** Resize plan (metadata op): target box with aspect preserved —
     * integer math only, the pixel resample itself happens inside the
     * decoder seam on a real deployment. */

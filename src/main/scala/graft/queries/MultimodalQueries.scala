@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.multimodal.Multimodal
@@ -87,6 +88,83 @@ object MultimodalQueries {
           min(length(col("payload"))).as("n_bytes"))
     },
 
+    // ---- perceptual-hash near-dup (dHash-64 + banded hamming join):
+    // catches the transform classes exact md5 dedup misses — a MONOTONE
+    // intensity remap ("re-encode/brightness", hamming 0) and a local
+    // overlay ("scratch", hamming ≤ 2) — planted deterministically by
+    // [[plantedMedia]] in BOTH engines. Candidates come from exact
+    // matches on the hash's four 16-bit words (an LSH band join through
+    // DedupQueries.pairsFromBands, inheriting its MaxBucket chain cap —
+    // nothing all-pairs), then one hash-join verifies hamming ≤ 6.
+    Q.sql(
+      "q_media_dedup_phash", {
+        val sample =
+          "list_transform(range(0, 65), i -> ascii(substr(text, CAST(1 + (i * (length(text) - 1)) // 64 AS INT), 1)))"
+        s"""WITH m AS (
+           |  SELECT doc_id AS media_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 1000000,
+           |         translate(text, ' abcdefghijklmnopqrstuvwxyz', '!bcdefghijklmnopqrstuvwxyz{')
+           |  FROM documents WHERE doc_id % 5 = 0
+           |  UNION ALL
+           |  SELECT doc_id + 2000000,
+           |         substr(text, 1, length(text)//2 - 1) || '~' || substr(text, length(text)//2 + 1)
+           |  FROM documents WHERE doc_id % 7 = 0),
+           |s AS (SELECT media_id, $sample AS sm FROM m),
+           |h AS (
+           |  SELECT media_id,
+           |         list_transform(range(0, 4), w ->
+           |           CAST(list_sum(list_transform(range(0, 16), j ->
+           |             CASE WHEN sm[16*w + j + 2] > sm[16*w + j + 1] THEN (1 << j) ELSE 0 END)) AS INT)) AS words
+           |  FROM s),
+           |b AS (
+           |  SELECT media_id, CAST(t.w AS INT) AS band_no, words[CAST(t.w AS INT) + 1] AS word
+           |  FROM h, range(0, 4) t(w)),
+           |bandsz AS (SELECT band_no, word, count(*) AS bsz FROM b GROUP BY 1, 2),
+           |cand AS (
+           |  SELECT media_a, media_b FROM (
+           |    SELECT x.media_id AS media_a, y.media_id AS media_b
+           |    FROM b x JOIN b y ON x.band_no = y.band_no AND x.word = y.word AND x.media_id < y.media_id
+           |    JOIN bandsz z ON z.band_no = x.band_no AND z.word = x.word
+           |    WHERE z.bsz <= 64
+           |    UNION ALL
+           |    SELECT media_a, media_b FROM (
+           |      SELECT c.media_id AS media_a,
+           |             lead(c.media_id) OVER (PARTITION BY c.band_no, c.word ORDER BY c.media_id) AS media_b
+           |      FROM b c JOIN bandsz z2 ON z2.band_no = c.band_no AND z2.word = c.word
+           |      WHERE z2.bsz > 64)
+           |    WHERE media_b IS NOT NULL)
+           |  GROUP BY 1, 2)
+           |SELECT c.media_a, c.media_b,
+           |       CAST(bit_count(xor(ha.words[1], hb.words[1])) + bit_count(xor(ha.words[2], hb.words[2]))
+           |          + bit_count(xor(ha.words[3], hb.words[3])) + bit_count(xor(ha.words[4], hb.words[4])) AS INT) AS hamming
+           |FROM cand c JOIN h ha ON c.media_a = ha.media_id JOIN h hb ON c.media_b = hb.media_id
+           |WHERE hamming <= 6""".stripMargin
+      }
+    ) { (s, dir) =>
+      val media = plantedMedia(Tables.documents(s, dir))
+        .select(col("media_id"), lit("image").as("kind"),
+          col("text").cast("binary").as("payload"))
+      val h = Multimodal.dHashWords(media)
+      val bands = h.select(col("media_id").as("doc_id"),
+          explode(array((0 to 3).map(w => struct(
+            lit(w).as("band_idx"),
+            col(s"w$w").cast("string").as("band_key"))): _*)).as("b"))
+        .select(col("doc_id"), col("b.band_idx"), col("b.band_key"))
+      val pairs = DedupQueries.pairsFromBands(bands)
+      def side(tag: String) = h.select(
+        col("media_id").as(s"${tag}_id") +: (0 to 3).map(w =>
+          col(s"w$w").as(s"$tag$w")): _*)
+      val hamming = (0 to 3).map(w =>
+        bit_count(col(s"a$w").bitwiseXOR(col(s"b$w")))).reduce(_ + _)
+      pairs
+        .join(side("a"), col("doc_a") === col("a_id"))
+        .join(side("b"), col("doc_b") === col("b_id"))
+        .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
+          hamming.cast("int").as("hamming"))
+        .filter(col("hamming") <= 6)
+    },
+
     // ---- decode + feature extraction (mapPartitions, stub decoder):
     // not SQL-expressible → rows-only; values asserted in MultimodalSpec
     Q.rowsOnly("q_media_features") { (s, dir) =>
@@ -99,4 +177,27 @@ object MultimodalQueries {
           round(element_at(col("features"), 2), 3).as("byte_std"))
     }
   )
+
+  /** Deterministic near-duplicate media variants planted from
+    * `documents` — the corpus has no binary fixtures, so both engines
+    * synthesize the SAME payloads (see the `m` CTE of the phash
+    * oracle): every doc's original, plus for doc_id % 5 == 0 a
+    * "re-encoded" copy under a strictly MONOTONE byte remap (each char
+    * of the corpus alphabet shifted +1 — every dHash gradient
+    * preserved, md5 changed), and for doc_id % 7 == 0 a "scratched"
+    * copy with one high byte overlaid mid-payload (≤ 2 sampled
+    * gradients flip). Exact dedup sees three distinct payloads;
+    * perceptual dedup reunites them. Emits (media_id, text). */
+  private def plantedMedia(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id").as("media_id"), col("text"))
+    val bright = base.filter(col("media_id") % 5 === 0)
+      .select((col("media_id") + 1000000L).as("media_id"),
+        translate(col("text"),
+          " abcdefghijklmnopqrstuvwxyz", "!bcdefghijklmnopqrstuvwxyz{").as("text"))
+    val scratch = base.filter(col("media_id") % 7 === 0)
+      .select((col("media_id") + 2000000L).as("media_id"),
+        expr("concat(substr(text, 1, cast(length(text)/2 as int) - 1), '~', " +
+          "substr(text, cast(length(text)/2 as int) + 1))").as("text"))
+    base.unionByName(bright).unionByName(scratch)
+  }
 }

@@ -20,6 +20,10 @@ object SparkSpec {
     .config("spark.sql.warehouse.dir",
       java.nio.file.Files.createTempDirectory("spark-wh").toString)
     .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+    // accept bucket-grain co-partitioning for multi-key joins (see
+    // Materialization.BucketedTable scaladoc) — subset clustering is
+    // always correct; the default-true guard only hedges parallelism
+    .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
     // off the default 15002 so ConnectSmokeSpec can't collide with a
     // concurrently-running Connect server on the host
     .config("spark.connect.grpc.binding.port", ConnectPort.toString)

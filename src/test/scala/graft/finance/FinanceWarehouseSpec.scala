@@ -322,4 +322,55 @@ class FinanceWarehouseSpec extends SparkSpec {
     assert(e3.ref("fct_subscription_month")
       .filter($"subscription_id" === "s2").count() == 5) // Feb..Jun
   }
+
+  test("bucketed monthly-MRR rollup: fct_account_month's hot path plans with zero exchanges") {
+    val dir = tmpDir("whbkt")
+    val Seq((e, rpt)) = run(dir, Seq(
+      (ts(1), accounts(b1Accounts: _*)(ts(1)), subs(b1Subs: _*)(ts(1)))))
+    assert(rpt.ok, rpt.results.mkString("; "))
+
+    // MEASURED shuffle accounting (NodeResult.shuffleBytes): the rollup
+    // pays the bucket shuffle once at write; its consumer's build rides
+    // the buckets — only the scalar max-month aggregate exchanges (a
+    // handful of partial-agg rows), never fact data
+    val rollupBytes = rpt("int_account_monthly_mrr").shuffleBytes
+    val factBytes = rpt("fct_account_month").shuffleBytes
+    assert(rollupBytes > 0, s"rollup should pay its bucket shuffle, got $rollupBytes")
+    assert(factBytes >= 0 && factBytes < 4096,
+      s"fct_account_month should shuffle only the scalar agg, got $factBytes")
+
+    // replicate fct_account_month's J6-join + spine + window composition
+    // over the bucketed ref; with broadcast off, only bucket metadata
+    // can elide the exchanges
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val monthly = e.ref("int_account_monthly_mrr")
+      val spine = monthly.groupBy($"account_id")
+        .agg(min($"month_start_date").as("first_m"), max($"month_start_date").as("last_m"))
+        .withColumn("month_start_date",
+          explode(sequence($"first_m", add_months($"last_m", 1), expr("interval 1 month"))))
+        .select("account_id", "month_start_date")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"account_id").orderBy($"month_start_date")
+      val hot = spine.join(monthly, Seq("account_id", "month_start_date"), "left")
+        .withColumn("prev_mrr", lag($"mrr_end_mrr", 1).over(w))
+      hot.collect()
+      val p = hot.queryExecution.executedPlan.toString
+      // the scan reports its buckets; NOTHING downstream re-shuffles —
+      // HashPartitioning(account_id) satisfies the spine agg, the
+      // 2-key join, and the window in one pass
+      assert(p.contains("Bucketed: true"), p)
+      assert(!p.contains("Exchange hashpartitioning"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    // the tie-out check consumed the same rollup — values unchanged
+    // vs the pre-bucketing formulation
+    val am = e.ref("fct_account_month")
+    val roll = e.ref("int_account_monthly_mrr")
+      .withColumnRenamed("mrr_end_mrr", "roll_end_mrr")
+    assert(am.join(roll, Seq("account_id", "month_start_date"))
+      .filter(abs($"mrr_end_mrr" - $"roll_end_mrr") > 0.005)
+      .count() == 0)
+  }
 }

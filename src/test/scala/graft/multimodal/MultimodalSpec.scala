@@ -55,4 +55,31 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.forall(_._1 == 3L))
     assert(rows.map(_._2).sorted.toSeq == Seq(0, 30, 60, 90))
   }
+
+  test("dHash: monotone remap is hamming-0, a scratch flips at most 2 gradients, distinct payloads split") {
+    val text = "the quick brown fox jumps over the lazy dog " * 8
+    val bright = text.map(c => (c + 1).toChar) // strictly monotone byte remap
+    val mid = text.length / 2
+    val scratch = text.substring(0, mid - 1) + "~" + text.substring(mid)
+    val other = text.reverse
+    def rows = Seq(
+      (1L, "image", text.getBytes("UTF-8")),
+      (2L, "image", bright.getBytes("UTF-8")),
+      (3L, "image", scratch.getBytes("UTF-8")),
+      (4L, "image", other.getBytes("UTF-8"))
+    ).toDF("media_id", "kind", "payload")
+    val h = dHashWords(rows).collect()
+      .map(r => r.getLong(0) -> Seq(r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+      .toMap
+    def hamming(a: Long, b: Long): Int =
+      h(a).zip(h(b)).map { case (x, y) => Integer.bitCount(x ^ y) }.sum
+    assert(hamming(1L, 2L) == 0) // gradient bits survive the remap; md5 would not
+    assert(hamming(1L, 3L) <= 2) // one overlaid byte touches ≤ 2 sampled gradients
+    assert(hamming(1L, 4L) > 6) // reversal scrambles gradients past any near-dup bar
+    // determinism across partitionings (kernel is partition-local)
+    val h2 = dHashWords(rows.repartition(3)).collect()
+      .map(r => r.getLong(0) -> Seq(r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+      .toMap
+    assert(h == h2)
+  }
 }
