@@ -25,7 +25,8 @@ final case class NodeResult(
     rows: Long,
     failedChecks: Seq[String] = Nil,
     error: Option[String] = None,
-    shuffleBytes: Long = -1L)
+    shuffleBytes: Long = -1L,
+    elapsedMs: Long = -1L)
 
 final case class BuildReport(results: Seq[NodeResult]) {
   def ok: Boolean = results.forall(_.status == "ok")
@@ -302,6 +303,7 @@ final class Engine(
     val m = byName(name)
     if (depBlocked) NodeResult(name, "skipped_upstream", 0)
     else try {
+      val t0 = System.nanoTime()
       // Tag THIS node's jobs (thread-local property — safe under
       // threads>1) so the listener can attribute shuffle bytes; drain
       // the async bus before reading the total so it is final.
@@ -313,6 +315,7 @@ final class Engine(
       val sb =
         if (m.materialization == Materialization.View) -1L
         else shuffle.totalFor(group)
+      def ms = (System.nanoTime() - t0) / 1000000L
       // A check referencing a model that does not exist is skipped with
       // a warning, matching dbt (the reference declares tests against
       // nonexistent `dim_feature` / `mart_subscription_month_enriched`
@@ -326,8 +329,9 @@ final class Engine(
             None
         }
       }
-      if (failed.nonEmpty) NodeResult(name, "test_failed", rows, failed, shuffleBytes = sb)
-      else NodeResult(name, "ok", rows, shuffleBytes = sb)
+      if (failed.nonEmpty)
+        NodeResult(name, "test_failed", rows, failed, shuffleBytes = sb, elapsedMs = ms)
+      else NodeResult(name, "ok", rows, shuffleBytes = sb, elapsedMs = ms)
     } catch {
       case e: Exception => NodeResult(name, "error", 0, error = Some(e.getMessage))
     }
@@ -466,6 +470,8 @@ final class Engine(
     } finally spark.sparkContext.removeSparkListener(shuffle)
     if (viewsRegistered) registerViews() // refresh pinned file listings
     writeManifest()
+    Files.write(Paths.get(warehouseDir, "run_results.json"),
+      runResultsJson(report).getBytes("UTF-8"))
     report
   }
 
@@ -475,20 +481,37 @@ final class Engine(
     * the source names and every node in topological order carrying its
     * deps, materialization and check names. Driver-side metadata only —
     * building it runs no Spark job. */
+  private def esc(s: String): String = s.flatMap {
+    case '"'           => "\\\""
+    case '\\'          => "\\\\"
+    case c if c < ' '  => f"\\u${c.toInt}%04x"
+    case c             => c.toString
+  }
+  private def arr(xs: Seq[String]): String =
+    xs.map(x => s""""${esc(x)}"""").mkString("[", ",", "]")
+
   def manifestJson: String = {
-    def esc(s: String): String = s.flatMap {
-      case '"'           => "\\\""
-      case '\\'          => "\\\\"
-      case c if c < ' '  => f"\\u${c.toInt}%04x"
-      case c             => c.toString
-    }
-    def arr(xs: Seq[String]) = xs.map(x => s""""${esc(x)}"""").mkString("[", ",", "]")
     val nodes = topoOrder.map(byName).map { m =>
       s"""{"name":"${esc(m.name)}","deps":${arr(m.deps)}""" +
         s""","materialization":"${esc(m.materialization.toString)}"""" +
         s""","checks":${arr(m.checks.map(_.name))}}"""
     }
     s"""{"sources":${arr(sources.keys.toSeq.sorted)},"nodes":${nodes.mkString("[", ",", "]")}}"""
+  }
+
+  /** dbt's OTHER per-invocation artifact, `target/run_results.json`: one
+    * entry per EXECUTED node with its outcome, rows affected, wall time
+    * and (engine extension) measured shuffle-write bytes — the numbers
+    * CI reads to spot a regressed materialization without re-profiling
+    * the build. Driver-side metadata only. */
+  def runResultsJson(report: BuildReport): String = {
+    val nodes = report.results.map { r =>
+      s"""{"name":"${esc(r.name)}","status":"${esc(r.status)}","rows":${r.rows}""" +
+        s""","elapsed_ms":${r.elapsedMs},"shuffle_bytes":${r.shuffleBytes}""" +
+        (if (r.failedChecks.nonEmpty) s""","failed_checks":${arr(r.failedChecks)}""" else "") +
+        r.error.map(e => s""","error":"${esc(e)}"""").getOrElse("") + "}"
+    }
+    s"""{"results":${nodes.mkString("[", ",", "]")}}"""
   }
 
   private def writeManifest(): Unit = {

@@ -321,6 +321,79 @@ object SimilarityQueries {
         .filter(col("rnk") <= TopK)
         .select(col("query_id"), col("vec_id"), col("rnk"),
           round(cosine(col("dot"), col("nq"), col("nc")), 4).as("cos_sim"))
+    },
+
+    // ---- incrementally-built IVF index: two engine builds (half the
+    // corpus, then all of it) accumulate `ivf_index` delta-only — each
+    // build assigns ONLY its batch against centroids trained once on
+    // the fixed snapshot — and probing the accumulated index must
+    // hash-match the one-shot oracle: incremental ≡ batch, checked by
+    // the driver, not just the spec. Unlike q_ann_ivf_topk (whose
+    // inverted file is the raw label), the index here is the LEARNED
+    // partition — every vector's nearest trained centroid (~half the
+    // corpus crosses labels at sf0.01). See
+    // [[graft.similarity.IncrementalIvfIndex]].
+    Q.sql(
+      "q_ann_ivf_incremental",
+      ivfIncrementalOracleSql
+    ) { (s, dir) =>
+      val e = quantized(s, dir)
+      val b = e.agg(min(col("vec_id")), max(col("vec_id"))).first()
+      val mid = (b.getLong(0) + b.getLong(1)) / 2
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_incivf").toString
+      def build(batch: DataFrame): Unit = {
+        val rpt = new graft.engine.Engine(s, wh,
+          Map("vectors" -> batch, "vectors_training" -> e),
+          graft.similarity.IncrementalIvfIndex.models(
+            "vectors", "vectors_training", Dims)).build()
+        require(rpt.ok, rpt.results.mkString("; "))
+      }
+      build(e.filter(col("vec_id") <= mid))
+      build(e)
+      graft.similarity.IncrementalIvfIndex.searchTopK(
+        s.read.parquet(s"$wh/ivf_index"), NQueries, TopK)
     }
   )
+
+  /** One-shot oracle for the incrementally-built IVF index: centroids
+    * over the full (fixed) snapshot, EVERY vector assigned to its
+    * nearest centroid (`ORDER BY sim DESC, label` ties to the lowest
+    * label — the Spark side's max-of-struct(sim, −label) mirror), then
+    * each query probes its own cluster. */
+  private lazy val ivfIncrementalOracleSql: String = {
+    val centroidSums = (1 to Dims).map(i => s"sum(q[$i])").mkString(", ")
+    s"""WITH $quantizedSql,
+       |cent AS (
+       |  SELECT label, [$centroidSums] AS c,
+       |         list_sum(list_transform([$centroidSums], x -> x * x)) AS ncsq
+       |  FROM e GROUP BY label),
+       |assign AS (
+       |  SELECT vec_id, cluster FROM (
+       |    SELECT e.vec_id, cent.label AS cluster,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY list_sum(list_transform(generate_series(1, $Dims),
+       |                        i -> e.q[i] * cent.c[i]))
+       |                      / sqrt(CAST(e.nsq AS DOUBLE) * CAST(cent.ncsq AS DOUBLE)) DESC,
+       |                      cent.label) AS rnk
+       |    FROM e CROSS JOIN cent) t WHERE rnk = 1),
+       |qs AS (
+       |  SELECT e.vec_id, e.q, e.nsq, a.cluster FROM e
+       |  JOIN assign a ON a.vec_id = e.vec_id WHERE e.vec_id < $NQueries),
+       |pairs AS (
+       |  SELECT qs.vec_id AS query_id, c.vec_id AS vec_id,
+       |         list_sum(list_transform(generate_series(1, $Dims),
+       |                  i -> qs.q[i] * c.q[i])) AS dot,
+       |         qs.nsq AS nq, c.nsq AS nc
+       |  FROM qs JOIN assign ca ON ca.cluster = qs.cluster AND ca.vec_id <> qs.vec_id
+       |          JOIN e c ON c.vec_id = ca.vec_id)
+       |SELECT query_id, vec_id, CAST(rnk AS INT) AS rnk, round(cos_raw, 4) AS cos_sim
+       |FROM (
+       |  SELECT query_id, vec_id,
+       |         dot / sqrt(CAST(nq AS DOUBLE) * CAST(nc AS DOUBLE)) AS cos_raw,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY dot / sqrt(CAST(nq AS DOUBLE) * CAST(nc AS DOUBLE)) DESC, vec_id) AS rnk
+       |  FROM pairs) t
+       |WHERE rnk <= $TopK""".stripMargin
+  }
 }

@@ -1,0 +1,108 @@
+package graft.similarity
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.{Incremental, Materialization, Model}
+
+/** An IVF (inverted-file) ANN index maintained incrementally as engine
+  * models — the high-water-mark idiom (reference `stg_accounts.sql:9-11`)
+  * applied to vector search, so a growing embedding corpus is indexed
+  * without re-assigning history: the published IVF lifecycle (train
+  * coarse quantizer once, then stream arrivals through it) expressed as
+  * a two-model DAG.
+  *
+  *  - `ivf_centroids` (Table): per-label element-wise integer SUM over
+  *    the TRAINING snapshot (cosine is scale-invariant, so sum ≡ mean
+  *    and stays integer-exact). The training ref is a FIXED snapshot by
+  *    contract — at 100 TB a sample of the corpus, not the corpus — so
+  *    the rebuild-per-build is deterministic-identical, k tiny rows. A
+  *    CHANGED snapshot (retraining) invalidates every assignment: full
+  *    refresh by design, exactly like [[graft.dedup.IncrementalDecontam]]'s
+  *    versioned eval set.
+  *  - `ivf_index` (IncrementalAppend on vec_id): arrivals past the
+  *    model's own high-water mark are assigned to their nearest trained
+  *    centroid. Assignment is the map-side `max`-of-struct argmax over a
+  *    BROADCAST k-row centroid table — the exchange carries one partial
+  *    row per vector, never N×k (the same shape the semantic-dedup
+  *    assignment uses). With centroids frozen, an assignment is
+  *    immutable: every arriving vector emits exactly one index row, so
+  *    the data rows ARE the scan frontier — no marker row (the
+  *    emission-watermark trap cannot arise).
+  *
+  * The index row stores the quantized vector beside its cluster; at
+  * 100 TB this column is where product-quantization codes would go —
+  * the layout (cluster-keyed, cluster-partitionable storage) is the
+  * part that matters: a probe reads one cluster's partition, N/k of
+  * the corpus.
+  *
+  * `q_ann_ivf_incremental` hash-checks a two-batch build's search
+  * results against a one-shot DuckDB oracle over the same snapshot;
+  * IncrementalIvfIndexSpec proves the index itself matches the one-shot
+  * assignment build-by-build and that each build's work is delta-only.
+  */
+object IncrementalIvfIndex {
+
+  /** Trained coarse quantizer: per-label integer centroid sums over the
+    * (fixed) training snapshot of (vec_id, label, q, nsq) rows. */
+  def centroids(training: DataFrame, dims: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(training.sparkSession)
+    training.groupBy(col("label"))
+      .agg(array((1 to dims).map(i => sum(element_at(col("q"), i))): _*).as("c"))
+      .withColumn("ncsq", expr("dot_i64(c, c)"))
+  }
+
+  /** Nearest-centroid assignment of (vec_id, q, nsq) rows: broadcast the
+    * k-row centroid table, keep the per-vector max of struct(sim, -label)
+    * — ties break to the LOWEST label, matching the oracle's
+    * `ORDER BY sim DESC, label` rank. Emits (vec_id, cluster, q, nsq). */
+  def assign(vecs: DataFrame, cent: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(vecs.sparkSession)
+    val sim = expr("dot_i64(q, c)") /
+      sqrt(col("nsq").cast("double") * col("ncsq").cast("double"))
+    vecs.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("q"), col("nsq"),
+        struct(sim.as("sim"), (-col("label")).cast("long").as("negl")).as("cand"))
+      .groupBy(col("vec_id"))
+      // first() is order-sensitive in general; here every row of a
+      // vec_id group carries the SAME q/nsq (crossJoin replicas), so
+      // any pick is the one value
+      .agg(max(col("cand")).as("best"),
+        first(col("q")).as("q"), first(col("nsq")).as("nsq"))
+      .select(col("vec_id"), (-col("best.negl")).cast("int").as("cluster"),
+        col("q"), col("nsq"))
+  }
+
+  /** The index DAG, wired to read (vec_id, label, q, nsq) batches from
+    * `vectorsRef` and the fixed training snapshot from `trainingRef`. */
+  def models(vectorsRef: String, trainingRef: String, dims: Int): Seq[Model] = Seq(
+    Model("ivf_centroids", Seq(trainingRef), Materialization.Table)((_, r) =>
+      centroids(r(trainingRef), dims)),
+    Model.incremental(
+      "ivf_index", Seq(vectorsRef, "ivf_centroids"),
+      Materialization.IncrementalAppend("vec_id")) { (_, r, prior) =>
+      val hwm = Incremental.hwm(prior, "vec_id")
+      assign(r(vectorsRef).filter(col("vec_id") > hwm), r("ivf_centroids"))
+    })
+
+  /** Probe the accumulated index: queries are corpus vectors (vec_id <
+    * nQueries) probing their OWN cluster — each query's candidate set is
+    * one cluster's rows (N/k of the corpus; cluster-partitioned storage
+    * makes this a pruned scan at 100 TB), ranked by exact integer-dot
+    * cosine. Output matches the oracle: (query_id, vec_id, rnk, cos_sim). */
+  def searchTopK(index: DataFrame, nQueries: Int, topK: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(index.sparkSession)
+    val qs = index.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("cluster"),
+        col("q").as("qq"), col("nsq").as("nq"))
+    val cos = expr("dot_i64(qq, q)") /
+      sqrt(col("nq").cast("double") * col("nsq").cast("double"))
+    val w = Window.partitionBy(col("query_id")).orderBy(cos.desc, col("vec_id"))
+    index.join(broadcast(qs),
+        index("cluster") === qs("cluster") && col("vec_id") =!= col("query_id"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("query_id"), col("vec_id"), col("rnk"),
+        round(cos, 4).as("cos_sim"))
+  }
+}

@@ -16,31 +16,40 @@ import org.apache.spark.sql.functions._
   * partitions to the data (brief §scale); with AQE coalescing, a high
   * initial count lets the runtime pick per-stage parallelism from actual
   * sizes instead of the static 32 — set e.g. 256 to measure how much of
-  * a 64× point's superlinearity is spill vs. algorithmic.
+  * a 64× point's superlinearity is spill vs. algorithmic. When set, each
+  * amplified point is timed TWICE in the same run — default conf, then
+  * with the knob — so both ratios share one baseline denominator
+  * (cross-run ratios are invalid at this noise floor).
+  *
+  * SPARK_GRAFT_PROBE_QUERIES (optional): comma-separated subset of the
+  * probe list, for re-measuring a few queries without paying the full
+  * board (an x64 spine query is ~5 min/shot × 3 repeats).
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val amps = if (args.nonEmpty) args.toSeq.map(_.toInt) else Seq(16, 64)
-    val builder = SparkSession.builder().master("local[32]")
+    val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-    val spark = sys.env.get("SPARK_GRAFT_INIT_PARTS").fold(builder) { n =>
-      builder
-        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", n)
-    }.getOrCreate()
+      .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.1"
     def consume(df: org.apache.spark.sql.DataFrame): Long = {
       df.write.format("noop").mode("overwrite").save(); 0L
     }
-    val queries = Seq("q_fct_subscription_month", "q_fct_account_month",
+    val allQueries = Seq("q_fct_subscription_month", "q_fct_account_month",
       "q_mrr_waterfall", "q_mrr_waterfall_delta", "q_win_lag", "q_agg_rollup",
       // LLM-pipeline operators (documents-table amplification below)
       "q_pipeline_decontaminate", "q_pipeline_shard_pack", "q_dedup_minhash_lsh",
       "q_pipeline_repeated_ngrams", "q_text_token_entropy",
       "q_pipeline_split_leakage", "q_pipeline_block_dedup",
       "q_text_pii_redact", "q_pipeline_mix_temperature", "q_dedup_semantic")
+    val queries = sys.env.get("SPARK_GRAFT_PROBE_QUERIES")
+      .map(_.split(",").map(_.trim).toSet)
+      .fold(allQueries)(sub => allQueries.filter(sub.contains))
+    val initParts = sys.env.get("SPARK_GRAFT_INIT_PARTS")
+    val InitPartsKey = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
     // median-of-3 per point: single-shot probe timings drifted ±20%
     // between runs of identical code (same noise floor that moved Bench
     // to medians), which is fatal to a ratio whose denominator is a
@@ -101,7 +110,12 @@ object ScaleProbe {
           .write.mode("overwrite").parquet(s"$scaled/$t.parquet")
       for (q <- queries) {
         val sec = time(q, scaled)
-        println(f"$q x$amp=${sec}%.2fs ratio=${sec / base(q)}%.1f")
+        val knobbed = initParts.fold("") { n =>
+          spark.conf.set(InitPartsKey, n)
+          val s2 = try time(q, scaled) finally spark.conf.unset(InitPartsKey)
+          f"  x${amp}_ip$n=${s2}%.2fs ratio=${s2 / base(q)}%.1f"
+        }
+        println(f"$q x$amp=${sec}%.2fs ratio=${sec / base(q)}%.1f$knobbed")
       }
     }
     spark.stop()

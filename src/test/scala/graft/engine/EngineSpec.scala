@@ -389,6 +389,39 @@ class EngineSpec extends SparkSpec {
     assert(m2.contains(""""name":"a""""), m2)
   }
 
+  test("build writes run_results.json: per-node outcome, rows, wall time, shuffle bytes") {
+    val dir = tmpDir("engrr")
+    val mk = Seq(
+      Model("a", Seq("raw_orders"), Materialization.Table)((_, r) => r("raw_orders")),
+      // a grouped rebuild so at least one node really shuffles
+      Model("b", Seq("a"), Materialization.Table)((_, r) =>
+        r("a").groupBy($"id" % 3).agg(count(lit(1)).as("n"))))
+    assert(eng(dir, mk).build().ok)
+    val raw = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "run_results.json")), "UTF-8")
+    // machine-readable: a strict JSON parser must accept it
+    val parsed = spark.read.option("mode", "FAILFAST")
+      .json(spark.createDataset(Seq(raw))(org.apache.spark.sql.Encoders.STRING))
+    assert(parsed.columns.contains("results"))
+    assert(raw.startsWith("""{"results":["""), raw)
+    assert(raw.contains(""""name":"a","status":"ok""""), raw)
+    assert(raw.contains(""""name":"b","status":"ok""""), raw)
+    // numbers are real measurements, not defaults
+    val shuffleB = """"name":"b"[^}]*"shuffle_bytes":(-?\d+)""".r
+      .findFirstMatchIn(raw).get.group(1).toLong
+    assert(shuffleB > 0, raw)
+    val elapsed = """"elapsed_ms":(-?\d+)""".r
+      .findAllMatchIn(raw).map(_.group(1).toLong).toSeq
+    assert(elapsed.forall(_ >= 0), raw)
+    // executed-subset semantics: a selective rebuild rewrites run_results
+    // with ONLY the executed nodes (dbt's run_results covers the run)
+    assert(eng(dir, mk).build(select = Seq("b")).ok)
+    val raw2 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "run_results.json")), "UTF-8")
+    assert(raw2.contains(""""name":"b""""), raw2)
+    assert(!raw2.contains(""""name":"a""""), raw2)
+  }
+
   test("bucketed models: downstream join on the bucket key skips the exchange") {
     val n = 5000
     val left = spark.range(n).select($"id".as("k"), ($"id" * 2).as("lv"))

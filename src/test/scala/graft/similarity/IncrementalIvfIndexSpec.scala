@@ -1,0 +1,91 @@
+package graft.similarity
+
+import graft.SparkSpec
+import graft.engine.Engine
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Batch-incremental IVF index ≡ one-shot assignment — the engine-model
+  * DAG (IncrementalIvfIndex) must reproduce, over successive builds,
+  * the one-shot nearest-centroid assignment of the corpus-so-far, while
+  * each build assigns only its own batch against the once-trained
+  * centroids. */
+class IncrementalIvfIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Dims = 4
+
+  /** Tiny quantized corpus with an unambiguous cluster structure: two
+    * axis-aligned groups (labels 0/1) plus later arrivals near each
+    * axis. Vector 5 carries label 0 but sits on label 1's axis — the
+    * LEARNED assignment must move it, proving the index partitions by
+    * trained centroid, not by the raw label. */
+  private def vecsDf(rows: Seq[(Long, Int, Seq[Long])]): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    rows.toDF("vec_id", "label", "q")
+      .withColumn("q", $"q".cast("array<long>"))
+      .withColumn("nsq", expr("dot_i64(q, q)"))
+  }
+
+  private val training = Seq(
+    (0L, 0, Seq(10L, 1L, 0L, 0L)),
+    (1L, 0, Seq(9L, 0L, 1L, 0L)),
+    (2L, 1, Seq(0L, 10L, 0L, 1L)),
+    (3L, 1, Seq(1L, 9L, 0L, 0L)))
+  private val arrivals = Seq(
+    (4L, 0, Seq(8L, 1L, 1L, 0L)),
+    (5L, 0, Seq(0L, 8L, 1L, 0L)), // labeled 0, nearest centroid is 1
+    (6L, 1, Seq(1L, 7L, 0L, 1L)))
+
+  private def engineFor(dir: String, batch: DataFrame): Engine = new Engine(
+    spark, dir, Map(
+      "vectors" -> batch,
+      "vectors_training" -> vecsDf(training)),
+    IncrementalIvfIndex.models("vectors", "vectors_training", Dims))
+
+  private def indexSet(dir: String): Set[(Long, Int)] =
+    spark.read.parquet(s"$dir/ivf_index")
+      .select($"vec_id", $"cluster").as[(Long, Int)].collect().toSet
+
+  test("incremental index reproduces the one-shot assignment; delta-only; learned not labeled") {
+    val dir = tmpDir("incivf")
+    val all = vecsDf(training ++ arrivals)
+
+    // build 1: training corpus only — 4 index rows, no marker needed
+    // (every row emits exactly one row; data rows are the frontier)
+    val r1 = engineFor(dir, vecsDf(training)).build()
+    assert(r1.ok, r1.results.mkString("; "))
+    assert(r1("ivf_index").rows == 4)
+
+    // build 2: 3 arrivals → exactly 3 appended rows
+    val r2 = engineFor(dir, all).build()
+    assert(r2.ok, r2.results.mkString("; "))
+    assert(r2("ivf_index").rows == 3)
+
+    // accumulated state ≡ one-shot assignment of the full corpus
+    val oneShot = IncrementalIvfIndex.assign(
+        all, IncrementalIvfIndex.centroids(vecsDf(training), Dims))
+      .select($"vec_id", $"cluster").as[(Long, Int)].collect().toSet
+    assert(indexSet(dir) == oneShot)
+
+    // the learned partition disagrees with the raw label where it must
+    assert(indexSet(dir).contains(5L -> 1))
+    assert(indexSet(dir).contains(4L -> 0))
+
+    // idempotent re-run appends nothing
+    val r3 = engineFor(dir, all).build()
+    assert(r3("ivf_index").rows == 0)
+  }
+
+  test("probe reads one cluster; top-k ranks by exact integer-dot cosine") {
+    val dir = tmpDir("incivf2")
+    engineFor(dir, vecsDf(training ++ arrivals)).build()
+    val hits = IncrementalIvfIndex.searchTopK(
+        spark.read.parquet(s"$dir/ivf_index"), nQueries = 1, topK = 2)
+      .select($"query_id", $"vec_id", $"rnk").as[(Long, Long, Int)]
+      .collect().toSet
+    // query 0 (cluster 0) must see only cluster-0 members {1, 4},
+    // ranked: vec 4 (cos 81/√(101·66) ≈ .9921) above vec 1 (90/√(101·82) ≈ .9890)
+    assert(hits == Set((0L, 4L, 1), (0L, 1L, 2)))
+  }
+}
