@@ -25,15 +25,26 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame       = load(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame     = load(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame     = load(spark, sfDir, "region")
-  /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects. Read nanos as long and convert to a micros timestamp
-    * (integer division — the values are whole microseconds; doing this in
-    * double would lose precision past 2^53).
+  /** events.parquet has shipped `ts` as TIMESTAMP(NANOS) in some driver
+    * generations (Spark's parquet reader rejects it — read nanos as long
+    * via the legacy conf, then integer-divide to micros; doing this in
+    * double would lose precision past 2^53) and as a plain micros
+    * TIMESTAMP in others. Branch on the read schema so both load.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, sfDir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val df = load(spark, sfDir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case _ =>
+        // normalize TIMESTAMP_NTZ → TimestampType (session TZ is pinned
+        // to UTC everywhere, so the instant is unchanged) — downstream
+        // watermarks/windows were built against TimestampType
+        df.withColumn("ts",
+          df("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame  = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")

@@ -60,7 +60,10 @@ object IncrementalIvfIndex {
     graft.functions.GraftFunctions.register(vecs.sparkSession)
     val sim = expr("dot_i64(q, c)") /
       sqrt(col("nsq").cast("double") * col("ncsq").cast("double"))
-    vecs.crossJoin(broadcast(cent))
+    // project away any extra batch columns (notably a raw `label`, which
+    // would collide with the centroid table's key) before the crossJoin
+    vecs.select(col("vec_id"), col("q"), col("nsq"))
+      .crossJoin(broadcast(cent))
       .select(col("vec_id"), col("q"), col("nsq"),
         struct(sim.as("sim"), (-col("label")).cast("long").as("negl")).as("cand"))
       .groupBy(col("vec_id"))

@@ -237,8 +237,11 @@ class EngineSpec extends SparkSpec {
     val seqRpt = eng(tmpDir("engs"), mk).build()
     val parRpt = eng(tmpDir("engp"), mk).build(threads = 4)
     assert(parRpt.ok, parRpt.results.mkString("; "))
-    // same statuses and row counts in topo order
-    assert(seqRpt.results == parRpt.results)
+    // same statuses and row counts in topo order (measured elapsedMs /
+    // shuffleBytes legitimately differ run-to-run — compare semantics only)
+    def norm(r: graft.engine.BuildReport) =
+      r.results.map(n => (n.name, n.status, n.rows, n.failedChecks))
+    assert(norm(seqRpt) == norm(parRpt))
     assert(parRpt("join").rows == 3)
 
     // a failing check on one branch blocks only its downstream, in parallel too
