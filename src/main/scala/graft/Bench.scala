@@ -36,6 +36,11 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // same session TZ pin as Verify/probe tools: Tables.events casts
+      // TIMESTAMP_NTZ→TimestampType relying on it — without the pin a
+      // non-UTC JVM would shift instants and change ts-filter selectivity
+      // between bench and verify runs
+      .config("spark.sql.session.timeZone", "UTC")
       // bucket-grain co-partitioning for multi-key joins over
       // BucketedTable models (Materialization.BucketedTable scaladoc)
       .config("spark.sql.requireAllClusterKeysForCoPartition", "false")

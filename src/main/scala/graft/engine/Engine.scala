@@ -238,15 +238,19 @@ final class Engine(
           _.write.bucketBy(n, key).sortBy(key)
             .option("path", path(m.name)).mode("overwrite")
             .saveAsTable(bucketTable(m.name)))
-      case Materialization.IncrementalAppend(wm) =>
-        if (!exists(m.name))
-          writeCounted(df, _.write.mode("overwrite").parquet(path(m.name)))
+      case Materialization.IncrementalAppend(wm, pcols) =>
+        def write(d: DataFrame, mode: String): Long = writeCounted(d, { x =>
+          val w = x.write.mode(mode)
+          (if (pcols.nonEmpty) w.partitionBy(pcols: _*) else w)
+            .parquet(path(m.name))
+        })
+        if (!exists(m.name)) write(df, "overwrite")
         else {
           // High-water mark: single scalar off parquet min/max footer stats.
           val prev = spark.read.parquet(path(m.name)).agg(max(col(wm))).first()
           val delta =
             if (prev.isNullAt(0)) df else df.filter(col(wm) > lit(prev.get(0)))
-          writeCounted(delta, _.write.mode("append").parquet(path(m.name)))
+          write(delta, "append")
         }
       case Materialization.DeleteInsert(pcol) =>
         // df is expected to contain ONLY the restatement window's rows

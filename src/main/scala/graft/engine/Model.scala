@@ -55,8 +55,18 @@ object Materialization {
     * max-aggregate over the target's `watermarkCol` — parquet footer
     * statistics make this a metadata-only scan in practice; the filtered
     * source append never shuffles.
+    *
+    * `partitionCols` (optional) stores the target hive-partitioned on
+    * those columns, so a consumer filtering on them gets planning-time
+    * directory pruning instead of a full scan — the read-side contract a
+    * cluster-keyed index table (e.g. `ivf_index`) needs: a probe of one
+    * cluster reads one cluster's partition, N/k of the data. Appends
+    * land inside the partitions their rows belong to; nothing else is
+    * touched.
     */
-  final case class IncrementalAppend(watermarkCol: String) extends Materialization
+  final case class IncrementalAppend(
+      watermarkCol: String,
+      partitionCols: Seq[String] = Nil) extends Materialization
 
   /** Incremental delete+insert over a partitioned table: recompute only the
     * partitions inside the restatement window and overwrite exactly those

@@ -107,6 +107,49 @@ object Multimodal {
     }
   }
 
+  /** Integer-exact feature moments: the oracle-checkable face of
+    * [[featurize]]. Same decode seam, same partition-local batch shape,
+    * but the outputs are exact 64-bit integers — byte sum, byte sum of
+    * squares and the raw 8-bucket histogram COUNTS — so a SQL engine can
+    * reproduce them bit-for-bit over the same payloads (mean/std/normalized
+    * histogram are derived views: mean = sum/n, var = sumsq/n − mean²).
+    * This is what lets `q_media_features` hash-check against DuckDB while
+    * the float vector stays pinned in MultimodalSpec. */
+  final case class MediaMoments(
+      media_id: Long,
+      kind: String,
+      n_bytes: Int,
+      byte_sum: Long,
+      byte_sumsq: Long,
+      hist: Array[Long])
+
+  def featurizeExact(
+      media: Dataset[MediaRow],
+      decoder: MediaDecoder = MediaDecoder.Stub,
+      batchSize: Int = 64,
+      nBuckets: Int = 8): Dataset[MediaMoments] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch => // bounded batch shape
+        batch.iterator.map { m =>
+          val raw = decoder.decode(m.kind, m.payload)
+          val hist = new Array[Long](nBuckets)
+          var sum = 0L
+          var sumSq = 0L
+          var i = 0
+          while (i < raw.length) {
+            val v = raw(i) & 0xff
+            hist(v * nBuckets / 256) += 1L
+            sum += v
+            sumSq += v.toLong * v
+            i += 1
+          }
+          MediaMoments(m.media_id, m.kind, raw.length, sum, sumSq, hist)
+        }
+      }
+    }
+  }
+
   /** dHash-64 perceptual hash over the DECODED sample buffer, packed as
     * 4×16-bit words (the LSH band grain): 65 evenly spaced samples —
     * the byte-buffer analog of dHash's 9×8 thumbnail — and 64 gradient

@@ -7,9 +7,10 @@ import graft.multimodal.Multimodal
 
 /** Query-registry surface for the multimodal operators (see
   * [[graft.multimodal.Multimodal]] for the engine pieces + scale notes).
-  * Metadata/sampling ops are SQL-expressible → DuckDB oracles; the
-  * decode+featurize path is not (mapPartitions) → rows-only check, with
-  * semantics covered by MultimodalSpec.
+  * Every query here hash-checks against a DuckDB oracle — including the
+  * decode+featurize path, whose oracle face is the integer-exact moment
+  * kernel ([[Multimodal.featurizeExact]]); the float feature vector the
+  * moments determine stays pinned in MultimodalSpec.
   */
 object MultimodalQueries {
 
@@ -167,14 +168,37 @@ object MultimodalQueries {
 
     // ---- decode + feature extraction (mapPartitions, stub decoder):
     // not SQL-expressible → rows-only; values asserted in MultimodalSpec
-    Q.rowsOnly("q_media_features") { (s, dir) =>
+    Q.sql(
+      "q_media_features",
+      // the stub decode is identity and the corpus is ASCII (byte index ==
+      // char index — same contract the dHash oracle uses), so DuckDB can
+      // recompute the kernel's moments from ascii(substr(...)); empty
+      // payloads coalesce to 0 exactly like the kernel's empty loop
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |         ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+        |         list_transform(generate_series(1, length(text)),
+        |                        i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)) AS codes
+        |  FROM documents)
+        |SELECT media_id, kind,
+        |       CAST(len(codes) AS INT) AS n_bytes,
+        |       CAST(coalesce(list_sum(codes), 0) AS BIGINT) AS byte_sum,
+        |       CAST(coalesce(list_sum(list_transform(codes, x -> x * x)), 0) AS BIGINT) AS byte_sumsq,
+        |""".stripMargin +
+        (0 to 7).map(b =>
+          s"       CAST(len(list_filter(codes, x -> x // 32 = $b)) AS BIGINT) AS hist_$b")
+          .mkString(",\n") +
+        "\nFROM m"
+    ) { (s, dir) =>
       import s.implicits._
       val media = Multimodal.mediaFromDocuments(Tables.documents(s, dir))
         .as[Multimodal.MediaRow]
-      Multimodal.featurize(media).toDF()
-        .select(col("media_id"), col("kind"), col("n_bytes"),
-          round(element_at(col("features"), 1), 3).as("byte_mean"),
-          round(element_at(col("features"), 2), 3).as("byte_std"))
+      Multimodal.featurizeExact(media).toDF()
+        .select(Seq(col("media_id"), col("kind"), col("n_bytes"),
+          col("byte_sum"), col("byte_sumsq")) ++
+          // the driver's compare sorts/hashes SCALAR columns; the
+          // histogram ships as 8 bigints, not an array column
+          (0 to 7).map(b => element_at(col("hist"), b + 1).as(s"hist_$b")): _*)
     }
   )
 

@@ -83,7 +83,12 @@ object IncrementalIvfIndex {
       centroids(r(trainingRef), dims)),
     Model.incremental(
       "ivf_index", Seq(vectorsRef, "ivf_centroids"),
-      Materialization.IncrementalAppend("vec_id")) { (_, r, prior) =>
+      // cluster-partitioned storage: a probe of cluster c is a
+      // planning-time-pruned scan of one partition directory (N/k of
+      // the data) — pinned by IncrementalIvfIndexSpec on the executed
+      // plan's PartitionFilters; appends only touch the partitions
+      // their rows belong to
+      Materialization.IncrementalAppend("vec_id", Seq("cluster"))) { (_, r, prior) =>
       val hwm = Incremental.hwm(prior, "vec_id")
       assign(r(vectorsRef).filter(col("vec_id") > hwm), r("ivf_centroids"))
     })

@@ -44,7 +44,9 @@ object ScaleProbe {
       "q_pipeline_decontaminate", "q_pipeline_shard_pack", "q_dedup_minhash_lsh",
       "q_pipeline_repeated_ngrams", "q_text_token_entropy",
       "q_pipeline_split_leakage", "q_pipeline_block_dedup",
-      "q_text_pii_redact", "q_pipeline_mix_temperature", "q_dedup_semantic")
+      "q_text_pii_redact", "q_pipeline_mix_temperature", "q_dedup_semantic",
+      // embeddings-table operators (label remap grows k with the corpus)
+      "q_dedup_semantic_probed", "q_ann_ivf_incremental")
     val queries = sys.env.get("SPARK_GRAFT_PROBE_QUERIES")
       .map(_.split(",").map(_.trim).toSet)
       .fold(allQueries)(sub => allQueries.filter(sub.contains))

@@ -383,7 +383,7 @@ class EngineSpec extends SparkSpec {
     assert(m.contains(""""sources":["raw_orders"]"""), m)
     assert(m.indexOf(""""name":"a"""") < m.indexOf(""""name":"b""""), m) // topo order
     assert(m.contains(""""deps":["a"]"""), m)
-    assert(m.contains("IncrementalAppend(ingested_at)"), m)
+    assert(m.contains("IncrementalAppend(ingested_at"), m)
     assert(m.contains("unique(id)"), m)
     // a selective rebuild must leave the FULL project manifest in place
     assert(e.build(select = Seq("b")).ok)

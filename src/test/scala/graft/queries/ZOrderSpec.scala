@@ -50,9 +50,17 @@ class ZOrderSpec extends SparkSpec {
     val base = tmpDir("zorder")
     data.repartitionByRange(64, $"x").sortWithinPartitions($"x")
       .write.parquet(s"$base/linear")
+    // EXACT file boundaries at z-multiples of 2^14 (hive-partitioned by
+    // z-file id — the OPTIMIZE-ZORDER table layout), not sampled range
+    // boundaries: parquet min/max stats are per-column, so a file whose
+    // z-range straddles a 2^14 boundary has x-min < 64 via one row and
+    // y-min < 64 via another while containing no rectangle row at all —
+    // un-prunable, and whether sampling produces such a straddler is
+    // machine-dependent jitter (it did on a 32-core host)
     data.withColumn("z", zOrder($"x", $"y"))
-      .repartitionByRange(64, $"z").sortWithinPartitions($"z")
-      .write.parquet(s"$base/zorder")
+      .withColumn("zfile", ($"z" / (1 << 14)).cast("int"))
+      .repartition($"zfile").sortWithinPartitions($"z")
+      .write.partitionBy("zfile").parquet(s"$base/zorder")
 
     // rectangle [0,64) x [0,64): 1/256 of the space. Under z-order it is
     // exactly the z-range [0, 4096) — compact, few files; under the

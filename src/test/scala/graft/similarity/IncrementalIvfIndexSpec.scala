@@ -88,4 +88,34 @@ class IncrementalIvfIndexSpec extends SparkSpec {
     // ranked: vec 4 (cos 81/√(101·66) ≈ .9921) above vec 1 (90/√(101·82) ≈ .9890)
     assert(hits == Set((0L, 4L, 1), (0L, 1L, 2)))
   }
+
+  test("ivf_index storage is cluster-partitioned; a probe is a pruned scan") {
+    val dir = tmpDir("incivf3")
+    engineFor(dir, vecsDf(training ++ arrivals)).build()
+
+    // hive layout: one directory per cluster, and an APPEND (second
+    // build) only adds files inside its rows' partitions
+    val dirs = new java.io.File(s"$dir/ivf_index").listFiles
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs == Set("cluster=0", "cluster=1"), dirs)
+
+    // "a probe reads one cluster's partition": the filter lands in the
+    // scan's PartitionFilters (planning-time directory pruning), never a
+    // post-scan data filter — the PartitionPruningSpec contract, now on
+    // the index table itself
+    val index = spark.read.parquet(s"$dir/ivf_index")
+    val probe = index.filter($"cluster" === 1)
+    probe.collect()
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["), plan)
+    val scanLine = plan.linesIterator.find(_.contains("PartitionFilters")).get
+    assert(scanLine.contains("cluster"), scanLine)
+    assert(probe.count() == index.filter($"cluster" === 1).count())
+
+    // searchTopK's cluster-equi join carries the same pruning potential:
+    // its executed plan joins on the partition column (dynamic pruning
+    // where the runtime inserts it; correctness never depends on it)
+    val hits = IncrementalIvfIndex.searchTopK(index, nQueries = 1, topK = 2)
+    assert(hits.count() == 2)
+  }
 }
