@@ -31,6 +31,7 @@ object SimilarityQueries {
   private val Dims = 64
   private val TopK = 10
   private val NQueries = 5
+  private val NProbe = 2 // clusters probed by the multi-probe IVF variant
 
   /** Signed-random-projection planes for the LSH variant: P hyperplanes
     * of small ints, generated ONCE from a fixed seed and inlined
@@ -158,6 +159,74 @@ object SimilarityQueries {
       val assign = qs.crossJoin(broadcast(cent))
         .withColumn("rnk", row_number().over(wAssign))
         .filter(col("rnk") === 1)
+        .select(col("query_id"), col("qq"), col("nq"), col("label"))
+      val pairs = e.as("c").join(broadcast(assign.as("a")),
+          col("c.label") === col("a.label") && col("c.vec_id") =!= col("a.query_id"))
+        .select(col("query_id"), col("vec_id"),
+          dot("qq", "q").as("dot"), col("nq"), col("nsq").as("nc"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(cosine(col("dot"), col("nq"), col("nc")).desc, col("vec_id"))
+      pairs
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= TopK)
+        .select(col("query_id"), col("vec_id"), col("rnk"),
+          round(cosine(col("dot"), col("nq"), col("nc")), 4).as("cos_sim"))
+    },
+
+    // ---- multi-probe IVF (nprobe = 2): single-probe IVF recall is
+    // bounded by true neighbors living in the query's SECOND-nearest
+    // cluster — exactly the vectors a query near a centroid boundary
+    // loses. Probing the 2 nearest clusters doubles the candidate scan
+    // (2N/C per query, still ≪ N) and strictly dominates single-probe
+    // recall: the probed set is a superset. Same trade as
+    // q_ann_lsh_multiprobe, on the learned-centroid structure; recall
+    // vs brute-force truth measured in SimilaritySpec.
+    Q.sql(
+      "q_ann_ivf_multiprobe", {
+        val centroidSums = (1 to Dims).map(i => s"sum(q[$i])").mkString(", ")
+        s"""WITH $quantizedSql,
+           |cent AS (
+           |  SELECT label, [$centroidSums] AS c,
+           |         list_sum(list_transform([$centroidSums], x -> x * x)) AS ncsq
+           |  FROM e GROUP BY label),
+           |qs AS (SELECT * FROM e WHERE vec_id < $NQueries),
+           |assign AS (
+           |  SELECT query_id, label FROM (
+           |    SELECT qs.vec_id AS query_id, cent.label,
+           |           row_number() OVER (PARTITION BY qs.vec_id
+           |             ORDER BY list_sum(list_transform(generate_series(1, $Dims),
+           |                        i -> qs.q[i] * cent.c[i]))
+           |                      / sqrt(CAST(qs.nsq AS DOUBLE) * CAST(cent.ncsq AS DOUBLE)) DESC,
+           |                      cent.label) AS rnk
+           |    FROM qs CROSS JOIN cent) t WHERE rnk <= $NProbe),
+           |pairs AS (
+           |  SELECT qs.vec_id AS query_id, c.vec_id AS vec_id,
+           |         list_sum(list_transform(generate_series(1, $Dims),
+           |                  i -> qs.q[i] * c.q[i])) AS dot,
+           |         qs.nsq AS nq, c.nsq AS nc
+           |  FROM qs JOIN assign a ON qs.vec_id = a.query_id
+           |          JOIN e c ON c.label = a.label AND c.vec_id <> qs.vec_id)
+           |SELECT query_id, vec_id, CAST(rnk AS INT) AS rnk, round(cos_raw, 4) AS cos_sim
+           |FROM (
+           |  SELECT query_id, vec_id,
+           |         dot / sqrt(CAST(nq AS DOUBLE) * CAST(nc AS DOUBLE)) AS cos_raw,
+           |         row_number() OVER (PARTITION BY query_id
+           |           ORDER BY dot / sqrt(CAST(nq AS DOUBLE) * CAST(nc AS DOUBLE)) DESC, vec_id) AS rnk
+           |  FROM pairs) t
+           |WHERE rnk <= $TopK""".stripMargin
+      }
+    ) { (s, dir) =>
+      val e = quantized(s, dir).localCheckpoint()
+      val cent = e.groupBy(col("label"))
+        .agg(array((1 to Dims).map(i => sum(element_at(col("q"), i))): _*).as("c"))
+        .withColumn("ncsq", expr("dot_i64(c, c)"))
+      val qs = e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("q").as("qq"), col("nsq").as("nq"))
+      val wAssign = Window.partitionBy(col("query_id"))
+        .orderBy(cosine(dot("qq", "c"), col("nq"), col("ncsq")).desc, col("label"))
+      val assign = qs.crossJoin(broadcast(cent))
+        .withColumn("rnk", row_number().over(wAssign))
+        .filter(col("rnk") <= NProbe) // the ONLY change vs single-probe
         .select(col("query_id"), col("qq"), col("nq"), col("label"))
       val pairs = e.as("c").join(broadcast(assign.as("a")),
           col("c.label") === col("a.label") && col("c.vec_id") =!= col("a.query_id"))

@@ -52,29 +52,22 @@ object IncrementalIvfIndex {
       .withColumn("ncsq", expr("dot_i64(c, c)"))
   }
 
-  /** Nearest-centroid assignment of (vec_id, q, nsq) rows: broadcast the
-    * k-row centroid table, keep the per-vector max of struct(sim, -label)
-    * — ties break to the LOWEST label, matching the oracle's
-    * `ORDER BY sim DESC, label` rank. Emits (vec_id, cluster, q, nsq). */
-  def assign(vecs: DataFrame, cent: DataFrame): DataFrame = {
-    graft.functions.GraftFunctions.register(vecs.sparkSession)
-    val sim = expr("dot_i64(q, c)") /
-      sqrt(col("nsq").cast("double") * col("ncsq").cast("double"))
-    // project away any extra batch columns (notably a raw `label`, which
-    // would collide with the centroid table's key) before the crossJoin
-    vecs.select(col("vec_id"), col("q"), col("nsq"))
-      .crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("q"), col("nsq"),
-        struct(sim.as("sim"), (-col("label")).cast("long").as("negl")).as("cand"))
-      .groupBy(col("vec_id"))
-      // first() is order-sensitive in general; here every row of a
-      // vec_id group carries the SAME q/nsq (crossJoin replicas), so
-      // any pick is the one value
-      .agg(max(col("cand")).as("best"),
-        first(col("q")).as("q"), first(col("nsq")).as("nsq"))
-      .select(col("vec_id"), (-col("best.negl")).cast("int").as("cluster"),
-        col("q"), col("nsq"))
-  }
+  /** Nearest-centroid assignment of (vec_id, q, nsq) rows against the
+    * k-row centroid table: the shared scan-local kernel
+    * ([[CentroidAssign.kernel]]) — exact integer-dot cosine per centroid,
+    * ties to the LOWEST label (matching the oracle's `ORDER BY sim DESC,
+    * label` rank), ZERO exchanges. The previous broadcast-crossJoin +
+    * max-of-struct form streamed N×k rows through a partial aggregate;
+    * the kernel took q_ann_ivf_incremental's 64× ScaleProbe point from
+    * 77.9× to the README table's current value. Emits
+    * (vec_id, cluster, q, nsq). */
+  def assign(vecs: DataFrame, cent: DataFrame): DataFrame =
+    CentroidAssign.kernel(
+      // project away any extra batch columns (notably a raw `label`,
+      // which is NOT the learned cluster)
+      vecs.select(col("vec_id"), col("q"), col("nsq")),
+      CentroidAssign.collectCentroids(cent))
+      .select(col("vec_id"), col("cluster"), col("q"), col("nsq"))
 
   /** The index DAG, wired to read (vec_id, label, q, nsq) batches from
     * `vectorsRef` and the fixed training snapshot from `trainingRef`. */
@@ -91,6 +84,12 @@ object IncrementalIvfIndex {
       Materialization.IncrementalAppend("vec_id", Seq("cluster"))) { (_, r, prior) =>
       val hwm = Incremental.hwm(prior, "vec_id")
       assign(r(vectorsRef).filter(col("vec_id") > hwm), r("ivf_centroids"))
+        // co-locate each cluster in one write task before the hive
+        // partitioned write: without this every scan task fans out one
+        // file per cluster it touches (tasks × k tiny files at 64×
+        // scale); with it the batch writes exactly one file per cluster
+        // per build — one N-row exchange, paid once at write time
+        .repartition(col("cluster"))
     })
 
   /** Probe the accumulated index: queries are corpus vectors (vec_id <
