@@ -196,13 +196,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("max_by"), p)
   }
 
-  test("probed semantic assignment: broadcast probe + map-side partial argmax") {
-    // the ANN-assisted variant stays declarative: representatives and
-    // centroid members broadcast (never shuffled), and the exact argmax
-    // among probed candidates collapses map-side (partial max_by) so the
-    // final exchange carries ~N rows, not N×(probed candidates)
+  test("probed semantic assignment: scan-local group ranking + map-side partial argmax") {
+    // the ANN-assisted variant stays declarative with the right shape:
+    // √k representatives are plan LITERALS, so group ranking is a
+    // per-row struct-array sort (no crossJoin, no window shuffle of
+    // N·√k rows); probed members arrive via broadcast join and the
+    // exact argmax collapses map-side (partial max_by) so the only
+    // exchange carries ~N rows
     val p = plan("q_dedup_semantic_probed")
-    assert(p.contains("BroadcastNestedLoopJoin"), p) // vectors × √k reps
+    assert(!p.contains("BroadcastNestedLoopJoin"), p) // reps are literals
+    // ranking is sort_array, not a row_number window (the only windows
+    // in the plan are the downstream survivorship's cluster-partitioned
+    // lag/count — none partitioned by vec_id)
+    assert(!p.contains("row_number"), p)
     assert(p.contains("BroadcastHashJoin"), p) // probed groups → members
     assert(p.contains("partial_max_by"), p)
   }

@@ -112,10 +112,14 @@ class IncrementalIvfIndexSpec extends SparkSpec {
     assert(scanLine.contains("cluster"), scanLine)
     assert(probe.count() == index.filter($"cluster" === 1).count())
 
-    // searchTopK's cluster-equi join carries the same pruning potential:
-    // its executed plan joins on the partition column (dynamic pruning
-    // where the runtime inserts it; correctness never depends on it)
+    // searchTopK's cluster-equi join: the big side's scan must carry a
+    // DYNAMIC partition-pruning filter on cluster (runtime directory
+    // pruning from the broadcast query side) — at 100 TB this is what
+    // makes "probe = the probed clusters' partitions" true inside the
+    // join itself, not just for a manual filter
     val hits = IncrementalIvfIndex.searchTopK(index, nQueries = 1, topK = 2)
     assert(hits.count() == 2)
+    val searchPlan = hits.queryExecution.executedPlan.toString
+    assert(searchPlan.toLowerCase.contains("dynamicpruning"), searchPlan)
   }
 }
