@@ -392,6 +392,84 @@ object SimilarityQueries {
           round(cosine(col("dot"), col("nq"), col("nc")), 4).as("cos_sim"))
     },
 
+    // ---- scalar-quantized (SQ8) shortlist + exact re-rank: the
+    // memory-bandwidth half of the PQ/SQ story the IVF index's scaladoc
+    // points at. Vectors are compressed to int8 codes with ONE global
+    // scale (max|component| / 127 — a driver-collected scalar, the P8
+    // idiom); the full corpus is scored on CODES (8× less data touched
+    // per candidate at production layout: array<tinyint>/binary — here
+    // the algebra and recall behavior are the demonstrated part), the
+    // top-C=3k shortlist is then re-ranked with EXACT integer cosine on
+    // the full vectors, and only top-k survives. Quantization error can
+    // reorder the shortlist BOUNDARY, so recall < 1 is possible by
+    // design — measured against brute-force truth in SimilaritySpec.
+    // Every step (scale, rounding, tie order) is bit-specified in both
+    // engines, so the result hash-checks like the other ANN variants.
+    Q.sql(
+      "q_ann_sq8_rerank", {
+        val short = TopK * 3
+        s"""WITH $quantizedSql,
+           |s AS (SELECT max(list_max(list_transform(q, x -> abs(x)))) / 127.0 AS sc FROM e),
+           |c8 AS (
+           |  SELECT vec_id, nsq, q,
+           |         list_transform(q, x -> CAST(round(x / sc) AS BIGINT)) AS c
+           |  FROM e, s),
+           |n8 AS (SELECT vec_id, nsq, q, c,
+           |              list_sum(list_transform(c, x -> x * x)) AS ncsq8 FROM c8),
+           |qs AS (SELECT * FROM n8 WHERE vec_id < $NQueries),
+           |shortlist AS (
+           |  SELECT query_id, vec_id, q, nsq, qq, nq FROM (
+           |    SELECT qs.vec_id AS query_id, c.vec_id AS vec_id, c.q, c.nsq,
+           |           qs.q AS qq, qs.nsq AS nq,
+           |           row_number() OVER (PARTITION BY qs.vec_id
+           |             ORDER BY list_sum(list_transform(generate_series(1, $Dims),
+           |                        i -> qs.c[i] * c.c[i]))
+           |                      / sqrt(CAST(qs.ncsq8 AS DOUBLE) * CAST(c.ncsq8 AS DOUBLE)) DESC,
+           |                      c.vec_id) AS rnk8
+           |    FROM qs JOIN n8 c ON c.vec_id <> qs.vec_id) t
+           |  WHERE rnk8 <= $short),
+           |exact AS (
+           |  SELECT query_id, vec_id,
+           |         list_sum(list_transform(generate_series(1, $Dims),
+           |                  i -> qq[i] * q[i]))
+           |           / sqrt(CAST(nq AS DOUBLE) * CAST(nsq AS DOUBLE)) AS cos_raw
+           |  FROM shortlist)
+           |SELECT query_id, vec_id, CAST(rnk AS INT) AS rnk, round(cos_raw, 4) AS cos_sim
+           |FROM (
+           |  SELECT query_id, vec_id, cos_raw,
+           |         row_number() OVER (PARTITION BY query_id
+           |           ORDER BY cos_raw DESC, vec_id) AS rnk
+           |  FROM exact) t
+           |WHERE rnk <= $TopK""".stripMargin
+      }
+    ) { (s, dir) =>
+      val e = quantized(s, dir).localCheckpoint()
+      // global scale: ONE driver-collected scalar (same bytes a scalar
+      // subquery moves); identical double math to the oracle's `s` CTE
+      val maxAbs = e.select(max(array_max(transform(col("q"), x => abs(x)))))
+        .first().getLong(0)
+      val sc = maxAbs / 127.0
+      val c8 = e.withColumn("c",
+          transform(col("q"), x => round(x / lit(sc), 0).cast("long")))
+        .withColumn("ncsq8", expr("dot_i64(c, c)"))
+      val qs = c8.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("q").as("qq"),
+          col("nsq").as("nq"), col("c").as("qc"), col("ncsq8").as("nq8"))
+      val short = TopK * 3
+      val w8 = Window.partitionBy(col("query_id"))
+        .orderBy(cosine(dot("qc", "c"), col("nq8"), col("ncsq8")).desc, col("vec_id"))
+      val shortlist = c8.join(broadcast(qs), col("vec_id") =!= col("query_id"))
+        .withColumn("rnk8", row_number().over(w8))
+        .filter(col("rnk8") <= short)
+      val cosE = cosine(dot("qq", "q"), col("nq"), col("nsq"))
+      val w = Window.partitionBy(col("query_id")).orderBy(cosE.desc, col("vec_id"))
+      shortlist
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= TopK)
+        .select(col("query_id"), col("vec_id"), col("rnk"),
+          round(cosE, 4).as("cos_sim"))
+    },
+
     // ---- incrementally-built IVF index: two engine builds (half the
     // corpus, then all of it) accumulate `ivf_index` delta-only — each
     // build assigns ONLY its batch against centroids trained once on
