@@ -41,6 +41,117 @@ object CentroidAssign {
       .as[(Int, Array[Long], Long)].collect().sortBy(_._1)
   }
 
+  /** PROBED (ANN-assisted, approximate) assignment kernel — the same
+    * scan-local shape as [[kernel]], for the two-level probe operator
+    * (`q_dedup_semantic_probed`): centroids are grouped by an LSH coarse
+    * quantizer (sign bits of integer plane dots — computed HERE on the
+    * driver with the same exact integer math the DuckDB oracle uses),
+    * each group gets an element-wise integer-sum representative, and each
+    * row ranks the ~√k representatives (cos DESC, grp ASC), probes its
+    * top-`w` groups and takes the exact argmax (cos DESC, label ASC)
+    * among their members. Flops per row: √k + w·√k instead of k; zero
+    * exchanges.
+    *
+    * Why a kernel here too: the declarative forms were measured at the
+    * 64× probe point — crossJoin+window ranking shuffles N·√k rows
+    * (11.1 s), and even scan-local folded-literal expressions pay ~43 µs/
+    * row for the g=32 dot+divide chain plus a 32-struct sort_array per
+    * row (76 s for the full pass) against ~1 s for this loop. Same
+    * broadcast-size contract as [[kernel]]; the coarse structure is
+    * derived from the collected centroids at no extra distributed cost. */
+  def probeKernel(
+      vecs: DataFrame,
+      cents: Array[(Int, Array[Long], Long)],
+      planes: Seq[Array[Long]],
+      w: Int): DataFrame = {
+    val dims = cents.headOption.map(_._2.length).getOrElse(0)
+    // group code per centroid: sign bits of exact integer plane dots
+    val grpOf: Array[Int] = cents.map { case (_, c, _) =>
+      planes.zipWithIndex.map { case (p, i) =>
+        var d = 0L
+        var j = 0
+        while (j < dims) { d += c(j) * p(j); j += 1 }
+        if (d >= 0) 1 << i else 0
+      }.sum
+    }
+    val grpIds: Array[Int] = grpOf.distinct.sorted
+    val members: Array[Array[Int]] =
+      grpIds.map(g => cents.indices.filter(i => grpOf(i) == g).toArray)
+    // representative = element-wise integer sum of member centroids
+    val reps: Array[(Array[Long], Long)] = grpIds.indices.toArray.map { gi =>
+      val rc = new Array[Long](dims)
+      members(gi).foreach { ci =>
+        val c = cents(ci)._2
+        var j = 0
+        while (j < dims) { rc(j) += c(j); j += 1 }
+      }
+      var n = 0L
+      var j = 0
+      while (j < dims) { n += rc(j) * rc(j); j += 1 }
+      (rc, n)
+    }
+    val s = vecs.sparkSession
+    import s.implicits._
+    val bc = s.sparkContext.broadcast((cents, grpIds, members, reps))
+    vecs.selectExpr("vec_id", "q", "nsq")
+      .as[(Long, Array[Long], Long)]
+      .mapPartitions { it =>
+        val (cs, gids, mem, rps) = bc.value
+        val g = gids.length
+        val take = math.min(w, g)
+        it.map { case (id, q, nsq) =>
+          // top-`take` groups by (cos DESC, grp-code ASC) — insertion
+          // into a small array reproduces the oracle's row_number order
+          val selCos = new Array[Double](take)
+          val selGi = new Array[Int](take)
+          var filled = 0
+          var gi = 0
+          while (gi < g) {
+            val (rc, nrsq) = rps(gi)
+            var dot = 0L
+            var i = 0
+            while (i < q.length) { dot += q(i) * rc(i); i += 1 }
+            val cos = dot / math.sqrt(nsq.toDouble * nrsq.toDouble)
+            // find insertion slot (ascending gi scan keeps grp ASC ties)
+            var slot = filled
+            while (slot > 0 && cos > selCos(slot - 1)) slot -= 1
+            if (slot < take) {
+              val last = math.min(filled, take - 1)
+              var m = last
+              while (m > slot) {
+                selCos(m) = selCos(m - 1); selGi(m) = selGi(m - 1); m -= 1
+              }
+              selCos(slot) = cos
+              selGi(slot) = gi
+              if (filled < take) filled += 1
+            }
+            gi += 1
+          }
+          // exact argmax among the probed groups' members
+          var bestL = -1
+          var bestCos = Double.NegativeInfinity
+          var si = 0
+          while (si < filled) {
+            val ms = mem(selGi(si))
+            var mi = 0
+            while (mi < ms.length) {
+              val (l, c, ncsq) = cs(ms(mi))
+              var dot = 0L
+              var i = 0
+              while (i < q.length) { dot += q(i) * c(i); i += 1 }
+              val cos = dot / math.sqrt(nsq.toDouble * ncsq.toDouble)
+              if (cos > bestCos || (cos == bestCos && l < bestL)) {
+                bestCos = cos; bestL = l
+              }
+              mi += 1
+            }
+            si += 1
+          }
+          (id, bestL, bestCos, q, nsq)
+        }
+      }.toDF("vec_id", "cluster", "cos_c", "q", "nsq")
+  }
+
   /** Assign every `(vec_id, q, nsq)` row to its nearest centroid. Emits
     * `(vec_id, cluster, cos_c, q, nsq)` with `cos_c` = cosine to the
     * assigned centroid. */
