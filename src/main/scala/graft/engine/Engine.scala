@@ -156,11 +156,20 @@ final class Engine(
   /** A model's own persisted state, if any — what dbt's
     * `is_incremental()` + `{{ this }}` expose (reference
     * `fct_subscription_month.sql:14-22`): lets an incremental model
-    * compute its restatement window from the current target. */
-  def targetIfExists(name: String): Option[DataFrame] =
+    * compute its restatement window from the current target.
+    *
+    * Under `fullRefresh` an INCREMENTAL model sees no prior state —
+    * dbt's `--full-refresh` semantics (`is_incremental()` returns
+    * false; the table is rebuilt from scratch, reference
+    * `README.md:115`). Snapshots are deliberately exempt, as in dbt:
+    * SCD2 history is the one state a rebuild cannot reconstruct. */
+  def targetIfExists(name: String, fullRefresh: Boolean = false): Option[DataFrame] =
     if (isSnapshot(name)) {
       if (snapExists(name)) Some(readSnapshot(name)) else None
-    } else if (exists(name)) Some(spark.read.parquet(path(name)))
+    } else if (fullRefresh && byName.get(name).exists(m =>
+        m.materialization.isInstanceOf[Materialization.IncrementalAppend] ||
+        m.materialization.isInstanceOf[Materialization.DeleteInsert])) None
+    else if (exists(name)) Some(spark.read.parquet(path(name)))
     else None
 
   /** Resolve a ref the way a downstream model sees it. */
@@ -218,8 +227,9 @@ final class Engine(
     * running `count()` on it would pay its full cost once per build on top
     * of what each consumer already pays; dbt likewise reports no row count
     * for views). */
-  private def materialize(m: Model, batchTs: java.sql.Timestamp): Long = {
-    val df = m.buildFn(spark, ref, targetIfExists(m.name))
+  private def materialize(m: Model, batchTs: java.sql.Timestamp,
+      fullRefresh: Boolean = false): Long = {
+    val df = m.buildFn(spark, ref, targetIfExists(m.name, fullRefresh))
     m.materialization match {
       case Materialization.View => -1L
       case Materialization.Table =>
@@ -244,7 +254,7 @@ final class Engine(
           (if (pcols.nonEmpty) w.partitionBy(pcols: _*) else w)
             .parquet(path(m.name))
         })
-        if (!exists(m.name)) write(df, "overwrite")
+        if (fullRefresh || !exists(m.name)) write(df, "overwrite")
         else {
           // High-water mark: single scalar off parquet min/max footer stats.
           val prev = spark.read.parquet(path(m.name)).agg(max(col(wm))).first()
@@ -261,8 +271,13 @@ final class Engine(
         // concurrent DeleteInsert nodes would race a set/restore of the
         // shared conf, and a restore-to-static mid-plan turns a window
         // restatement into a full-table overwrite (data loss).
+        // Under fullRefresh the build saw prior=None, so df is the FULL
+        // history — use a static overwrite so partitions that no longer
+        // exist in the recomputed result are dropped too (dbt's
+        // --full-refresh drops and recreates the table).
+        val mode = if (fullRefresh) "static" else "dynamic"
         writeCounted(df, _.write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
+          .option("partitionOverwriteMode", mode)
           .partitionBy(pcol).parquet(path(m.name)))
       case Materialization.Scd2Snapshot(key, checkCols) =>
         if (!snapExists(m.name)) {
@@ -303,7 +318,7 @@ final class Engine(
     * to the dbt skip status. */
   private def execNode(name: String, batchTs: java.sql.Timestamp,
       depBlocked: Boolean, shuffle: ShuffleBytesListener,
-      buildTag: String): NodeResult = {
+      buildTag: String, fullRefresh: Boolean = false): NodeResult = {
     val m = byName(name)
     if (depBlocked) NodeResult(name, "skipped_upstream", 0)
     else try {
@@ -314,7 +329,7 @@ final class Engine(
       val group = s"graft.$buildTag.$name"
       val sc = spark.sparkContext
       sc.setJobGroup(group, s"graft build: $name")
-      val rows = try materialize(m, batchTs) finally sc.clearJobGroup()
+      val rows = try materialize(m, batchTs, fullRefresh) finally sc.clearJobGroup()
       org.apache.spark.graftaccess.SparkListenerAccess.drain(sc)
       val sb =
         if (m.materialization == Materialization.View) -1L
@@ -380,10 +395,16 @@ final class Engine(
     }.toSet
   }
 
+  /** `fullRefresh` = dbt's `--full-refresh` (reference `README.md:115`):
+    * incremental-append and delete+insert models ignore their persisted
+    * state and rebuild from scratch; snapshots keep their history (dbt
+    * exempts snapshots for the same reason — it is the one state a
+    * rebuild cannot reconstruct). */
   def build(batchTs: java.sql.Timestamp =
       new java.sql.Timestamp(System.currentTimeMillis()),
       threads: Int = 1,
-      select: Seq[String] = Nil): BuildReport = {
+      select: Seq[String] = Nil,
+      fullRefresh: Boolean = false): BuildReport = {
     if (select.nonEmpty) {
       val sel = selectNodes(select)
       val sub = models.filter(m => sel(m.name))
@@ -408,7 +429,7 @@ final class Engine(
       sub.flatMap(_.deps).distinct.foreach(visit)
       val eng = new Engine(spark, warehouseDir,
         sources ++ pinned.map(n => n -> ref(n)).toMap, sub ++ viewsAlong.values)
-      val rpt = eng.build(batchTs, threads)
+      val rpt = eng.build(batchTs, threads, Nil, fullRefresh)
       if (viewsRegistered) registerViews()
       writeManifest() // the inner engine wrote the subset's view; the
       return BuildReport(rpt.results.filter(r => sel(r.name))) // full project wins
@@ -424,7 +445,7 @@ final class Engine(
         val blocked = mutable.Set.empty[String]
         BuildReport(order.map { name =>
           val res = execNode(name, batchTs, byName(name).deps.exists(blocked),
-            shuffle, buildTag)
+            shuffle, buildTag, fullRefresh)
           if (res.status != "ok") blocked += name
           res
         })
@@ -446,7 +467,8 @@ final class Engine(
               val depBlocked = byName(name).deps
                 .filter(byName.contains)
                 .exists(d => Option(results.get(d)).forall(_.status != "ok"))
-              results.put(name, execNode(name, batchTs, depBlocked, shuffle, buildTag))
+              results.put(name, execNode(name, batchTs, depBlocked, shuffle,
+                buildTag, fullRefresh))
             } catch {
               // execNode catches Exceptions itself; this guards Errors so
               // a worker failure can never hang the await below

@@ -75,6 +75,45 @@ class EngineSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/log").count() == 2)
   }
 
+  test("full refresh (dbt --full-refresh): incremental state ignored, history corrected; snapshots exempt") {
+    val dir = tmpDir("engfr")
+    // an upstream whose HISTORY changes under the watermark: normal
+    // incremental builds can never correct row 1, a full refresh must
+    var batch = Seq((1L, Timestamp.valueOf("2024-01-01 00:00:00"), 1.0))
+      .toDF("id", "ingested_at", "v")
+    val m = Model("log", Seq(), Materialization.IncrementalAppend("ingested_at"))(
+      (_, _) => batch)
+    val e = new Engine(spark, dir, Map.empty, Seq(m))
+    assert(e.build()("log").rows == 1)
+    // row 1 is RESTATED at the same watermark; incremental build must
+    // not see it (classic silent-staleness), full refresh must
+    batch = Seq((1L, Timestamp.valueOf("2024-01-01 00:00:00"), 99.0))
+      .toDF("id", "ingested_at", "v")
+    assert(e.build()("log").rows == 0)
+    assert(spark.read.parquet(s"$dir/log").select(sum($"v")).first().getDouble(0) == 1.0)
+    assert(e.build(fullRefresh = true)("log").rows == 1)
+    assert(spark.read.parquet(s"$dir/log").select(sum($"v")).first().getDouble(0) == 99.0)
+    // back to normal incremental behavior afterwards
+    batch = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:00:00"), 99.0),
+      (2L, Timestamp.valueOf("2024-01-02 00:00:00"), 2.0)).toDF("id", "ingested_at", "v")
+    assert(e.build()("log").rows == 1)
+    assert(spark.read.parquet(s"$dir/log").count() == 2)
+
+    // snapshots keep history under fullRefresh (dbt exempts them)
+    val snapDir = tmpDir("engfrsnap")
+    var cur = Seq((1L, "a")).toDF("id", "status")
+    val snap = Model("snap", Seq(), Materialization.Scd2Snapshot("id", Seq("status")))(
+      (_, _) => cur)
+    val se = new Engine(spark, snapDir, Map.empty, Seq(snap))
+    assert(se.build(Timestamp.valueOf("2024-01-01 00:00:00")).ok)
+    cur = Seq((1L, "b")).toDF("id", "status")
+    assert(se.build(Timestamp.valueOf("2024-02-01 00:00:00"), fullRefresh = true).ok)
+    // both versions present: the closed 'a' row survived the full refresh
+    val versions = se.ref("snap").select($"status").as[String].collect().toSet
+    assert(versions == Set("a", "b"), versions.toString)
+  }
+
   test("torn write (no _SUCCESS) forces rebuild, not append-to-corrupt") {
     val dir = tmpDir("eng")
     var batch = Seq((1L, Timestamp.valueOf("2024-01-01 00:00:00"), 1.0))
@@ -149,6 +188,14 @@ class EngineSpec extends SparkSpec {
       .select($"id", $"v").as[(Long, Double)].collect().toMap
     // January untouched, Feb/Mar overwritten, April added
     assert(got == Map(1L -> 1.0, 2L -> 20.0, 3L -> 30.0, 4L -> 4.0))
+    // full refresh: static overwrite — a recomputed history that no
+    // longer CONTAINS January must also drop its lingering partition
+    // (dynamic overwrite could not; dbt --full-refresh recreates)
+    current = fact(Seq((2L, "2024-02-01", 200.0), (3L, "2024-03-01", 300.0)))
+    assert(e.build(fullRefresh = true)("fct").rows == 2)
+    val refreshed = spark.read.parquet(s"$dir/fct")
+      .select($"id", $"v").as[(Long, Double)].collect().toMap
+    assert(refreshed == Map(2L -> 200.0, 3L -> 300.0))
   }
 
   test("rolling restatement window via targetIfExists (S12): stale months stay put") {
