@@ -470,6 +470,103 @@ object SimilarityQueries {
           round(cosE, 4).as("cos_sim"))
     },
 
+    // ---- IVF probe + SQ8 code scoring composed: the full production
+    // probe economics in one query. A query (1) coarse-quantizes to its
+    // nearest cluster (IVF: candidates = N/C of the corpus — at 100 TB a
+    // partition-pruned scan, see IncrementalIvfIndex), (2) scores ONLY
+    // that cluster's members on int8 codes (8× less data touched per
+    // candidate at production layout), (3) exactly re-ranks the code
+    // shortlist on full vectors. Recall loss can come from either stage
+    // (cluster boundary, code boundary) — measured against brute-force
+    // truth in SimilaritySpec.
+    Q.sql(
+      "q_ann_ivf_sq8", {
+        val centroidSums = (1 to Dims).map(i => s"sum(q[$i])").mkString(", ")
+        val short = TopK * 3
+        s"""WITH $quantizedSql,
+           |s AS (SELECT max(list_max(list_transform(q, x -> abs(x)))) / 127.0 AS sc FROM e),
+           |c8 AS (
+           |  SELECT vec_id, label, nsq, q,
+           |         list_transform(q, x -> CAST(round(x / sc) AS BIGINT)) AS c
+           |  FROM e, s),
+           |n8 AS (SELECT vec_id, label, nsq, q, c,
+           |              list_sum(list_transform(c, x -> x * x)) AS ncsq8 FROM c8),
+           |cent AS (
+           |  SELECT label, [$centroidSums] AS cc,
+           |         list_sum(list_transform([$centroidSums], x -> x * x)) AS ncsq
+           |  FROM e GROUP BY label),
+           |qs AS (SELECT * FROM n8 WHERE vec_id < $NQueries),
+           |assign AS (
+           |  SELECT query_id, label FROM (
+           |    SELECT qs.vec_id AS query_id, cent.label,
+           |           row_number() OVER (PARTITION BY qs.vec_id
+           |             ORDER BY list_sum(list_transform(generate_series(1, $Dims),
+           |                        i -> qs.q[i] * cent.cc[i]))
+           |                      / sqrt(CAST(qs.nsq AS DOUBLE) * CAST(cent.ncsq AS DOUBLE)) DESC,
+           |                      cent.label) AS rnk
+           |    FROM qs CROSS JOIN cent) t WHERE rnk = 1),
+           |shortlist AS (
+           |  SELECT query_id, vec_id, q, nsq, qq, nq FROM (
+           |    SELECT qs.vec_id AS query_id, c.vec_id AS vec_id, c.q, c.nsq,
+           |           qs.q AS qq, qs.nsq AS nq,
+           |           row_number() OVER (PARTITION BY qs.vec_id
+           |             ORDER BY list_sum(list_transform(generate_series(1, $Dims),
+           |                        i -> qs.c[i] * c.c[i]))
+           |                      / sqrt(CAST(qs.ncsq8 AS DOUBLE) * CAST(c.ncsq8 AS DOUBLE)) DESC,
+           |                      c.vec_id) AS rnk8
+           |    FROM qs JOIN assign a ON qs.vec_id = a.query_id
+           |            JOIN n8 c ON c.label = a.label AND c.vec_id <> qs.vec_id) t
+           |  WHERE rnk8 <= $short),
+           |exact AS (
+           |  SELECT query_id, vec_id,
+           |         list_sum(list_transform(generate_series(1, $Dims),
+           |                  i -> qq[i] * q[i]))
+           |           / sqrt(CAST(nq AS DOUBLE) * CAST(nsq AS DOUBLE)) AS cos_raw
+           |  FROM shortlist)
+           |SELECT query_id, vec_id, CAST(rnk AS INT) AS rnk, round(cos_raw, 4) AS cos_sim
+           |FROM (
+           |  SELECT query_id, vec_id, cos_raw,
+           |         row_number() OVER (PARTITION BY query_id
+           |           ORDER BY cos_raw DESC, vec_id) AS rnk
+           |  FROM exact) t
+           |WHERE rnk <= $TopK""".stripMargin
+      }
+    ) { (s, dir) =>
+      val e = quantized(s, dir).localCheckpoint()
+      val maxAbs = e.select(max(array_max(transform(col("q"), x => abs(x)))))
+        .first().getLong(0)
+      val sc = maxAbs / 127.0
+      val c8 = e.withColumn("c",
+          transform(col("q"), x => round(x / lit(sc), 0).cast("long")))
+        .withColumn("ncsq8", expr("dot_i64(c, c)"))
+      val cent = e.groupBy(col("label"))
+        .agg(array((1 to Dims).map(i => sum(element_at(col("q"), i))): _*).as("cc"))
+        .withColumn("ncsq", expr("dot_i64(cc, cc)"))
+      val qs = c8.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("q").as("qq"),
+          col("nsq").as("nq"), col("c").as("qc"), col("ncsq8").as("nq8"))
+      val wAssign = Window.partitionBy(col("query_id"))
+        .orderBy(cosine(dot("qq", "cc"), col("nq"), col("ncsq")).desc, col("label"))
+      val assign = qs.crossJoin(broadcast(cent))
+        .withColumn("rnk", row_number().over(wAssign))
+        .filter(col("rnk") === 1)
+        .select(col("query_id"), col("qq"), col("nq"), col("qc"), col("nq8"), col("label"))
+      val short = TopK * 3
+      val w8 = Window.partitionBy(col("query_id"))
+        .orderBy(cosine(dot("qc", "c"), col("nq8"), col("ncsq8")).desc, col("vec_id"))
+      val shortlist = c8.as("c").join(broadcast(assign.as("a")),
+          col("c.label") === col("a.label") && col("c.vec_id") =!= col("a.query_id"))
+        .withColumn("rnk8", row_number().over(w8))
+        .filter(col("rnk8") <= short)
+      val cosE = cosine(dot("qq", "q"), col("nq"), col("nsq"))
+      val w = Window.partitionBy(col("query_id")).orderBy(cosE.desc, col("vec_id"))
+      shortlist
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= TopK)
+        .select(col("query_id"), col("vec_id"), col("rnk"),
+          round(cosE, 4).as("cos_sim"))
+    },
+
     // ---- incrementally-built IVF index: two engine builds (half the
     // corpus, then all of it) accumulate `ivf_index` delta-only — each
     // build assigns ONLY its batch against centroids trained once on

@@ -59,4 +59,18 @@ class SimilaritySpec extends SparkSpec {
     // measured value in the assertion message
     assert(recall >= 0.9, s"SQ8 re-rank recall $recall (${(sq8 intersect truth).size}/${truth.size})")
   }
+
+  test("IVF+SQ8 composed probe: recall bounded by IVF stage, codes lose little") {
+    val ivf = pairs("q_ann_ivf_topk")
+    val ivfSq8 = pairs("q_ann_ivf_sq8")
+    // same cluster probed, so candidate sets match; int8 scoring only
+    // reorders the shortlist boundary — the composed result must agree
+    // with full-precision single-probe IVF on nearly everything
+    val agree = (ivfSq8 intersect ivf).size.toDouble / ivf.size
+    assert(agree >= 0.9, s"IVF+SQ8 agreement with IVF $agree")
+    // and recall vs absolute truth can never EXCEED the IVF stage's
+    // (codes cannot recover a neighbor the cluster probe lost)
+    val truth = pairs("q_ann_bruteforce_topk")
+    assert((ivfSq8 intersect truth).size <= (ivf intersect truth).size)
+  }
 }
