@@ -72,9 +72,12 @@ case class DotI64(left: Expression, right: Expression)
 object GraftFunctions {
   /** Idempotently register graft's native expressions as SQL functions
     * (usable via `expr("dot_i64(a, b)")` and in `spark.sql`). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_i64", exprs => DotI64(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "topk_cos", TopKCos.fromArgs, "built-in")
+  }
 }
 
 /** SparkSessionExtensions hook — the deployment-grade registration path:
@@ -83,10 +86,16 @@ object GraftFunctions {
   * (survives `newSession()`, no imperative register call needed).
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("dot_i64"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[DotI64].getName, "dot_i64"),
       (exprs: Seq[Expression]) => DotI64(exprs(0), exprs(1))))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("topk_cos"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[TopKCos].getName, "topk_cos"),
+      TopKCos.fromArgs))
+  }
 }

@@ -99,13 +99,19 @@ object SimilarityQueries {
       val pairs = e.join(broadcast(qs), col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id"),
           dot("qq", "q").as("dot"), col("nq"), col("nsq").as("nc"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(cosine(col("dot"), col("nq"), col("nc")).desc, col("vec_id"))
-      pairs
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= TopK)
-        .select(col("query_id"), col("vec_id"), col("rnk"),
-          round(cosine(col("dot"), col("nq"), col("nc")), 4).as("cos_sim"))
+      // skew-safe top-k: the native bounded TopKCos aggregate collapses
+      // each partition to ≤k candidates per query BEFORE the exchange
+      // (partial aggregation), where the row_number window it replaces
+      // shuffled ALL N candidates into |Q| partitions — the worst skew
+      // shape at 100 TB. Results incl. ties are bit-identical (same
+      // (cos DESC, vec_id) contract); rnk is the position in the sorted
+      // top array.
+      pairs.groupBy(col("query_id"))
+        .agg(expr(s"topk_cos(struct(vec_id, dot, nq, nc), $TopK)").as("top"))
+        .select(col("query_id"), posexplode(col("top")))
+        .select(col("query_id"), col("col.vec_id").as("vec_id"),
+          (col("pos") + 1).cast("int").as("rnk"),
+          round(col("col.cos"), 4).as("cos_sim"))
     },
 
     // ---- IVF: integer centroids per label, probe nearest cluster only
@@ -456,14 +462,23 @@ object SimilarityQueries {
         .select(col("vec_id").as("query_id"), col("q").as("qq"),
           col("nsq").as("nq"), col("c").as("qc"), col("ncsq8").as("nq8"))
       val short = TopK * 3
-      val w8 = Window.partitionBy(col("query_id"))
-        .orderBy(cosine(dot("qc", "c"), col("nq8"), col("ncsq8")).desc, col("vec_id"))
-      val shortlist = c8.join(broadcast(qs), col("vec_id") =!= col("query_id"))
-        .withColumn("rnk8", row_number().over(w8))
-        .filter(col("rnk8") <= short)
+      // skew-safe shortlist: the full-corpus code scan collapses to ≤3k
+      // candidates per query map-side via the TopKCos aggregate (the
+      // row_number form would shuffle all N scored rows into |Q|
+      // partitions); full vectors for the exact re-rank come back via a
+      // broadcast of the tiny shortlist against the corpus scan
+      val shortIds = c8.join(broadcast(qs), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          dot("qc", "c").as("dot8"), col("nq8"), col("ncsq8"))
+        .groupBy(col("query_id"))
+        .agg(expr(s"topk_cos(struct(vec_id, dot8, nq8, ncsq8), $short)").as("top"))
+        .select(col("query_id"), explode(col("top.vec_id")).as("vec_id"))
+        .join(broadcast(qs.select(col("query_id"), col("qq"), col("nq"))), "query_id")
+      val rerank = e.join(broadcast(shortIds), "vec_id")
       val cosE = cosine(dot("qq", "q"), col("nq"), col("nsq"))
+      // final ordering over ≤3k rows per query — trivially small window
       val w = Window.partitionBy(col("query_id")).orderBy(cosE.desc, col("vec_id"))
-      shortlist
+      rerank
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= TopK)
         .select(col("query_id"), col("vec_id"), col("rnk"),

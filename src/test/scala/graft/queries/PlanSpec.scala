@@ -184,6 +184,16 @@ class PlanSpec extends SparkSpec {
     } finally saved.foreach { case (k, v) => v.fold(c.unset(k))(c.set(k, _)) }
   }
 
+  test("ANN brute-force top-k is a partial aggregate, not a |Q|-partition window") {
+    // the TopKCos aggregate collapses each partition to ≤k candidates
+    // per query BEFORE the exchange; the row_number window it replaced
+    // shuffled all N scored candidates into |Q| partitions (worst-case
+    // skew at scale)
+    val p = plan("q_ann_bruteforce_topk")
+    assert(p.toLowerCase.contains("partial_topk_cos"), p)
+    assert(!p.contains("row_number"), p)
+  }
+
   test("semantic dedup assignment is scan-local (kernel argmax, no assignment exchange)") {
     // exact assignment runs as a partition-local kernel over broadcast
     // centroids: no crossJoin row explosion, no argmax aggregate, no
