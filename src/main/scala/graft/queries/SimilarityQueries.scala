@@ -71,6 +71,21 @@ object SimilarityQueries {
   private def cosine(dotC: Column, na: Column, nb: Column): Column =
     dotC / sqrt(na.cast("double") * nb.cast("double"))
 
+  /** Shared skew-safe final reduce for the ANN family: candidate rows
+    * `(query_id, vec_id, dot, nq, nc)` → top-k per query via the native
+    * bounded [[graft.functions.TopKCos]] aggregate (map-side partial
+    * merge: ≤k rows per partition per query cross the exchange — the
+    * row_number window this replaces shuffled every candidate into \|Q\|
+    * partitions). Emits the oracle shape `(query_id, vec_id, rnk,
+    * cos_sim)`; ties and rounding bit-match the window form. */
+  private def topKReduce(pairs: DataFrame, k: Int): DataFrame =
+    pairs.groupBy(col("query_id"))
+      .agg(expr(s"topk_cos(struct(vec_id, dot, nq, nc), $k)").as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.vec_id").as("vec_id"),
+        (col("pos") + 1).cast("int").as("rnk"),
+        round(col("col.cos"), 4).as("cos_sim"))
+
   val qs: Seq[Q] = Seq(
 
     // ---- brute-force cosine top-k: exact baseline
@@ -99,19 +114,10 @@ object SimilarityQueries {
       val pairs = e.join(broadcast(qs), col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id"),
           dot("qq", "q").as("dot"), col("nq"), col("nsq").as("nc"))
-      // skew-safe top-k: the native bounded TopKCos aggregate collapses
-      // each partition to ≤k candidates per query BEFORE the exchange
-      // (partial aggregation), where the row_number window it replaces
-      // shuffled ALL N candidates into |Q| partitions — the worst skew
-      // shape at 100 TB. Results incl. ties are bit-identical (same
-      // (cos DESC, vec_id) contract); rnk is the position in the sorted
-      // top array.
-      pairs.groupBy(col("query_id"))
-        .agg(expr(s"topk_cos(struct(vec_id, dot, nq, nc), $TopK)").as("top"))
-        .select(col("query_id"), posexplode(col("top")))
-        .select(col("query_id"), col("col.vec_id").as("vec_id"),
-          (col("pos") + 1).cast("int").as("rnk"),
-          round(col("col.cos"), 4).as("cos_sim"))
+      // skew-safe top-k (see topKReduce): map-side bounded aggregate
+      // instead of shuffling all N scored candidates into |Q| window
+      // partitions — the worst skew shape at 100 TB
+      topKReduce(pairs, TopK)
     },
 
     // ---- IVF: integer centroids per label, probe nearest cluster only
@@ -170,13 +176,7 @@ object SimilarityQueries {
           col("c.label") === col("a.label") && col("c.vec_id") =!= col("a.query_id"))
         .select(col("query_id"), col("vec_id"),
           dot("qq", "q").as("dot"), col("nq"), col("nsq").as("nc"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(cosine(col("dot"), col("nq"), col("nc")).desc, col("vec_id"))
-      pairs
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= TopK)
-        .select(col("query_id"), col("vec_id"), col("rnk"),
-          round(cosine(col("dot"), col("nq"), col("nc")), 4).as("cos_sim"))
+      topKReduce(pairs, TopK)
     },
 
     // ---- multi-probe IVF (nprobe = 2): single-probe IVF recall is
@@ -238,13 +238,7 @@ object SimilarityQueries {
           col("c.label") === col("a.label") && col("c.vec_id") =!= col("a.query_id"))
         .select(col("query_id"), col("vec_id"),
           dot("qq", "q").as("dot"), col("nq"), col("nsq").as("nc"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(cosine(col("dot"), col("nq"), col("nc")).desc, col("vec_id"))
-      pairs
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= TopK)
-        .select(col("query_id"), col("vec_id"), col("rnk"),
-          round(cosine(col("dot"), col("nq"), col("nc")), 4).as("cos_sim"))
+      topKReduce(pairs, TopK)
     },
 
     // ---- LSH (signed random projections): hash every vector to a
@@ -295,13 +289,7 @@ object SimilarityQueries {
           col("c.bucket") === col("a.bucket") && col("c.vec_id") =!= col("a.query_id"))
         .select(col("query_id"), col("vec_id"),
           dot("qq", "q").as("dot"), col("nq"), col("nsq").as("nc"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(cosine(col("dot"), col("nq"), col("nc")).desc, col("vec_id"))
-      pairs
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= TopK)
-        .select(col("query_id"), col("vec_id"), col("rnk"),
-          round(cosine(col("dot"), col("nq"), col("nc")), 4).as("cos_sim"))
+      topKReduce(pairs, TopK)
     },
 
     // ---- multi-probe LSH: single-probe recall is bounded by true
@@ -389,13 +377,7 @@ object SimilarityQueries {
             col("c.vec_id") =!= col("a.query_id"))
         .select(col("query_id"), col("vec_id"),
           dot("qq", "q").as("dot"), col("nq"), col("nsq").as("nc"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(cosine(col("dot"), col("nq"), col("nc")).desc, col("vec_id"))
-      pairs
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= TopK)
-        .select(col("query_id"), col("vec_id"), col("rnk"),
-          round(cosine(col("dot"), col("nq"), col("nc")), 4).as("cos_sim"))
+      topKReduce(pairs, TopK)
     },
 
     // ---- scalar-quantized (SQ8) shortlist + exact re-rank: the

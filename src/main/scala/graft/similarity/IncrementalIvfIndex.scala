@@ -1,7 +1,6 @@
 package graft.similarity
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.{Incremental, Materialization, Model}
 
@@ -102,14 +101,19 @@ object IncrementalIvfIndex {
     val qs = index.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("cluster"),
         col("q").as("qq"), col("nsq").as("nq"))
-    val cos = expr("dot_i64(qq, q)") /
-      sqrt(col("nq").cast("double") * col("nsq").cast("double"))
-    val w = Window.partitionBy(col("query_id")).orderBy(cos.desc, col("vec_id"))
+    // skew-safe final reduce: the bounded topk_cos aggregate collapses
+    // each scan partition to ≤k candidates per query before the
+    // exchange (the row_number window form shuffled the whole probed
+    // cluster into one partition per query)
     index.join(broadcast(qs),
         index("cluster") === qs("cluster") && col("vec_id") =!= col("query_id"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= topK)
-      .select(col("query_id"), col("vec_id"), col("rnk"),
-        round(cos, 4).as("cos_sim"))
+      .select(col("query_id"), col("vec_id"),
+        expr("dot_i64(qq, q)").as("dot"), col("nq"), col("nsq").as("nc"))
+      .groupBy(col("query_id"))
+      .agg(expr(s"topk_cos(struct(vec_id, dot, nq, nc), $topK)").as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.vec_id").as("vec_id"),
+        (col("pos") + 1).cast("int").as("rnk"),
+        round(col("col.cos"), 4).as("cos_sim"))
   }
 }
