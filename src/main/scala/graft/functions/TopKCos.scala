@@ -59,10 +59,14 @@ case class TopKCos(
   private def cos(e: (Long, Long, Long, Long)): Double =
     e._2 / math.sqrt(e._3.toDouble * e._4.toDouble)
 
-  /** (cos DESC, vec_id ASC) — the ANN ordering contract. */
+  /** (cos DESC, vec_id ASC) — the ANN ordering contract.
+    * `Double.compare`, not raw `>`: a zero-norm vector yields cos = NaN,
+    * and both Spark's sort order and DuckDB treat NaN as LARGER than any
+    * double (first under DESC) — raw `>` would instead sink NaN last and
+    * silently diverge from the window/oracle forms on degenerate input. */
   private def better(a: (Long, Long, Long, Long), b: (Long, Long, Long, Long)): Boolean = {
-    val ca = cos(a); val cb = cos(b)
-    ca > cb || (ca == cb && a._1 < b._1)
+    val c = java.lang.Double.compare(cos(a), cos(b))
+    c > 0 || (c == 0 && a._1 < b._1)
   }
 
   override def createAggregationBuffer(): ArrayBuffer[(Long, Long, Long, Long)] =

@@ -43,6 +43,25 @@ class TopKCosSpec extends SparkSpec {
     }
   }
 
+  test("topk_cos degenerate zero-norm input: deterministic NaN-first (where ANSI division errors)") {
+    // a zero-norm candidate (nc = 0) has cos = 0/0 = NaN. Under Spark 4's
+    // default ANSI mode the DECLARATIVE forms cannot even express this —
+    // the division throws DIVIDE_BY_ZERO (pinned below) — so the
+    // aggregate defines the engine's degenerate-input contract by
+    // itself: Double.compare ordering, i.e. NaN ranks FIRST, matching
+    // Spark's and DuckDB's sort order for NaN (largest double).
+    val rows = Seq(
+      (1L, 10L, 50L, 4L, 25L), (1L, 11L, 40L, 4L, 25L),
+      (1L, 99L, 0L, 4L, 0L)) // NaN cosine
+      .toDF("query_id", "vec_id", "dot", "nq", "nc")
+    for (parts <- Seq(1, 3)) {
+      val agg = viaAgg(rows.repartition(parts), 2).map(r => (r._1, r._2, r._3))
+      assert(agg == Set((1L, 99L, 1), (1L, 10L, 2)), s"parts=$parts agg=$agg")
+    }
+    val ansiErr = intercept[Exception](viaWindow(rows, 2))
+    assert(ansiErr.getMessage.contains("DIVIDE_BY_ZERO"), ansiErr.getMessage)
+  }
+
   test("topk_cos partial aggregation collapses map-side (plan + skew shape)") {
     graft.functions.GraftFunctions.register(spark)
     val big = spark.range(10000).select(
