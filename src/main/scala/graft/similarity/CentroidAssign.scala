@@ -23,8 +23,10 @@ import org.apache.spark.sql.DataFrame
   * Exactness contract (hash-checked by the DuckDB oracles): cosine is
   * `dot / sqrt(nsq · ncsq)` over exact 64-bit integer dots — identical
   * IEEE double ops to the declarative/SQL forms — and ascending-label
-  * iteration with a strict `>` reproduces `ORDER BY cos DESC, label ASC`
-  * tie-breaking bit-for-bit.
+  * iteration with `Double.compare` reproduces `ORDER BY cos DESC,
+  * label ASC` tie-breaking bit-for-bit, INCLUDING the degenerate
+  * zero-norm case (cos = NaN sorts as the largest double in both Spark
+  * and DuckDB — raw `>` would silently sink it last; see TopKCos).
   */
 object CentroidAssign {
 
@@ -114,7 +116,7 @@ object CentroidAssign {
             val cos = dot / math.sqrt(nsq.toDouble * nrsq.toDouble)
             // find insertion slot (ascending gi scan keeps grp ASC ties)
             var slot = filled
-            while (slot > 0 && cos > selCos(slot - 1)) slot -= 1
+            while (slot > 0 && java.lang.Double.compare(cos, selCos(slot - 1)) > 0) slot -= 1
             if (slot < take) {
               val last = math.min(filled, take - 1)
               var m = last
@@ -140,7 +142,8 @@ object CentroidAssign {
               var i = 0
               while (i < q.length) { dot += q(i) * c(i); i += 1 }
               val cos = dot / math.sqrt(nsq.toDouble * ncsq.toDouble)
-              if (cos > bestCos || (cos == bestCos && l < bestL)) {
+              val cmp = java.lang.Double.compare(cos, bestCos)
+              if (cmp > 0 || (cmp == 0 && l < bestL)) {
                 bestCos = cos; bestL = l
               }
               mi += 1
@@ -175,7 +178,7 @@ object CentroidAssign {
             var i = 0
             while (i < q.length) { dot += q(i) * c(i); i += 1 }
             val cos = dot / math.sqrt(nsq.toDouble * ncsq.toDouble)
-            if (cos > bestCos) { bestCos = cos; bestL = l }
+            if (java.lang.Double.compare(cos, bestCos) > 0) { bestCos = cos; bestL = l }
             j += 1
           }
           (id, bestL, bestCos, q, nsq)
