@@ -46,7 +46,8 @@ object ScaleProbe {
       "q_pipeline_split_leakage", "q_pipeline_block_dedup",
       "q_text_pii_redact", "q_pipeline_mix_temperature", "q_dedup_semantic",
       // embeddings-table operators (label remap grows k with the corpus)
-      "q_dedup_semantic_probed", "q_ann_ivf_incremental")
+      "q_dedup_semantic_probed", "q_ann_ivf_incremental",
+      "q_ann_bruteforce_topk", "q_ann_sq8_rerank")
     val queries = sys.env.get("SPARK_GRAFT_PROBE_QUERIES")
       .map(_.split(",").map(_.trim).toSet)
       .fold(allQueries)(sub => allQueries.filter(sub.contains))
