@@ -62,6 +62,25 @@ class TopKCosSpec extends SparkSpec {
     assert(ansiErr.getMessage.contains("DIVIDE_BY_ZERO"), ansiErr.getMessage)
   }
 
+  test("property: topk_cos ≡ window on seeded random inputs with forced ties") {
+    // the SessionizePropertySpec idiom: seeded random trials instead of
+    // hand-picked fixtures. Small value domains force frequent EXACT
+    // cosine ties (same dot/nq/nc), exercising the (cos DESC, vec_id)
+    // tie path and the bounded merge under random partitionings.
+    val rnd = new scala.util.Random(20260813)
+    for (trial <- 1 to 12) {
+      val nQ = 1 + rnd.nextInt(3)
+      val rows = (0 until 40 + rnd.nextInt(80)).map { i =>
+        (rnd.nextInt(nQ).toLong, i.toLong,
+          (rnd.nextInt(7) - 3).toLong, // dot in [-3, 3]: ties guaranteed
+          (1 + rnd.nextInt(3)).toLong, (1 + rnd.nextInt(3)).toLong)
+      }.toDF("query_id", "vec_id", "dot", "nq", "nc")
+        .repartition(1 + rnd.nextInt(6))
+      val k = 1 + rnd.nextInt(6)
+      assert(viaAgg(rows, k) == viaWindow(rows, k), s"trial=$trial k=$k")
+    }
+  }
+
   test("topk_cos partial aggregation collapses map-side (plan + skew shape)") {
     graft.functions.GraftFunctions.register(spark)
     val big = spark.range(10000).select(
