@@ -156,4 +156,34 @@ object Streaming {
       .start()
     q.awaitTermination()
   }
+
+  /** The IVF index's maintenance loop as a STREAM: arriving vector
+    * batches flow through the same scan-local nearest-centroid kernel
+    * the batch/engine forms use ([[graft.similarity.CentroidAssign]],
+    * frozen trained centroids) into the same cluster-partitioned layout
+    * — exactly-once via checkpoint offsets instead of the engine's
+    * vec_id high-water mark. The kernel is STATELESS per row, which is
+    * what makes it legal inside a streaming plan; assignment immutability
+    * under frozen centroids (IncrementalIvfIndex scaladoc) is what makes
+    * append-only output correct. StreamingSpec pins stream ≡ one-shot
+    * batch assignment and exactly-once across restarts. */
+  def vectorIndexStream(
+      spark: SparkSession,
+      sourceDir: String,
+      targetDir: String,
+      checkpointDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      cents: Array[(Int, Array[Long], Long)]): Unit = {
+    val assigned = graft.similarity.CentroidAssign.kernel(
+      spark.readStream.schema(schema).parquet(sourceDir), cents)
+      .select("vec_id", "cluster", "q", "nsq")
+    val q = assigned.writeStream
+      .format("parquet")
+      .partitionBy("cluster")
+      .option("path", targetDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 }

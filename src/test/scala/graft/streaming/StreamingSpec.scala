@@ -191,4 +191,50 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(tgt).count() == 5)
     assert(spark.read.parquet(tgt).select("event_id").distinct().count() == 5)
   }
+
+  test("vector index stream: kernel assignment ≡ one-shot batch, exactly-once, partitioned") {
+    val dir = tmpDir("vecstream")
+    val src = s"$dir/src"; val tgt = s"$dir/tgt"; val ckp = s"$dir/ckp"
+    // the IncrementalIvfIndexSpec corpus: two axis-aligned clusters,
+    // vector 5 labeled 0 but nearest to centroid 1 (learned ≠ labeled)
+    def vecs(rows: Seq[(Long, Seq[Long])]) = {
+      graft.functions.GraftFunctions.register(spark)
+      rows.toDF("vec_id", "q")
+        .withColumn("q", $"q".cast("array<long>"))
+        .withColumn("nsq", expr("dot_i64(q, q)"))
+    }
+    val training = Seq(
+      (0L, Seq(10L, 1L, 0L, 0L)), (1L, Seq(9L, 0L, 1L, 0L)),
+      (2L, Seq(0L, 10L, 0L, 1L)), (3L, Seq(1L, 9L, 0L, 0L)))
+    val arrivals = Seq(
+      (4L, Seq(8L, 1L, 1L, 0L)), (5L, Seq(0L, 8L, 1L, 0L)), (6L, Seq(1L, 7L, 0L, 1L)))
+    val labeled = Seq((0L, 0), (1L, 0), (2L, 1), (3L, 1)).toDF("vec_id", "label")
+    val cents = graft.similarity.CentroidAssign.collectCentroids(
+      vecs(training).join(labeled, "vec_id")
+        .groupBy($"label")
+        .agg(org.apache.spark.sql.functions.array((1 to 4).map(i =>
+          sum(element_at($"q", i))): _*).as("c"))
+        .withColumn("ncsq", expr("dot_i64(c, c)")))
+    val schema = vecs(training).schema
+    // batch 1: training vectors arrive
+    vecs(training).write.mode("append").parquet(src)
+    Streaming.vectorIndexStream(spark, src, tgt, ckp, schema, cents)
+    assert(spark.read.parquet(tgt).count() == 4)
+    // batch 2: arrivals only — the first files must NOT be reprocessed
+    vecs(arrivals).write.mode("append").parquet(src)
+    Streaming.vectorIndexStream(spark, src, tgt, ckp, schema, cents)
+    val got = spark.read.parquet(tgt)
+    assert(got.count() == 7)
+    // stream ≡ one-shot batch assignment over everything
+    val oneShot = graft.similarity.CentroidAssign.kernel(
+        vecs(training ++ arrivals), cents)
+      .select($"vec_id", $"cluster").as[(Long, Int)].collect().toSet
+    assert(got.select($"vec_id", $"cluster").as[(Long, Int)].collect().toSet == oneShot)
+    // learned, not labeled: vector 5 crossed to cluster 1
+    assert(oneShot.contains(5L -> 1))
+    // cluster-partitioned sink layout
+    val dirs = new java.io.File(tgt).listFiles.filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("cluster=")).toSet
+    assert(dirs == Set("cluster=0", "cluster=1"), dirs)
+  }
 }
