@@ -111,6 +111,38 @@ class DedupSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("property: assignment kernel ≡ declarative argmax on seeded random corpora") {
+    import graft.queries.DedupQueries
+    // small value domains force near-ties and duplicate centroids; the
+    // kernel must match an independent declarative (cos DESC, label ASC)
+    // argmax on every trial and partitioning
+    val rnd = new scala.util.Random(271828)
+    for (trial <- 1 to 6) {
+      val dims = 64
+      val k = 2 + rnd.nextInt(5)
+      val n = 30 + rnd.nextInt(50)
+      val emb = (0 until n).map { i =>
+        (i.toLong, rnd.nextInt(k).toLong,
+          Array.fill(dims)((rnd.nextInt(5) - 2) * 0.01))
+      }.toDF("vec_id", "label", "embedding").repartition(1 + rnd.nextInt(4))
+      val got = DedupQueries.semanticAssignFor(emb)
+        .select($"vec_id", $"cluster").as[(Long, Int)].collect().toMap
+      val e = emb.select($"vec_id", $"label",
+        transform($"embedding", x => round(x * 100, 0).cast("long")).as("q"))
+        .withColumn("nsq", expr("aggregate(zip_with(q, q, (a, b) -> a * b), 0L, (s, x) -> s + x)"))
+      val cent = e.groupBy($"label")
+        .agg(array((1 to dims).map(i => sum(element_at($"q", i))): _*).as("c"))
+        .withColumn("ncsq", expr("aggregate(zip_with(c, c, (a, b) -> a * b), 0L, (s, x) -> s + x)"))
+      val cos = expr("aggregate(zip_with(q, c, (a, b) -> a * b), 0L, (s, x) -> s + x)") /
+        sqrt($"nsq".cast("double") * $"ncsq".cast("double"))
+      val want = e.drop("label").crossJoin(cent)
+        .select($"vec_id", struct(cos.as("cos"), (-$"label").as("nl"), $"label").as("cand"))
+        .groupBy($"vec_id").agg(max($"cand").as("best"))
+        .select($"vec_id", $"best.label".cast("int")).as[(Long, Int)].collect().toMap
+      assert(got == want, s"trial=$trial k=$k n=$n")
+    }
+  }
+
   test("probed assignment agrees with exact on most of the corpus (measured recall)") {
     import graft.queries.DedupQueries
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
