@@ -89,7 +89,12 @@ case class TopKCos(
       buf: ArrayBuffer[(Long, Long, Long, Long)],
       input: InternalRow): ArrayBuffer[(Long, Long, Long, Long)] = {
     val row = child.eval(input).asInstanceOf[InternalRow]
-    if (row != null)
+    // skip rows with ANY null field, matching the window form: a null
+    // cosine sorts LAST under DESC there, so it can never enter a top-k
+    // that has k non-null candidates — reading a null as getLong's 0
+    // would instead rank it as a real cos=0 candidate and diverge
+    if (row != null && !row.isNullAt(0) && !row.isNullAt(1) &&
+        !row.isNullAt(2) && !row.isNullAt(3))
       insert(buf, (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3)))
     buf
   }

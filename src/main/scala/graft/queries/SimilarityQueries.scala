@@ -564,6 +564,72 @@ object SimilarityQueries {
           round(cosE, 4).as("cos_sim"))
     },
 
+    // ---- IVF-PQ: product quantization + ADC table-lookup scoring —
+    // the full published probe economics (Jégou et al.). Vectors are
+    // coded as M=8 per-subspace codebook indices (M bytes at production
+    // layout vs 64×8 for the raw vector); a query (1) coarse-quantizes
+    // to its nearest cluster (candidates = N/C of the corpus), (2)
+    // precomputes ONE ADC table — its exact integer dot against every
+    // codebook entry, M×256 longs — and scores each candidate with M
+    // TABLE LOOKUPS + adds (zero per-candidate vector arithmetic: the
+    // scan touches only the M-byte code), (3) exactly re-ranks the
+    // code shortlist on full vectors. Codebooks are trained
+    // deterministically (LSH cells + exact cosine medoids — see
+    // ProductQuantizer), so both engines build bit-identical codebooks
+    // and the result hash-checks like every other ANN variant; recall
+    // vs brute-force truth measured in SimilaritySpec.
+    Q.sql(
+      "q_ann_ivf_pq",
+      ivfPqOracleSql
+    ) { (s, dir) =>
+      import s.implicits._
+      val PQ = graft.similarity.ProductQuantizer
+      val e = quantized(s, dir).localCheckpoint()
+      val cb = PQ.train(e)
+      val cent = e.groupBy(col("label"))
+        .agg(array((1 to Dims).map(i => sum(element_at(col("q"), i))): _*).as("cc"))
+        .withColumn("ncsq", expr("dot_i64(cc, cc)"))
+      val qs0 = e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("q").as("qq"), col("nsq").as("nq"))
+      val wAssign = Window.partitionBy(col("query_id"))
+        .orderBy(cosine(dot("qq", "cc"), col("nq"), col("ncsq")).desc, col("label"))
+      // |Q| assigned query rows collected to the driver (the P8
+      // driver-collected-bound idiom) to precompute each query's ADC
+      // lookup table against the driver-resident codebook
+      val assigned = qs0.crossJoin(broadcast(cent))
+        .withColumn("rnk", row_number().over(wAssign))
+        .filter(col("rnk") === 1)
+        .select(col("query_id"), col("qq"), col("nq"), col("label"))
+        .collect()
+      val qDf = assigned.toSeq.map { r =>
+        val qq = r.getSeq[Long](1).toArray
+        (r.getLong(0), qq.toSeq, r.getLong(2), r.getInt(3), PQ.adcTable(qq, cb))
+      }.toDF("query_id", "qq", "nq", "cluster", "adc")
+      // candidates carry only their M-int code + reconstructed norm —
+      // both scan-local (plane-sign codegen + codebook-norm lookups)
+      val encoded = e
+        .withColumn("codes", PQ.codesCol)
+        .withColumn("npq", PQ.npqCol(cb))
+      val pairs = encoded.join(broadcast(qDf),
+          col("label") === col("cluster") && col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          PQ.adcDotCol.as("dot"), col("nq"), col("npq").as("nc"))
+      val short = TopK * 3
+      val shortIds = pairs.groupBy(col("query_id"))
+        .agg(expr(s"topk_cos(struct(vec_id, dot, nq, nc), $short)").as("top"))
+        .select(col("query_id"), explode(col("top.vec_id")).as("vec_id"))
+        .join(broadcast(qDf.select(col("query_id"), col("qq"), col("nq"))), "query_id")
+      val rerank = e.join(broadcast(shortIds), "vec_id")
+      val cosE = cosine(dot("qq", "q"), col("nq"), col("nsq"))
+      // final ordering over ≤3k rows per query — trivially small window
+      val w = Window.partitionBy(col("query_id")).orderBy(cosE.desc, col("vec_id"))
+      rerank
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= TopK)
+        .select(col("query_id"), col("vec_id"), col("rnk"),
+          round(cosE, 4).as("cos_sim"))
+    },
+
     // ---- incrementally-built IVF index: two engine builds (half the
     // corpus, then all of it) accumulate `ivf_index` delta-only — each
     // build assigns ONLY its batch against centroids trained once on
@@ -594,8 +660,180 @@ object SimilarityQueries {
       build(e)
       graft.similarity.IncrementalIvfIndex.searchTopK(
         s.read.parquet(s"$wh/ivf_index"), NQueries, TopK)
+    },
+
+    // ---- multi-probe over the SAME incrementally-built index: each
+    // query probes its NProbe nearest trained centroids instead of only
+    // its own cluster — the ad-hoc q_ann_ivf_multiprobe recall win
+    // wired through the index's partition-pruned read path. The probed
+    // cluster set is a driver-derived LITERAL isin on the
+    // cluster-partitioned storage, so the executed scan's
+    // PartitionFilters names exactly the probed directories (pinned in
+    // IncrementalIvfIndexSpec along with single ⊆ multi recall).
+    Q.sql(
+      "q_ann_ivf_incremental_multiprobe",
+      ivfIncrementalMultiProbeOracleSql
+    ) { (s, dir) =>
+      val e = quantized(s, dir)
+      val b = e.agg(min(col("vec_id")), max(col("vec_id"))).first()
+      val mid = (b.getLong(0) + b.getLong(1)) / 2
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_incivfmp").toString
+      def build(batch: DataFrame): Unit = {
+        val rpt = new graft.engine.Engine(s, wh,
+          Map("vectors" -> batch, "vectors_training" -> e),
+          graft.similarity.IncrementalIvfIndex.models(
+            "vectors", "vectors_training", Dims)).build()
+        require(rpt.ok, rpt.results.mkString("; "))
+      }
+      build(e.filter(col("vec_id") <= mid))
+      build(e)
+      graft.similarity.IncrementalIvfIndex.searchTopKMultiProbe(
+        s.read.parquet(s"$wh/ivf_index"),
+        s.read.parquet(s"$wh/ivf_centroids"), NQueries, TopK, NProbe)
     }
   )
+
+  /** Own-oracle for IVF-PQ (the q_dedup_semantic_probed idiom — both
+    * engines compute the same approximation bit-for-bit): derive the
+    * SAME deterministic codebooks (LSH cells from the inlined subspace
+    * planes, exact cosine-to-cell-sum medoids, ties lowest vec_id),
+    * code every vector, ADC-score the query's coarse cluster with exact
+    * integer dots against entries, shortlist, exact re-rank. */
+  private lazy val ivfPqOracleSql: String = {
+    import graft.similarity.ProductQuantizer.{M, PlanesPerSub, SubDims, SubPlanes}
+    val centroidSums = (1 to Dims).map(i => s"sum(q[$i])").mkString(", ")
+    val shortN = TopK * 3
+    // per-plane-index literal: planes of ALL M subspaces for bit i,
+    // indexed [m+1][j] inside the cell-code CASE terms
+    val codeTerms = (0 until PlanesPerSub).map { i =>
+      val pl = (0 until M).map(m => SubPlanes(m)(i).mkString("[", ",", "]"))
+        .mkString("[", ", ", "]")
+      s"(CASE WHEN list_sum(list_transform(generate_series(1, $SubDims), j -> sv[j] * ($pl)[m + 1][j])) >= 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString("\n       + ")
+    val ssumList = (1 to SubDims).map(j => s"sum(sv[$j])").mkString(", ")
+    s"""WITH $quantizedSql,
+       |um AS (SELECT unnest(generate_series(0, ${M - 1})) AS m),
+       |cells0 AS (
+       |  SELECT e.vec_id, e.label, um.m,
+       |         list_slice(e.q, um.m * $SubDims + 1, um.m * $SubDims + $SubDims) AS sv
+       |  FROM e CROSS JOIN um),
+       |cells AS (
+       |  SELECT vec_id, label, m, sv,
+       |         list_sum(list_transform(sv, x -> x * x)) AS nsv,
+       |         $codeTerms AS code
+       |  FROM cells0),
+       |bsum AS (
+       |  SELECT m, code, [$ssumList] AS ssum FROM cells GROUP BY m, code),
+       |bs2 AS (SELECT m, code, ssum,
+       |               list_sum(list_transform(ssum, x -> x * x)) AS nssum FROM bsum),
+       |entries AS (
+       |  SELECT m, code, sv AS ent, nsv AS ent_nsq FROM (
+       |    SELECT c.m, c.code, c.sv, c.nsv, c.vec_id,
+       |           row_number() OVER (PARTITION BY c.m, c.code ORDER BY
+       |             list_sum(list_transform(generate_series(1, $SubDims), j -> c.sv[j] * b.ssum[j]))
+       |               / sqrt(CAST(c.nsv AS DOUBLE) * CAST(b.nssum AS DOUBLE)) DESC,
+       |             c.vec_id) AS rnk
+       |    FROM cells c JOIN bs2 b ON b.m = c.m AND b.code = c.code) t
+       |  WHERE rnk = 1),
+       |enc AS (
+       |  SELECT c.vec_id, sum(en.ent_nsq) AS npq
+       |  FROM cells c JOIN entries en ON en.m = c.m AND en.code = c.code
+       |  GROUP BY c.vec_id),
+       |cent AS (
+       |  SELECT label, [$centroidSums] AS cc,
+       |         list_sum(list_transform([$centroidSums], x -> x * x)) AS ncsq
+       |  FROM e GROUP BY label),
+       |qs AS (SELECT * FROM e WHERE vec_id < $NQueries),
+       |assign AS (
+       |  SELECT query_id, label FROM (
+       |    SELECT qs.vec_id AS query_id, cent.label,
+       |           row_number() OVER (PARTITION BY qs.vec_id
+       |             ORDER BY list_sum(list_transform(generate_series(1, $Dims),
+       |                        i -> qs.q[i] * cent.cc[i]))
+       |                      / sqrt(CAST(qs.nsq AS DOUBLE) * CAST(cent.ncsq AS DOUBLE)) DESC,
+       |                      cent.label) AS rnk
+       |    FROM qs CROSS JOIN cent) t WHERE rnk = 1),
+       |adc AS (
+       |  SELECT qs.vec_id AS query_id, cr.vec_id AS vec_id, qs.nsq AS nq,
+       |         sum(list_sum(list_transform(generate_series(1, $SubDims),
+       |             j -> qs.q[cr.m * $SubDims + j] * en.ent[j]))) AS dot
+       |  FROM qs
+       |  JOIN assign a ON a.query_id = qs.vec_id
+       |  JOIN cells cr ON cr.label = a.label AND cr.vec_id <> qs.vec_id
+       |  JOIN entries en ON en.m = cr.m AND en.code = cr.code
+       |  GROUP BY qs.vec_id, cr.vec_id, qs.nsq),
+       |sl AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT adc.query_id, adc.vec_id,
+       |           row_number() OVER (PARTITION BY adc.query_id ORDER BY
+       |             adc.dot / sqrt(CAST(adc.nq AS DOUBLE) * CAST(ec.npq AS DOUBLE)) DESC,
+       |             adc.vec_id) AS rnk8
+       |    FROM adc JOIN enc ec ON ec.vec_id = adc.vec_id) t
+       |  WHERE rnk8 <= $shortN),
+       |exact AS (
+       |  SELECT s.query_id, s.vec_id,
+       |         list_sum(list_transform(generate_series(1, $Dims), i -> q1.q[i] * c.q[i]))
+       |           / sqrt(CAST(q1.nsq AS DOUBLE) * CAST(c.nsq AS DOUBLE)) AS cos_raw
+       |  FROM sl s JOIN e q1 ON q1.vec_id = s.query_id JOIN e c ON c.vec_id = s.vec_id)
+       |SELECT query_id, vec_id, CAST(rnk AS INT) AS rnk, round(cos_raw, 4) AS cos_sim
+       |FROM (
+       |  SELECT query_id, vec_id, cos_raw,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY cos_raw DESC, vec_id) AS rnk
+       |  FROM exact) t
+       |WHERE rnk <= $TopK""".stripMargin
+  }
+
+  /** Multi-probe variant of [[ivfIncrementalOracleSql]]: same one-shot
+    * assignment, but each query probes its [[NProbe]] nearest trained
+    * centroids ((cos DESC, label ASC) rank ≤ NProbe) and candidates are
+    * the union of those clusters' ASSIGNED members — each vector has
+    * exactly one assigned cluster, so the union is duplicate-free. */
+  private lazy val ivfIncrementalMultiProbeOracleSql: String = {
+    val centroidSums = (1 to Dims).map(i => s"sum(q[$i])").mkString(", ")
+    s"""WITH $quantizedSql,
+       |cent AS (
+       |  SELECT label, [$centroidSums] AS c,
+       |         list_sum(list_transform([$centroidSums], x -> x * x)) AS ncsq
+       |  FROM e GROUP BY label),
+       |assign AS (
+       |  SELECT vec_id, cluster FROM (
+       |    SELECT e.vec_id, cent.label AS cluster,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY list_sum(list_transform(generate_series(1, $Dims),
+       |                        i -> e.q[i] * cent.c[i]))
+       |                      / sqrt(CAST(e.nsq AS DOUBLE) * CAST(cent.ncsq AS DOUBLE)) DESC,
+       |                      cent.label) AS rnk
+       |    FROM e CROSS JOIN cent) t WHERE rnk = 1),
+       |probe AS (
+       |  SELECT vec_id, pcluster FROM (
+       |    SELECT e.vec_id, cent.label AS pcluster,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY list_sum(list_transform(generate_series(1, $Dims),
+       |                        i -> e.q[i] * cent.c[i]))
+       |                      / sqrt(CAST(e.nsq AS DOUBLE) * CAST(cent.ncsq AS DOUBLE)) DESC,
+       |                      cent.label) AS rnk
+       |    FROM e CROSS JOIN cent WHERE e.vec_id < $NQueries) t WHERE rnk <= $NProbe),
+       |qs AS (
+       |  SELECT e.vec_id, e.q, e.nsq, p.pcluster FROM e
+       |  JOIN probe p ON p.vec_id = e.vec_id),
+       |pairs AS (
+       |  SELECT qs.vec_id AS query_id, c.vec_id AS vec_id,
+       |         list_sum(list_transform(generate_series(1, $Dims),
+       |                  i -> qs.q[i] * c.q[i])) AS dot,
+       |         qs.nsq AS nq, c.nsq AS nc
+       |  FROM qs JOIN assign ca ON ca.cluster = qs.pcluster AND ca.vec_id <> qs.vec_id
+       |          JOIN e c ON c.vec_id = ca.vec_id)
+       |SELECT query_id, vec_id, CAST(rnk AS INT) AS rnk, round(cos_raw, 4) AS cos_sim
+       |FROM (
+       |  SELECT query_id, vec_id,
+       |         dot / sqrt(CAST(nq AS DOUBLE) * CAST(nc AS DOUBLE)) AS cos_raw,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY dot / sqrt(CAST(nq AS DOUBLE) * CAST(nc AS DOUBLE)) DESC, vec_id) AS rnk
+       |  FROM pairs) t
+       |WHERE rnk <= $TopK""".stripMargin
+  }
 
   /** One-shot oracle for the incrementally-built IVF index: centroids
     * over the full (fixed) snapshot, EVERY vector assigned to its

@@ -21,12 +21,14 @@ import graft.engine.{Incremental, Materialization, Model}
   *    versioned eval set.
   *  - `ivf_index` (IncrementalAppend on vec_id): arrivals past the
   *    model's own high-water mark are assigned to their nearest trained
-  *    centroid. Assignment is the map-side `max`-of-struct argmax over a
-  *    BROADCAST k-row centroid table — the exchange carries one partial
-  *    row per vector, never N×k (the same shape the semantic-dedup
-  *    assignment uses). With centroids frozen, an assignment is
-  *    immutable: every arriving vector emits exactly one index row, so
-  *    the data rows ARE the scan frontier — no marker row (the
+  *    centroid. Assignment is the scan-local [[CentroidAssign.kernel]]
+  *    over a BROADCAST centroid array — ZERO assignment exchanges (the
+  *    same kernel the semantic-dedup assignment uses); the only exchange
+  *    is the `repartition(cluster)` paid once at write time so each
+  *    build emits exactly one file per cluster into the
+  *    cluster-partitioned layout. With centroids frozen, an assignment
+  *    is immutable: every arriving vector emits exactly one index row,
+  *    so the data rows ARE the scan frontier — no marker row (the
   *    emission-watermark trap cannot arise).
   *
   * The index row stores the quantized vector beside its cluster; at
@@ -105,15 +107,81 @@ object IncrementalIvfIndex {
     // each scan partition to ≤k candidates per query before the
     // exchange (the row_number window form shuffled the whole probed
     // cluster into one partition per query)
-    index.join(broadcast(qs),
-        index("cluster") === qs("cluster") && col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        expr("dot_i64(qq, q)").as("dot"), col("nq"), col("nsq").as("nc"))
-      .groupBy(col("query_id"))
+    topkTail(
+      index.join(broadcast(qs),
+          index("cluster") === qs("cluster") && col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          expr("dot_i64(qq, q)").as("dot"), col("nq"), col("nsq").as("nc")),
+      topK)
+  }
+
+  /** MULTI-PROBE search over the accumulated index: each query probes
+    * its `nprobe` nearest TRAINED centroids, not just its own cluster —
+    * single-probe recall is bounded by true neighbors living in the
+    * query's second-nearest cluster (exactly the vectors a
+    * near-boundary query loses; `q_ann_ivf_multiprobe` measured the
+    * strict recall win on the ad-hoc path, SimilaritySpec).
+    *
+    * The probe sets are derived on the DRIVER from the collected k-row
+    * centroid table (the same broadcast-bytes contract as assignment,
+    * with the kernel's exact integer-dot math and (cos DESC, label ASC)
+    * tie order), so the index read carries a LITERAL `isin` over the
+    * union of probed clusters — PLANNING-TIME partition pruning: the
+    * executed scan's PartitionFilters names the probed cluster values
+    * (pinned in IncrementalIvfIndexSpec), reading nprobe·N/k of the
+    * corpus and nothing else, with no runtime DPP dependency. Each
+    * query is then matched to ITS OWN probe list (array_contains
+    * against the broadcast query side) and the final reduce is the
+    * bounded topk_cos aggregate, as in [[searchTopK]]. */
+  def searchTopKMultiProbe(
+      index: DataFrame,
+      cent: DataFrame,
+      nQueries: Int,
+      topK: Int,
+      nprobe: Int): DataFrame = {
+    val s = index.sparkSession
+    graft.functions.GraftFunctions.register(s)
+    import s.implicits._
+    val cents = CentroidAssign.collectCentroids(cent)
+    val qRows = index.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("q"), col("nsq"))
+      .as[(Long, Array[Long], Long)].collect()
+    val qProbes = qRows.map { case (id, q, nsq) =>
+      val ranked = cents.map { case (l, c, ncsq) =>
+        var dot = 0L
+        var i = 0
+        while (i < q.length) { dot += q(i) * c(i); i += 1 }
+        (l, dot / math.sqrt(nsq.toDouble * ncsq.toDouble))
+      }.sortWith { (a, b) =>
+        // (cos DESC, label ASC) via Double.compare — the engine-wide
+        // tie/NaN contract (see CentroidAssign)
+        val c = java.lang.Double.compare(a._2, b._2)
+        c > 0 || (c == 0 && a._1 < b._1)
+      }
+      (id, q.toSeq, nsq, ranked.take(nprobe).map(_._1).toSeq)
+    }
+    val probeSet = qProbes.flatMap(_._4).distinct.sorted
+    val qDf = qProbes.toSeq.toDF("query_id", "qq", "nq", "probes")
+    // literal static pruning over the union of probed clusters …
+    val pruned = index.filter(col("cluster").isin(probeSet.map(Int.box): _*))
+    // … then each query sees only its OWN probed clusters' members
+    topkTail(
+      pruned.join(broadcast(qDf),
+          array_contains(col("probes"), col("cluster")) &&
+            col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          expr("dot_i64(qq, q)").as("dot"), col("nq"), col("nsq").as("nc")),
+      topK)
+  }
+
+  /** Shared skew-safe top-k tail: bounded map-side topk_cos reduce over
+    * `(query_id, vec_id, dot, nq, nc)` candidate rows → the oracle
+    * shape `(query_id, vec_id, rnk, cos_sim)`. */
+  private def topkTail(pairs: DataFrame, topK: Int): DataFrame =
+    pairs.groupBy(col("query_id"))
       .agg(expr(s"topk_cos(struct(vec_id, dot, nq, nc), $topK)").as("top"))
       .select(col("query_id"), posexplode(col("top")))
       .select(col("query_id"), col("col.vec_id").as("vec_id"),
         (col("pos") + 1).cast("int").as("rnk"),
         round(col("col.cos"), 4).as("cos_sim"))
-  }
 }

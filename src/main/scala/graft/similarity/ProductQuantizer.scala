@@ -1,0 +1,155 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) — the published ANN compression scheme
+  * (Jégou et al., "Product Quantization for Nearest Neighbor Search"):
+  * split each vector into [[M]] orthogonal subspaces, learn a small
+  * per-subspace codebook, and represent a vector by its M codebook
+  * indices (M bytes instead of M·[[SubDims]]·8). Candidates are then
+  * scored by ASYMMETRIC DISTANCE COMPUTATION (ADC): the query
+  * precomputes one dot product against every codebook entry
+  * (M × [[CodebookSize]] values), and scoring a candidate is M table
+  * lookups + adds — no per-candidate vector arithmetic at all. This is
+  * the other half of the story [[graft.queries.SimilarityQueries]]'s
+  * SQ8 operator starts (SQ8 shrinks the bytes per component; PQ shrinks
+  * the COMPONENTS per candidate and moves the arithmetic off the scan).
+  *
+  * Training here is deterministic and engine-portable (the own-oracle
+  * idiom — both Spark and the DuckDB oracle derive bit-identical
+  * codebooks from the same corpus): each subspace's 256 cells are an
+  * LSH coarse quantizer (sign bits of [[PlanesPerSub]] fixed seeded
+  * integer planes — one k-medoid-style iteration over LSH init, not
+  * iterative k-means, which would need float centroids and engine-exact
+  * iteration order), and each cell's codebook ENTRY is its exact medoid
+  * under cosine-to-the-cell-sum: the member subvector maximizing
+  * `dot(sv, Σ members) / √(|sv|²·|Σ members|²)`, ties to the lowest
+  * vec_id. Entries are REAL member subvectors, so all ADC dot products
+  * stay exact 64-bit integers — the established integer-exactness
+  * contract — and the only float op anywhere is the final
+  * `dot/sqrt(nq·npq)` cosine, computed with identical IEEE ops in both
+  * engines.
+  *
+  * Scale shape: code assignment is scan-local (sign bits of literal
+  * plane dots inside whole-stage codegen); codebook training is one
+  * groupBy on (subspace, cell) over the FIXED training snapshot (the
+  * same frozen-quantizer contract as `ivf_centroids` — at 100 TB a
+  * sample, retraining = full refresh); the trained codebook is
+  * M×256×SubDims longs ≈ 128 KB — broadcast/driver-sized by
+  * construction, independent of corpus size.
+  */
+object ProductQuantizer {
+
+  val M = 8 // subspaces
+  val SubDims = 8 // dims per subspace
+  val PlanesPerSub = 8 // LSH planes per subspace -> 256 cells
+  val CodebookSize = 1 << PlanesPerSub
+  val Dims: Int = M * SubDims
+
+  /** subPlanes(m)(i): the i-th hyperplane of subspace m, SubDims small
+    * ints from one fixed seed — inlined verbatim into both engines'
+    * plans so cell codes are bit-identical. */
+  val SubPlanes: IndexedSeq[IndexedSeq[Array[Long]]] = {
+    val rnd = new scala.util.Random(16180339)
+    IndexedSeq.fill(M)(IndexedSeq.fill(PlanesPerSub)(
+      Array.fill(SubDims)((rnd.nextInt(19) - 9).toLong)))
+  }
+
+  /** SQL fragment (Spark dialect): the m-th subspace's cell code for the
+    * quantized vector column `q` — sign bits of SubDims-dim integer
+    * plane dots, all inside whole-stage codegen via the native dot_i64. */
+  private def codeExpr(m: Int): Column =
+    (0 until PlanesPerSub).map { i =>
+      val lits = SubPlanes(m)(i).map(v => s"${v}L").mkString(",")
+      when(expr(
+        s"dot_i64(slice(q, ${m * SubDims + 1}, $SubDims), array($lits)) >= 0"),
+        1 << i).otherwise(0)
+    }.reduce(_ + _)
+
+  /** `array<int>` of the M cell codes for column `q` — the stored PQ
+    * code of a vector (M bytes at production layout). */
+  def codesCol: Column = array((0 until M).map(m => codeExpr(m).cast("int")): _*)
+
+  /** One row per (vector, subspace): `(vec_id, m, code, sv, nsv)` —
+    * the exploded view codebook training and the oracle's ADC join both
+    * run over. */
+  def cellRows(e: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(e.sparkSession)
+    e.select(col("vec_id"), explode(array((0 until M).map(m =>
+        struct(lit(m).as("m"), codeExpr(m).cast("int").as("code"),
+          slice(col("q"), m * SubDims + 1, SubDims).as("sv"))): _*)).as("c"))
+      .select(col("vec_id"), col("c.m").as("m"), col("c.code").as("code"),
+        col("c.sv").as("sv"))
+      .withColumn("nsv", expr("dot_i64(sv, sv)"))
+  }
+
+  /** Trained codebook, dense [m][code]: entry subvectors (zero-filled
+    * for cells no training vector landed in — such codes can never be
+    * emitted by [[codesCol]] on the same corpus, so the filler is never
+    * read) and each entry's squared norm. */
+  final case class Codebook(
+      ent: Array[Array[Array[Long]]],
+      entNsq: Array[Array[Long]])
+
+  /** Train on the (fixed) snapshot: group subvectors by (m, cell), take
+    * each cell's exact medoid-under-cosine-to-the-sum (ties lowest
+    * vec_id), collect the ≤ M×256 entries to the driver (≈128 KB — the
+    * broadcast-state contract). One shuffle on (m, code), paid once per
+    * training. */
+  def train(e: DataFrame): Codebook = {
+    val cells = cellRows(e)
+    val bsum = cells.groupBy(col("m"), col("code"))
+      .agg(array((1 to SubDims).map(j => sum(element_at(col("sv"), j))): _*).as("ssum"))
+      .withColumn("nssum", expr("dot_i64(ssum, ssum)"))
+    val w = Window.partitionBy(col("m"), col("code")).orderBy(
+      (expr("dot_i64(sv, ssum)") /
+        sqrt(col("nsv").cast("double") * col("nssum").cast("double"))).desc,
+      col("vec_id"))
+    val entries = cells.join(bsum, Seq("m", "code"))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") === 1)
+      .select(col("m"), col("code"), col("sv"), col("nsv"))
+    val s = e.sparkSession
+    import s.implicits._
+    val ent = Array.fill(M, CodebookSize)(Array.fill(SubDims)(0L))
+    val nsq = Array.fill(M, CodebookSize)(0L)
+    entries.as[(Int, Int, Array[Long], Long)].collect().foreach {
+      case (m, c, sv, nsv) => ent(m)(c) = sv; nsq(m)(c) = nsv
+    }
+    Codebook(ent, nsq)
+  }
+
+  /** PQ-reconstructed squared norm of a coded vector: Σ_m |ent_m|² —
+    * an integer, M table lookups per candidate against the broadcast
+    * codebook-norm literal (subspaces are orthogonal, so the
+    * reconstruction's norm is the sum of entry norms). */
+  def npqCol(cb: Codebook): Column = {
+    val tab = typedLit(cb.entNsq.map(_.toSeq).toSeq)
+    (0 until M).map(m =>
+      element_at(element_at(tab, m + 1), element_at(col("codes"), m + 1) + 1))
+      .reduce(_ + _)
+  }
+
+  /** The query's ADC lookup table: adc(m)(code) = exact integer
+    * `dot(q_sub_m, ent[m][code])` — M×256 longs precomputed ONCE per
+    * query, after which scoring a candidate is M lookups + adds. */
+  def adcTable(q: Array[Long], cb: Codebook): Seq[Seq[Long]] =
+    (0 until M).map { m =>
+      (0 until CodebookSize).map { c =>
+        val ent = cb.ent(m)(c)
+        var d = 0L
+        var j = 0
+        while (j < SubDims) { d += q(m * SubDims + j) * ent(j); j += 1 }
+        d
+      }
+    }
+
+  /** ADC score numerator for a candidate row carrying `codes`, against
+    * a query row carrying its `adc` table column: Σ_m adc[m][codes[m]]
+    * — integer table lookups, zero per-candidate vector arithmetic. */
+  def adcDotCol: Column =
+    (0 until M).map(m =>
+      element_at(element_at(col("adc"), m + 1), element_at(col("codes"), m + 1) + 1))
+      .reduce(_ + _)
+}

@@ -159,6 +159,49 @@ class DedupSpec extends SparkSpec {
     assert(agree >= 0.8, s"probe agreement $agree below floor")
   }
 
+  test("probe agreement is a geometry property: ~1.0 on clustered corpora, degrades with isotropy") {
+    // The ~89% sf-corpus agreement above is a property of THAT corpus's
+    // near-isotropy, not of the probe: on a genuinely clustered corpus
+    // (tight clusters around separated centroids — the geometry the
+    // published SemDeDup configurations assume) the top-2-group probe
+    // must reproduce the exact argmax essentially always, because the
+    // true centroid's group representative dominates the coarse ranking.
+    // Seeded property over both geometries: clustered ≥ 0.95 AND
+    // strictly above the same-size isotropic corpus's agreement.
+    import graft.queries.DedupQueries
+    import org.apache.spark.sql.DataFrame
+    val dims = 64
+    val k = 10
+    val n = 500
+    def corpus(seed: Int, clustered: Boolean): DataFrame = {
+      val rnd = new scala.util.Random(seed)
+      val cents = Array.fill(k)(Array.fill(dims)(rnd.nextDouble() * 2 - 1))
+      (0 until n).map { i =>
+        val lbl = i % k
+        val v =
+          if (clustered) cents(lbl).map(_ + (rnd.nextDouble() - 0.5) * 0.1).toSeq
+          else Seq.fill(dims)(rnd.nextDouble() * 2 - 1) // label ⟂ vector
+        (i.toLong, lbl, v)
+      }.toDF("vec_id", "label", "embedding")
+    }
+    def agreement(emb: DataFrame): Double = {
+      val exact = DedupQueries.semanticAssignFor(emb)
+        .select($"vec_id", $"cluster").as[(Long, Int)].collect().toMap
+      val probed = DedupQueries.semanticProbeAssignFor(emb)
+        .select($"vec_id", $"cluster").as[(Long, Int)].collect().toMap
+      assert(probed.keySet == exact.keySet)
+      exact.count { case (id, c) => probed(id) == c }.toDouble / exact.size
+    }
+    for (seed <- Seq(7, 8)) {
+      val clusteredAgree = agreement(corpus(seed, clustered = true))
+      val isotropicAgree = agreement(corpus(100 + seed, clustered = false))
+      assert(clusteredAgree >= 0.95,
+        s"seed=$seed clustered agreement $clusteredAgree below 0.95")
+      assert(clusteredAgree > isotropicAgree,
+        s"seed=$seed clustered $clusteredAgree must beat isotropic $isotropicAgree")
+    }
+  }
+
   test("end-to-end: LSH candidates -> clusters over the documents table") {
     val dir = "/root/testdata/sf0.001"
     val out = graft.SparkEntry.queries("q_dedup_clusters")(spark, dir)

@@ -60,6 +60,25 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"SQ8 re-rank recall $recall (${(sq8 intersect truth).size}/${truth.size})")
   }
 
+  test("IVF-PQ: ADC table-lookup scoring keeps recall close to full-precision IVF") {
+    val ivf = pairs("q_ann_ivf_topk")
+    val pq = pairs("q_ann_ivf_pq")
+    // same coarse cluster probed, so the candidate sets match; PQ codes
+    // (M=8 bytes per candidate) only have to land true neighbors inside
+    // the 3k-wide ADC shortlist — exact re-rank fixes their order — so
+    // disagreement can only come from the shortlist boundary. PQ is a
+    // coarser code than SQ8 (8 codebook indices vs 64 int8 components),
+    // so the floor is lower than SQ8's 0.9, but must stay well above
+    // chance; the measured value is recorded in the assertion message.
+    val agree = (pq intersect ivf).size.toDouble / ivf.size
+    assert(agree >= 0.5, s"IVF-PQ agreement with full-precision IVF $agree")
+    // recall vs absolute truth can never EXCEED the IVF stage's (ADC
+    // cannot recover a neighbor the cluster probe lost)
+    val truth = pairs("q_ann_bruteforce_topk")
+    assert((pq intersect truth).size <= (ivf intersect truth).size,
+      s"PQ recall ${(pq intersect truth).size} vs IVF ${(ivf intersect truth).size} of ${truth.size}")
+  }
+
   test("IVF+SQ8 composed probe: recall bounded by IVF stage, codes lose little") {
     val ivf = pairs("q_ann_ivf_topk")
     val ivfSq8 = pairs("q_ann_ivf_sq8")

@@ -122,4 +122,36 @@ class IncrementalIvfIndexSpec extends SparkSpec {
     val searchPlan = hits.queryExecution.executedPlan.toString
     assert(searchPlan.toLowerCase.contains("dynamicpruning"), searchPlan)
   }
+
+  test("multi-probe search: literal two-cluster PartitionFilters; strict recall win") {
+    val dir = tmpDir("incivfmp")
+    // vec 7 is query 0's third-nearest TRUE neighbor (cos ≈ .719) but
+    // lands in cluster 1 (cos .787 to c1 vs .690 to c0) — exactly the
+    // near-boundary neighbor single-probe loses and nprobe=2 recovers
+    val extra = Seq((7L, 1, Seq(6L, 7L, 1L, 0L)))
+    engineFor(dir, vecsDf(training ++ arrivals ++ extra)).build()
+    val index = spark.read.parquet(s"$dir/ivf_index")
+    val cent = spark.read.parquet(s"$dir/ivf_centroids")
+
+    def hitSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
+    val single = hitSet(IncrementalIvfIndex.searchTopK(index, nQueries = 1, topK = 3))
+    val multi = IncrementalIvfIndex.searchTopKMultiProbe(
+      index, cent, nQueries = 1, topK = 3, nprobe = 2)
+    val multiHits = hitSet(multi)
+
+    // PLANNING-TIME pruning with BOTH probed clusters: the literal isin
+    // lands in the executed scan's PartitionFilters (no DPP dependency)
+    multi.collect()
+    val scanLine = multi.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("PartitionFilters")).mkString(" | ")
+    assert(scanLine.contains("cluster"), scanLine)
+    assert(scanLine.replaceAll("\\s", "").contains("IN(0,1)"), scanLine)
+
+    // candidate superset under exact scoring ⇒ single-probe hits survive,
+    // and the cluster-1 near-boundary neighbor is a strict recall win
+    assert(single == Set((0L, 4L), (0L, 1L))) // cluster 0 has only 2 others
+    assert(single.subsetOf(multiHits))
+    assert(multiHits == Set((0L, 4L), (0L, 1L), (0L, 7L)))
+  }
 }
