@@ -20,6 +20,16 @@ import org.apache.spark.sql.SparkSession
   * projection-only query would measure just the scan), while the noop
   * sink consumes every output column without paying a real sink's I/O.
   *
+  * `q_*_incremental` entries additionally report a `phases` split
+  * `{build_s, query_s}`: their DataFrame CONSTRUCTION eagerly runs the
+  * engine-DAG builds (temp-warehouse materialization), while the timed
+  * ACTION is the probe/read path — conflating them can mask a probe
+  * regression under build noise (or vice versa). build_s is the
+  * construction time and query_s the action time of the median run;
+  * per-query totals and the headline total are unchanged
+  * (build_s + query_s of the median run = the reported total), so the
+  * round-over-round series stays comparable.
+  *
   * Output contract (tail-truncation-safe): the full per-query JSON line
   * prints FIRST and is also persisted to target/bench.json, so a log
   * capture that keeps only the last few lines still leaves the file and
@@ -54,28 +64,42 @@ object Bench {
       try consume(fn(spark, warmDir)) catch { case _: Throwable => () }
     }
     val Repeats = 3
-    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // (build_s, query_s): construction (eager engine builds for the
+    // incremental entries, plan-only otherwise) vs the timed action
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Double) = {
       val t0 = System.nanoTime()
-      try { consume(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
-      catch { case _: Throwable => -1.0 }
+      try {
+        val df = fn(spark, sfDir)
+        val t1 = System.nanoTime()
+        consume(df)
+        ((t1 - t0) / 1e9, (System.nanoTime() - t1) / 1e9)
+      } catch { case _: Throwable => (-1.0, -1.0) }
     }
-    // (median, first-run) per query; a failed run short-circuits to the
-    // sentinel for both series
+    // (median, first-run, median run's phase split) per query; a failed
+    // run short-circuits to the sentinel for both series
     val timed = queries.map { case (name, fn) =>
       val runs = Iterator.continually(once(fn))
-        .take(Repeats).takeWhile(_ >= 0).toSeq
-      if (runs.size < Repeats) name -> (-1.0, -1.0)
-      else name -> (runs.sorted.apply(Repeats / 2), runs.head)
+        .take(Repeats).takeWhile(_._1 >= 0).toSeq
+      if (runs.size < Repeats) name -> (-1.0, -1.0, (-1.0, -1.0))
+      else {
+        val med = runs.sortBy { case (b, q) => b + q }.apply(Repeats / 2)
+        name -> (med._1 + med._2, runs.head._1 + runs.head._2, med)
+      }
     }
-    val results = timed.map { case (k, (med, _)) => k -> med }
+    val results = timed.map { case (k, (med, _, _)) => k -> med }
     val failed = results.collect { case (k, v) if v < 0 => k }
     def toJson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val singleShot = timed.map(_._2._2).filter(_ >= 0).sum
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // build-vs-query split for the engine-DAG-building entries only
+    val phases = timed.collect {
+      case (k, (med, _, (b, q))) if k.contains("_incremental") && med >= 0 =>
+        "\"" + k + f"""":{"build_s":$b%.3f,"query_s":$q%.3f}"""
+    }.mkString("{", ",", "}")
     def line(qs: String) =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","repeats":$Repeats,"single_shot_total":$singleShot%.3f,"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","repeats":$Repeats,"single_shot_total":$singleShot%.3f,"queries":$qs,"phases":$phases,"errors":$errs,"sf":"$sfDir"}"""
     val full = line(toJson(results))
     // Full per-query map → file (survives any log truncation).
     try {

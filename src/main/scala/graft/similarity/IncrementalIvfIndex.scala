@@ -174,6 +174,33 @@ object IncrementalIvfIndex {
       topK)
   }
 
+  /** Search the index for EXTERNAL query vectors `(vec_id, q, nsq)` —
+    * the read side [[graft.streaming.Streaming.vectorSearchStream]]
+    * runs per micro-batch: each query is assigned its probe cluster by
+    * the scan-local kernel against the broadcast frozen centroids (zero
+    * exchanges — identical math to the stored assignments, so an index
+    * vector used as a query probes exactly its own cluster, matching
+    * [[searchTopK]]), then candidates come from the cluster-equi join
+    * against the cluster-partitioned index (runtime-pruned scan) and
+    * reduce through the bounded topk_cos aggregate. */
+  def searchTopKFor(
+      index: DataFrame,
+      queries: DataFrame,
+      cents: Array[(Int, Array[Long], Long)],
+      topK: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(index.sparkSession)
+    val qs = CentroidAssign.kernel(
+        queries.select(col("vec_id"), col("q"), col("nsq")), cents)
+      .select(col("vec_id").as("query_id"), col("cluster"),
+        col("q").as("qq"), col("nsq").as("nq"))
+    topkTail(
+      index.join(broadcast(qs),
+          index("cluster") === qs("cluster") && col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          expr("dot_i64(qq, q)").as("dot"), col("nq"), col("nsq").as("nc")),
+      topK)
+  }
+
   /** Shared skew-safe top-k tail: bounded map-side topk_cos reduce over
     * `(query_id, vec_id, dot, nq, nc)` candidate rows → the oracle
     * shape `(query_id, vec_id, rnk, cos_sim)`. */

@@ -186,4 +186,49 @@ object Streaming {
       .start()
     q.awaitTermination()
   }
+
+  /** The READ side of the streaming vector index: arriving QUERY vectors
+    * stream against the accumulated cluster-partitioned index
+    * ([[vectorIndexStream]]'s sink) — each query is kernel-assigned its
+    * probe cluster (stateless, broadcast frozen centroids), candidates
+    * come from a stream-static cluster-equi join against the index scan,
+    * and the top-k reduce is the BOUNDED topk_cos aggregate, so per-batch
+    * state is ≤k rows per arriving query — never the probed cluster.
+    *
+    * The per-query top-k depends only on (query row, static index) —
+    * no state crosses queries or batches — so the aggregation runs with
+    * exact batch semantics inside `foreachBatch` (the documented pattern
+    * for stream-static join + aggregation), and exactly-once comes from
+    * the IDEMPOTENT sink: results are partitioned by `batch_id` with
+    * dynamic partition overwrite, so a replayed batch overwrites its own
+    * partition instead of duplicating it (checkpoint offsets decide WHAT
+    * each batch contains; the overwrite makes re-delivery harmless).
+    * StreamingSpec pins stream ≡ batch [[graft.similarity
+    * .IncrementalIvfIndex.searchTopK]] and no-duplication under restart. */
+  def vectorSearchStream(
+      spark: SparkSession,
+      querySourceDir: String,
+      indexDir: String,
+      targetDir: String,
+      checkpointDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      cents: Array[(Int, Array[Long], Long)],
+      topK: Int): Unit = {
+    val index = spark.read.parquet(indexDir)
+    val q = spark.readStream.schema(schema).parquet(querySourceDir)
+      .writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.similarity.IncrementalIvfIndex
+          .searchTopKFor(index, batch, cents, topK)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(targetDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 }

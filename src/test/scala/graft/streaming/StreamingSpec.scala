@@ -237,4 +237,61 @@ class StreamingSpec extends SparkSpec {
       .map(_.getName).filter(_.startsWith("cluster=")).toSet
     assert(dirs == Set("cluster=0", "cluster=1"), dirs)
   }
+
+  test("vector search stream: stream-static probe ≡ batch searchTopK, exactly-once under restart") {
+    val dir = tmpDir("vecsearch")
+    val isrc = s"$dir/isrc"; val idx = s"$dir/idx"; val ickp = s"$dir/ickp"
+    val qsrc = s"$dir/qsrc"; val tgt = s"$dir/tgt"; val ckp = s"$dir/ckp"
+    def vecs(rows: Seq[(Long, Seq[Long])]) = {
+      graft.functions.GraftFunctions.register(spark)
+      rows.toDF("vec_id", "q")
+        .withColumn("q", $"q".cast("array<long>"))
+        .withColumn("nsq", expr("dot_i64(q, q)"))
+    }
+    val training = Seq(
+      (0L, Seq(10L, 1L, 0L, 0L)), (1L, Seq(9L, 0L, 1L, 0L)),
+      (2L, Seq(0L, 10L, 0L, 1L)), (3L, Seq(1L, 9L, 0L, 0L)))
+    val arrivals = Seq(
+      (4L, Seq(8L, 1L, 1L, 0L)), (5L, Seq(0L, 8L, 1L, 0L)), (6L, Seq(1L, 7L, 0L, 1L)))
+    val labeled = Seq((0L, 0), (1L, 0), (2L, 1), (3L, 1)).toDF("vec_id", "label")
+    val cents = graft.similarity.CentroidAssign.collectCentroids(
+      vecs(training).join(labeled, "vec_id")
+        .groupBy($"label")
+        .agg(org.apache.spark.sql.functions.array((1 to 4).map(i =>
+          sum(element_at($"q", i))): _*).as("c"))
+        .withColumn("ncsq", expr("dot_i64(c, c)")))
+    val schema = vecs(training).schema
+    // accumulate the full cluster-partitioned index via the maintenance
+    // stream, then probe it with a SEPARATE stream of arriving queries
+    vecs(training ++ arrivals).write.mode("append").parquet(isrc)
+    Streaming.vectorIndexStream(spark, isrc, idx, ickp, schema, cents)
+    val index = spark.read.parquet(idx)
+
+    def hitSet() = spark.read.parquet(tgt)
+      .select($"query_id", $"vec_id", $"rnk").as[(Long, Long, Int)].collect().toSet
+
+    // query batch 1: vector 0 arrives — stream result ≡ the batch probe
+    vecs(training.take(1)).write.mode("append").parquet(qsrc)
+    Streaming.vectorSearchStream(spark, qsrc, idx, tgt, ckp, schema, cents, topK = 2)
+    val batchTruth = graft.similarity.IncrementalIvfIndex
+      .searchTopK(index, nQueries = 1, topK = 2)
+      .select($"query_id", $"vec_id", $"rnk").as[(Long, Long, Int)].collect().toSet
+    assert(hitSet() == batchTruth)
+    assert(batchTruth == Set((0L, 4L, 1), (0L, 1L, 2))) // cluster-0 probe
+
+    // restart with no new queries: checkpoint offsets + idempotent
+    // batch_id-partitioned sink ⇒ nothing reprocessed, nothing duplicated
+    Streaming.vectorSearchStream(spark, qsrc, idx, tgt, ckp, schema, cents, topK = 2)
+    assert(spark.read.parquet(tgt).count() == 2)
+
+    // query batch 2: vector 5 (the learned≠labeled crosser) — only its
+    // rows are appended, and they match the batch probe of ITS cluster
+    vecs(arrivals.filter(_._1 == 5L)).write.mode("append").parquet(qsrc)
+    Streaming.vectorSearchStream(spark, qsrc, idx, tgt, ckp, schema, cents, topK = 2)
+    val truth5 = graft.similarity.IncrementalIvfIndex
+      .searchTopKFor(index, vecs(arrivals.filter(_._1 == 5L)), cents, topK = 2)
+      .select($"query_id", $"vec_id", $"rnk").as[(Long, Long, Int)].collect().toSet
+    assert(truth5.map(_._1) == Set(5L))
+    assert(hitSet() == batchTruth ++ truth5)
+  }
 }
