@@ -691,6 +691,39 @@ object SimilarityQueries {
       graft.similarity.IncrementalIvfIndex.searchTopKMultiProbe(
         s.read.parquet(s"$wh/ivf_index"),
         s.read.parquet(s"$wh/ivf_centroids"), NQueries, TopK, NProbe)
+    },
+
+    // ---- PQ codes stored IN the incremental index: the modelsPQ DAG
+    // adds a pq_codebook Table (trained once on the same fixed snapshot
+    // as the centroids — frozen-quantizer contract) and stores each
+    // vector's M-index PQ code + reconstructed norm beside its cluster.
+    // The probe is then the full production ADC economics over the
+    // index layout itself: a partition-pruned, COLUMN-PRUNED scan of
+    // (codes, npq) only — M bytes per candidate at production layout —
+    // ADC table-lookup scoring, and full vectors touched only for the
+    // shortlist re-rank. Incremental build ≡ one-shot oracle, checked
+    // by the driver like q_ann_ivf_incremental.
+    Q.sql(
+      "q_ann_ivf_pq_incremental",
+      ivfPqIncrementalOracleSql
+    ) { (s, dir) =>
+      val e = quantized(s, dir)
+      val b = e.agg(min(col("vec_id")), max(col("vec_id"))).first()
+      val mid = (b.getLong(0) + b.getLong(1)) / 2
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_incivfpq").toString
+      def build(batch: DataFrame): Unit = {
+        val rpt = new graft.engine.Engine(s, wh,
+          Map("vectors" -> batch, "vectors_training" -> e),
+          graft.similarity.IncrementalIvfIndex.modelsPQ(
+            "vectors", "vectors_training", Dims)).build()
+        require(rpt.ok, rpt.results.mkString("; "))
+      }
+      build(e.filter(col("vec_id") <= mid))
+      build(e)
+      graft.similarity.IncrementalIvfIndex.searchTopKPQ(
+        s.read.parquet(s"$wh/ivf_index"),
+        s.read.parquet(s"$wh/pq_codebook"), NQueries, TopK, shortK = TopK * 3)
     }
   )
 
@@ -700,10 +733,13 @@ object SimilarityQueries {
     * planes, exact cosine-to-cell-sum medoids, ties lowest vec_id),
     * code every vector, ADC-score the query's coarse cluster with exact
     * integer dots against entries, shortlist, exact re-rank. */
-  private lazy val ivfPqOracleSql: String = {
+  /** Shared PQ-codebook CTE block (assumes `e` is already defined):
+    * per-(vector, subspace) cells with LSH codes, cell sums, exact
+    * medoid entries, and each vector's reconstructed norm — the
+    * bit-identical mirror of [[graft.similarity.ProductQuantizer]]'s
+    * training + encoding. */
+  private lazy val pqCodebookCtesSql: String = {
     import graft.similarity.ProductQuantizer.{M, PlanesPerSub, SubDims, SubPlanes}
-    val centroidSums = (1 to Dims).map(i => s"sum(q[$i])").mkString(", ")
-    val shortN = TopK * 3
     // per-plane-index literal: planes of ALL M subspaces for bit i,
     // indexed [m+1][j] inside the cell-code CASE terms
     val codeTerms = (0 until PlanesPerSub).map { i =>
@@ -712,8 +748,7 @@ object SimilarityQueries {
       s"(CASE WHEN list_sum(list_transform(generate_series(1, $SubDims), j -> sv[j] * ($pl)[m + 1][j])) >= 0 THEN ${1 << i} ELSE 0 END)"
     }.mkString("\n       + ")
     val ssumList = (1 to SubDims).map(j => s"sum(sv[$j])").mkString(", ")
-    s"""WITH $quantizedSql,
-       |um AS (SELECT unnest(generate_series(0, ${M - 1})) AS m),
+    s"""um AS (SELECT unnest(generate_series(0, ${M - 1})) AS m),
        |cells0 AS (
        |  SELECT e.vec_id, e.label, um.m,
        |         list_slice(e.q, um.m * $SubDims + 1, um.m * $SubDims + $SubDims) AS sv
@@ -739,7 +774,15 @@ object SimilarityQueries {
        |enc AS (
        |  SELECT c.vec_id, sum(en.ent_nsq) AS npq
        |  FROM cells c JOIN entries en ON en.m = c.m AND en.code = c.code
-       |  GROUP BY c.vec_id),
+       |  GROUP BY c.vec_id)""".stripMargin
+  }
+
+  private lazy val ivfPqOracleSql: String = {
+    import graft.similarity.ProductQuantizer.SubDims
+    val centroidSums = (1 to Dims).map(i => s"sum(q[$i])").mkString(", ")
+    val shortN = TopK * 3
+    s"""WITH $quantizedSql,
+       |$pqCodebookCtesSql,
        |cent AS (
        |  SELECT label, [$centroidSums] AS cc,
        |         list_sum(list_transform([$centroidSums], x -> x * x)) AS ncsq
@@ -761,6 +804,65 @@ object SimilarityQueries {
        |  FROM qs
        |  JOIN assign a ON a.query_id = qs.vec_id
        |  JOIN cells cr ON cr.label = a.label AND cr.vec_id <> qs.vec_id
+       |  JOIN entries en ON en.m = cr.m AND en.code = cr.code
+       |  GROUP BY qs.vec_id, cr.vec_id, qs.nsq),
+       |sl AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT adc.query_id, adc.vec_id,
+       |           row_number() OVER (PARTITION BY adc.query_id ORDER BY
+       |             adc.dot / sqrt(CAST(adc.nq AS DOUBLE) * CAST(ec.npq AS DOUBLE)) DESC,
+       |             adc.vec_id) AS rnk8
+       |    FROM adc JOIN enc ec ON ec.vec_id = adc.vec_id) t
+       |  WHERE rnk8 <= $shortN),
+       |exact AS (
+       |  SELECT s.query_id, s.vec_id,
+       |         list_sum(list_transform(generate_series(1, $Dims), i -> q1.q[i] * c.q[i]))
+       |           / sqrt(CAST(q1.nsq AS DOUBLE) * CAST(c.nsq AS DOUBLE)) AS cos_raw
+       |  FROM sl s JOIN e q1 ON q1.vec_id = s.query_id JOIN e c ON c.vec_id = s.vec_id)
+       |SELECT query_id, vec_id, CAST(rnk AS INT) AS rnk, round(cos_raw, 4) AS cos_sim
+       |FROM (
+       |  SELECT query_id, vec_id, cos_raw,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY cos_raw DESC, vec_id) AS rnk
+       |  FROM exact) t
+       |WHERE rnk <= $TopK""".stripMargin
+  }
+
+  /** One-shot oracle for the PQ-coded incremental index
+    * (`q_ann_ivf_pq_incremental`): the [[pqCodebookCtesSql]] codebook
+    * over the full fixed snapshot, every vector LEARNED-assigned to its
+    * nearest centroid (the [[ivfIncrementalOracleSql]] inverted file,
+    * not the raw label), queries ADC-score their own cluster's members
+    * on codes, shortlist, exact re-rank. */
+  private lazy val ivfPqIncrementalOracleSql: String = {
+    import graft.similarity.ProductQuantizer.SubDims
+    val centroidSums = (1 to Dims).map(i => s"sum(q[$i])").mkString(", ")
+    val shortN = TopK * 3
+    s"""WITH $quantizedSql,
+       |$pqCodebookCtesSql,
+       |cent AS (
+       |  SELECT label, [$centroidSums] AS c,
+       |         list_sum(list_transform([$centroidSums], x -> x * x)) AS ncsq
+       |  FROM e GROUP BY label),
+       |assignall AS (
+       |  SELECT vec_id, cluster FROM (
+       |    SELECT e.vec_id, cent.label AS cluster,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY list_sum(list_transform(generate_series(1, $Dims),
+       |                        i -> e.q[i] * cent.c[i]))
+       |                      / sqrt(CAST(e.nsq AS DOUBLE) * CAST(cent.ncsq AS DOUBLE)) DESC,
+       |                      cent.label) AS rnk
+       |    FROM e CROSS JOIN cent) t WHERE rnk = 1),
+       |qs AS (
+       |  SELECT e.vec_id, e.q, e.nsq, a.cluster FROM e
+       |  JOIN assignall a ON a.vec_id = e.vec_id WHERE e.vec_id < $NQueries),
+       |adc AS (
+       |  SELECT qs.vec_id AS query_id, cr.vec_id AS vec_id, qs.nsq AS nq,
+       |         sum(list_sum(list_transform(generate_series(1, $SubDims),
+       |             j -> qs.q[cr.m * $SubDims + j] * en.ent[j]))) AS dot
+       |  FROM qs
+       |  JOIN assignall ca ON ca.cluster = qs.cluster AND ca.vec_id <> qs.vec_id
+       |  JOIN cells cr ON cr.vec_id = ca.vec_id
        |  JOIN entries en ON en.m = cr.m AND en.code = cr.code
        |  GROUP BY qs.vec_id, cr.vec_id, qs.nsq),
        |sl AS (

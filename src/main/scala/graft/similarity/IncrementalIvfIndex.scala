@@ -31,11 +31,15 @@ import graft.engine.{Incremental, Materialization, Model}
   *    so the data rows ARE the scan frontier — no marker row (the
   *    emission-watermark trap cannot arise).
   *
-  * The index row stores the quantized vector beside its cluster; at
-  * 100 TB this column is where product-quantization codes would go —
-  * the layout (cluster-keyed, cluster-partitionable storage) is the
-  * part that matters: a probe reads one cluster's partition, N/k of
-  * the corpus.
+  * The index row stores the quantized vector beside its cluster — and,
+  * in the [[modelsPQ]] variant, the vector's M-index PRODUCT-QUANTIZATION
+  * code + reconstructed norm ([[ProductQuantizer]]): a probe then scans
+  * one cluster's partition reading ONLY the code columns (M bytes per
+  * candidate at production layout), ADC-scores them by table lookup,
+  * and touches full vectors only for the shortlist re-rank
+  * ([[searchTopKPQ]]). The layout (cluster-keyed, cluster-partitioned
+  * storage) is the part that matters: a probe reads one cluster's
+  * partition, N/k of the corpus.
   *
   * `q_ann_ivf_incremental` hash-checks a two-batch build's search
   * results against a one-shot DuckDB oracle over the same snapshot;
@@ -92,6 +96,80 @@ object IncrementalIvfIndex {
         // per build — one N-row exchange, paid once at write time
         .repartition(col("cluster"))
     })
+
+  /** The PQ-coded index DAG: [[models]] plus (a) a `pq_codebook` Table
+    * model trained once on the SAME fixed snapshot as the centroids
+    * (frozen-quantizer contract — retraining either invalidates every
+    * stored row: full refresh by design), and (b) PQ `codes` + the
+    * reconstructed norm `npq` stored beside `cluster` on every index
+    * row. Code assignment is scan-local (plane-sign codegen +
+    * codebook-norm lookups against the collected ≈128 KB codebook), so
+    * the incremental build's shape is unchanged: kernel assign → encode
+    * → one repartition(cluster) write exchange. */
+  def modelsPQ(vectorsRef: String, trainingRef: String, dims: Int): Seq[Model] = Seq(
+    Model("ivf_centroids", Seq(trainingRef), Materialization.Table)((_, r) =>
+      centroids(r(trainingRef), dims)),
+    Model("pq_codebook", Seq(trainingRef), Materialization.Table)((_, r) =>
+      ProductQuantizer.entriesDf(
+        r(trainingRef).select(col("vec_id"), col("q"), col("nsq")))),
+    Model.incremental(
+      "ivf_index", Seq(vectorsRef, "ivf_centroids", "pq_codebook"),
+      Materialization.IncrementalAppend("vec_id", Seq("cluster"))) { (_, r, prior) =>
+      val hwm = Incremental.hwm(prior, "vec_id")
+      val cb = ProductQuantizer.collectCodebook(r("pq_codebook"))
+      assign(r(vectorsRef).filter(col("vec_id") > hwm), r("ivf_centroids"))
+        .withColumn("codes", ProductQuantizer.codesCol)
+        .withColumn("npq", ProductQuantizer.npqCol(cb))
+        .repartition(col("cluster"))
+    })
+
+  /** Probe the PQ-coded index ([[modelsPQ]]'s layout) with the full ADC
+    * economics: the candidate scan reads ONLY `(cluster, vec_id, codes,
+    * npq)` — column-pruned to the M-index code, never the stored vector
+    * — partition-pruned to the queries' clusters by a literal isin;
+    * each candidate costs M table lookups against the query's
+    * precomputed ADC table; the bounded topk_cos aggregate shortlists
+    * `shortK` per query map-side; and only the shortlist's full vectors
+    * are read back (broadcast of the tiny id set against a second
+    * pruned scan) for the exact re-rank. */
+  def searchTopKPQ(
+      index: DataFrame,
+      codebook: DataFrame,
+      nQueries: Int,
+      topK: Int,
+      shortK: Int): DataFrame = {
+    val s = index.sparkSession
+    graft.functions.GraftFunctions.register(s)
+    import s.implicits._
+    val cb = ProductQuantizer.collectCodebook(codebook)
+    val qRows = index.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("cluster"), col("q"), col("nsq"))
+      .as[(Long, Int, Array[Long], Long)].collect()
+    val qDf = qRows.toSeq.map { case (id, cl, q, nsq) =>
+      (id, cl, q.toSeq, nsq, ProductQuantizer.adcTable(q, cb))
+    }.toDF("query_id", "qcluster", "qq", "nq", "adc")
+    val probeClusters = qRows.map(_._2).distinct.sorted
+    val codesScan = index
+      .select(col("cluster"), col("vec_id"), col("codes"), col("npq"))
+      .filter(col("cluster").isin(probeClusters.map(Int.box): _*))
+    val pairs = codesScan.join(broadcast(qDf),
+        col("cluster") === col("qcluster") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        ProductQuantizer.adcDotCol.as("dot"), col("nq"), col("npq").as("nc"))
+    val shortIds = pairs.groupBy(col("query_id"))
+      .agg(expr(s"topk_cos(struct(vec_id, dot, nq, nc), $shortK)").as("top"))
+      .select(col("query_id"), explode(col("top.vec_id")).as("vec_id"))
+      .join(broadcast(qDf.select(col("query_id"), col("qq"), col("nq"))), "query_id")
+    val rerank = index.select(col("vec_id"), col("q"), col("nsq"))
+      .join(broadcast(shortIds), "vec_id")
+    val cosE = expr("dot_i64(qq, q)") /
+      sqrt(col("nq").cast("double") * col("nsq").cast("double"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(cosE.desc, col("vec_id"))
+    rerank.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= topK)
+      .select(col("query_id"), col("vec_id"), col("rnk"),
+        round(cosE, 4).as("cos_sim"))
+  }
 
   /** Probe the accumulated index: queries are corpus vectors (vec_id <
     * nQueries) probing their OWN cluster — each query's candidate set is

@@ -95,10 +95,11 @@ object ProductQuantizer {
 
   /** Train on the (fixed) snapshot: group subvectors by (m, cell), take
     * each cell's exact medoid-under-cosine-to-the-sum (ties lowest
-    * vec_id), collect the ≤ M×256 entries to the driver (≈128 KB — the
-    * broadcast-state contract). One shuffle on (m, code), paid once per
+    * vec_id). Emits `(m, code, ent, ent_nsq)` — materializable as an
+    * engine Table model (the frozen-quantizer contract, like
+    * `ivf_centroids`). One shuffle on (m, code), paid once per
     * training. */
-  def train(e: DataFrame): Codebook = {
+  def entriesDf(e: DataFrame): DataFrame = {
     val cells = cellRows(e)
     val bsum = cells.groupBy(col("m"), col("code"))
       .agg(array((1 to SubDims).map(j => sum(element_at(col("sv"), j))): _*).as("ssum"))
@@ -107,18 +108,28 @@ object ProductQuantizer {
       (expr("dot_i64(sv, ssum)") /
         sqrt(col("nsv").cast("double") * col("nssum").cast("double"))).desc,
       col("vec_id"))
-    val entries = cells.join(bsum, Seq("m", "code"))
+    cells.join(bsum, Seq("m", "code"))
       .withColumn("rnk", row_number().over(w)).filter(col("rnk") === 1)
-      .select(col("m"), col("code"), col("sv"), col("nsv"))
-    val s = e.sparkSession
+      .select(col("m"), col("code"), col("sv").as("ent"), col("nsv").as("ent_nsq"))
+  }
+
+  /** Collect a trained `(m, code, ent, ent_nsq)` table into the dense
+    * driver-side [[Codebook]] (≤ M×256 entries ≈ 128 KB — the
+    * broadcast-state contract). */
+  def collectCodebook(entries: DataFrame): Codebook = {
+    val s = entries.sparkSession
     import s.implicits._
     val ent = Array.fill(M, CodebookSize)(Array.fill(SubDims)(0L))
     val nsq = Array.fill(M, CodebookSize)(0L)
-    entries.as[(Int, Int, Array[Long], Long)].collect().foreach {
-      case (m, c, sv, nsv) => ent(m)(c) = sv; nsq(m)(c) = nsv
-    }
+    entries.select(col("m"), col("code"), col("ent"), col("ent_nsq"))
+      .as[(Int, Int, Array[Long], Long)].collect().foreach {
+        case (m, c, sv, nsv) => ent(m)(c) = sv; nsq(m)(c) = nsv
+      }
     Codebook(ent, nsq)
   }
+
+  /** [[entriesDf]] + [[collectCodebook]] in one step. */
+  def train(e: DataFrame): Codebook = collectCodebook(entriesDf(e))
 
   /** PQ-reconstructed squared norm of a coded vector: Σ_m |ent_m|² —
     * an integer, M table lookups per candidate against the broadcast

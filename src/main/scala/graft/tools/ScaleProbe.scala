@@ -45,8 +45,10 @@ object ScaleProbe {
       "q_pipeline_repeated_ngrams", "q_text_token_entropy",
       "q_pipeline_split_leakage", "q_pipeline_block_dedup",
       "q_text_pii_redact", "q_pipeline_mix_temperature", "q_dedup_semantic",
+      "q_media_dedup_phash", "q_text_tfidf",
       // embeddings-table operators (label remap grows k with the corpus)
       "q_dedup_semantic_probed", "q_ann_ivf_incremental",
+      "q_ann_ivf_incremental_multiprobe", "q_ann_ivf_pq",
       "q_ann_bruteforce_topk", "q_ann_sq8_rerank")
     val queries = sys.env.get("SPARK_GRAFT_PROBE_QUERIES")
       .map(_.split(",").map(_.trim).toSet)

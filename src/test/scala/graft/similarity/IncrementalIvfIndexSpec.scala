@@ -154,4 +154,70 @@ class IncrementalIvfIndexSpec extends SparkSpec {
     assert(single.subsetOf(multiHits))
     assert(multiHits == Set((0L, 4L), (0L, 1L), (0L, 7L)))
   }
+
+  test("PQ-coded index: codes stored beside cluster, code-only pruned probe, incremental ≡ one-shot") {
+    // 64-dim corpus (ProductQuantizer's fixed 8×8 subspace geometry)
+    graft.functions.GraftFunctions.register(spark)
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"label".cast("int").as("label"),
+        transform($"embedding", x => round(x * 100, 0).cast("long")).as("q"))
+      .withColumn("nsq", expr("dot_i64(q, q)"))
+      .localCheckpoint()
+    val bounds = e.agg(min($"vec_id"), max($"vec_id")).first()
+    val mid = (bounds.getLong(0) + bounds.getLong(1)) / 2
+
+    def buildInto(dir: String, batches: Seq[org.apache.spark.sql.DataFrame]): Unit =
+      batches.foreach { b =>
+        val rpt = new Engine(spark, dir,
+          Map("vectors" -> b, "vectors_training" -> e),
+          IncrementalIvfIndex.modelsPQ("vectors", "vectors_training", 64)).build()
+        assert(rpt.ok, rpt.results.mkString("; "))
+      }
+    val incDir = tmpDir("incivfpq_inc")
+    val oneDir = tmpDir("incivfpq_one")
+    buildInto(incDir, Seq(e.filter($"vec_id" <= mid), e))
+    buildInto(oneDir, Seq(e))
+
+    // stored codes/norms ≡ a fresh scan-local encode of the same corpus
+    // against the same frozen codebook (assignment immutability extends
+    // to the PQ columns)
+    val cb = ProductQuantizer.collectCodebook(
+      spark.read.parquet(s"$incDir/pq_codebook"))
+    val expected = IncrementalIvfIndex.assign(e, IncrementalIvfIndex.centroids(e, 64))
+      .withColumn("codes", ProductQuantizer.codesCol)
+      .withColumn("npq", ProductQuantizer.npqCol(cb))
+      .select($"vec_id", $"cluster", $"codes", $"npq")
+      .as[(Long, Int, Seq[Int], Long)].collect().toSet
+    val stored = spark.read.parquet(s"$incDir/ivf_index")
+      .select($"vec_id", $"cluster", $"codes", $"npq")
+      .as[(Long, Int, Seq[Int], Long)].collect().toSet
+    assert(stored == expected)
+
+    // incremental build ≡ one-shot build, through the PQ probe itself
+    def probe(dir: String): Set[(Long, Long, Int)] =
+      IncrementalIvfIndex.searchTopKPQ(
+          spark.read.parquet(s"$dir/ivf_index"),
+          spark.read.parquet(s"$dir/pq_codebook"),
+          nQueries = 5, topK = 10, shortK = 30)
+        .select($"query_id", $"vec_id", $"rnk").as[(Long, Long, Int)]
+        .collect().toSet
+    val incHits = probe(incDir)
+    assert(incHits == probe(oneDir))
+    assert(incHits.map(_._1) == Set(0L, 1L, 2L, 3L, 4L))
+
+    // the candidate scan is COLUMN-pruned to the code columns (never
+    // the stored vector) and PARTITION-pruned to the probed clusters
+    val hits = IncrementalIvfIndex.searchTopKPQ(
+      spark.read.parquet(s"$incDir/ivf_index"),
+      spark.read.parquet(s"$incDir/pq_codebook"),
+      nQueries = 5, topK = 10, shortK = 30)
+    hits.collect()
+    val plan = hits.queryExecution.executedPlan.toString
+    val codeScan = plan.linesIterator
+      .find(l => l.contains("ReadSchema") && l.contains("codes")).getOrElse("")
+    assert(codeScan.nonEmpty, plan)
+    assert(!codeScan.contains("q:array"), codeScan) // stored vector not read
+    assert(codeScan.contains("PartitionFilters") && codeScan.contains("cluster"),
+      codeScan)
+  }
 }
