@@ -199,6 +199,12 @@ final class Engine(
   private def writeSwap(df: DataFrame, target: String): Unit = {
     val tmp = target + ".tmp"
     df.write.mode("overwrite").parquet(tmp)
+    replaceDir(tmp, target)
+  }
+
+  /** Replace `target` with the committed contents of `tmp` (local-fs
+    * delete + rename; the object-store analogue is a metadata swap). */
+  private def replaceDir(tmp: String, target: String): Unit = {
     val dir = new java.io.File(target)
     def delete(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles.foreach(delete)
@@ -206,6 +212,75 @@ final class Engine(
     }
     if (dir.exists) delete(dir)
     require(new java.io.File(tmp).renameTo(dir), s"swap failed for $target")
+  }
+
+  /** COMPACT an [[Materialization.IncrementalAppend]] model's storage —
+    * the maintenance rewrite append-only layouts need at streaming
+    * cadence. Every build (or micro-batch, for the streaming writers)
+    * appends one file per touched partition, so after B builds a
+    * partition directory holds B files and scan cost at 100 TB is
+    * dominated by per-file open/footer overhead, not bytes — the
+    * classic small-files problem. Compaction rewrites the storage
+    * content-identically: one shuffle on the partition columns, exactly
+    * one file per partition value, same rows / schema / hive layout
+    * (readers, including partition-pruned probes, see no difference —
+    * pinned in EngineSpec and IncrementalIvfIndexSpec).
+    *
+    * `tombstones` additionally applies DELETES during the rewrite: rows
+    * whose `watermarkCol` value appears in the tombstone frame are
+    * dropped — physical deletion from an append-only model, the
+    * deletion-vector + rewrite lifecycle of production table formats
+    * (readers anti-join the same tombstone set at probe time until a
+    * compaction retires it). The tombstone set is broadcast-sized by
+    * contract: it is bounded by compaction cadence, not corpus size.
+    *
+    * The scan FRONTIER survives even when the frontier row itself is
+    * deleted: the pre-compaction high-water mark is re-stated as a
+    * marker row (the [[Incremental]] marker idiom — all columns null
+    * except the watermark; null partition columns land in the hive
+    * default-partition directory, which no equi-join or
+    * cluster-literal probe ever reads), so the next incremental build
+    * still appends strictly past the old mark instead of re-ingesting —
+    * and resurrecting — deleted history.
+    *
+    * Crash-safe via write-swap: the rewrite lands in a staging dir and
+    * replaces the original only after committing, so a torn compaction
+    * leaves the original readable. Returns the compacted row count
+    * (markers excluded). */
+  def compact(name: String, tombstones: Option[DataFrame] = None): Long = {
+    val m = byName(name)
+    val (wm, pcols) = m.materialization match {
+      case Materialization.IncrementalAppend(w, p) => (w, p)
+      case other => throw new IllegalArgumentException(
+        s"compact: ${m.name} is ${other.getClass.getSimpleName}, not IncrementalAppend")
+    }
+    val cur = spark.read.parquet(path(name))
+    val hwmRow = cur.agg(max(col(wm))).first()
+    val oldHwm: Any = if (hwmRow.isNullAt(0)) null else hwmRow.get(0)
+    val kept = tombstones.fold(cur) { t =>
+      cur.join(broadcast(t.select(col(wm)).distinct()), Seq(wm), "left_anti")
+    }
+    // one pass: the post-delete frontier (decides the marker) + row count
+    val stat = kept.agg(max(col(wm)), count(lit(1))).first()
+    val newHwm: Any = if (stat.isNullAt(0)) null else stat.get(0)
+    // deletes only remove rows, so max(wm) can only drop: inequality ⇒
+    // the frontier row itself was deleted and its mark must be restated
+    // (works for any orderable watermark type — long, timestamp, ...)
+    val out =
+      if (oldHwm != null && oldHwm != newHwm)
+        kept.unionByName(kept.sparkSession.range(1).select(
+          cur.schema.fields.toSeq.map { f =>
+            (if (f.name == wm) lit(oldHwm) else lit(null).cast(f.dataType)).as(f.name)
+          }: _*))
+      else kept
+    val shaped =
+      if (pcols.nonEmpty) out.repartition(pcols.map(col): _*) else out
+    val tmp = path(name) + ".compact"
+    val w = shaped.write.mode("overwrite")
+    (if (pcols.nonEmpty) w.partitionBy(pcols: _*) else w).parquet(tmp)
+    replaceDir(tmp, path(name))
+    if (viewsRegistered) registerViews() // refresh pinned file listings
+    stat.getLong(1)
   }
 
   /** Run `write` on `df` and return the row count the write actually

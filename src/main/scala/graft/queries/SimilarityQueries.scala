@@ -32,6 +32,12 @@ object SimilarityQueries {
   private val TopK = 10
   private val NQueries = 5
   private val NProbe = 2 // clusters probed by the multi-probe IVF variant
+  // the deterministic tombstone set both deletion-lifecycle queries and
+  // their shared oracle use: every DeleteMod-th vec_id ≡ DeleteRem,
+  // restricted to non-query rows (declared BEFORE qs: the oracle
+  // strings interpolate these during qs's initialization)
+  private val DeleteMod = 7
+  private val DeleteRem = 3
 
   /** Signed-random-projection planes for the LSH variant: P hyperplanes
     * of small ints, generated ONCE from a fixed seed and inlined
@@ -724,8 +730,84 @@ object SimilarityQueries {
       graft.similarity.IncrementalIvfIndex.searchTopKPQ(
         s.read.parquet(s"$wh/ivf_index"),
         s.read.parquet(s"$wh/pq_codebook"), NQueries, TopK, shortK = TopK * 3)
+    },
+
+    // ---- DELETION from the append-only index, probe-time half: a
+    // tombstone set (every 7th non-query vec_id) is anti-joined out of
+    // the index read in both roles — broadcast-sized by the
+    // compaction-cadence contract, so the anti-join rides the pruned
+    // probe scan as a BroadcastHashJoin with zero added exchanges. The
+    // oracle is the one-shot index over corpus-minus-deleted: deletion
+    // semantics, not just filter semantics, are what's hash-checked
+    // (the deleted vectors still sit in the stored layout here).
+    Q.sql(
+      "q_ann_ivf_incremental_delete",
+      ivfDeleteOracleSql
+    ) { (s, dir) =>
+      val e = quantized(s, dir)
+      val b = e.agg(min(col("vec_id")), max(col("vec_id"))).first()
+      val mid = (b.getLong(0) + b.getLong(1)) / 2
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_incivfdel").toString
+      def build(batch: DataFrame): Unit = {
+        val rpt = new graft.engine.Engine(s, wh,
+          Map("vectors" -> batch, "vectors_training" -> e),
+          graft.similarity.IncrementalIvfIndex.models(
+            "vectors", "vectors_training", Dims)).build()
+        require(rpt.ok, rpt.results.mkString("; "))
+      }
+      build(e.filter(col("vec_id") <= mid))
+      build(e)
+      graft.similarity.IncrementalIvfIndex.searchTopKWithDeletes(
+        s.read.parquet(s"$wh/ivf_index"), deleteSet(e), NQueries, TopK)
+    },
+
+    // ---- DELETION, compaction half: Engine.compact applies the same
+    // tombstones by REWRITING the cluster-partitioned storage (one
+    // shuffle on cluster, one file per cluster, frontier preserved via
+    // a marker row if the high-water-mark row was deleted), after which
+    // the plain probe — no tombstone join at all — must produce the
+    // same corpus-minus-deleted results. Same oracle as the probe-time
+    // half, so the driver hash-checks that the two halves of the
+    // deletion lifecycle agree with each other AND with the one-shot
+    // truth.
+    Q.sql(
+      "q_ann_ivf_incremental_compact",
+      ivfDeleteOracleSql
+    ) { (s, dir) =>
+      val e = quantized(s, dir)
+      val b = e.agg(min(col("vec_id")), max(col("vec_id"))).first()
+      val mid = (b.getLong(0) + b.getLong(1)) / 2
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_incivfcmp").toString
+      val models = graft.similarity.IncrementalIvfIndex.models(
+        "vectors", "vectors_training", Dims)
+      def engine(batch: DataFrame): graft.engine.Engine =
+        new graft.engine.Engine(s, wh,
+          Map("vectors" -> batch, "vectors_training" -> e), models)
+      def build(batch: DataFrame): graft.engine.Engine = {
+        val eng = engine(batch)
+        val rpt = eng.build()
+        require(rpt.ok, rpt.results.mkString("; "))
+        eng
+      }
+      build(e.filter(col("vec_id") <= mid))
+      val eng = build(e)
+      eng.compact("ivf_index", Some(deleteSet(e)))
+      graft.similarity.IncrementalIvfIndex.searchTopK(
+        s.read.parquet(s"$wh/ivf_index"), NQueries, TopK)
     }
   )
+
+  /** The deterministic tombstone set both deletion queries share: every
+    * [[DeleteMod]]-th vec_id, restricted to non-query rows so every
+    * query still issues a search (deleting a query is well-defined —
+    * it simply stops searching — but would make the oracle's qs CTE
+    * depend on the delete predicate too). */
+  private def deleteSet(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") % DeleteMod === DeleteRem &&
+        col("vec_id") >= NQueries)
+      .select(col("vec_id"))
 
   /** Own-oracle for IVF-PQ (the q_dedup_semantic_probed idiom — both
     * engines compute the same approximation bit-for-bit): derive the
@@ -942,7 +1024,16 @@ object SimilarityQueries {
     * nearest centroid (`ORDER BY sim DESC, label` ties to the lowest
     * label — the Spark side's max-of-struct(sim, −label) mirror), then
     * each query probes its own cluster. */
-  private lazy val ivfIncrementalOracleSql: String = {
+  private lazy val ivfIncrementalOracleSql: String = ivfIncrementalOracleSqlCore("")
+
+  /** [[ivfIncrementalOracleSqlCore]] with the [[deleteSet]] tombstones
+    * filtered out of the candidate (inverted-file) side — the one-shot
+    * truth over corpus-minus-deleted that both deletion-lifecycle
+    * queries must match. */
+  private lazy val ivfDeleteOracleSql: String = ivfIncrementalOracleSqlCore(
+    s" AND NOT (ca.vec_id % $DeleteMod = $DeleteRem AND ca.vec_id >= $NQueries)")
+
+  private def ivfIncrementalOracleSqlCore(candFilter: String): String = {
     val centroidSums = (1 to Dims).map(i => s"sum(q[$i])").mkString(", ")
     s"""WITH $quantizedSql,
        |cent AS (
@@ -966,7 +1057,7 @@ object SimilarityQueries {
        |         list_sum(list_transform(generate_series(1, $Dims),
        |                  i -> qs.q[i] * c.q[i])) AS dot,
        |         qs.nsq AS nq, c.nsq AS nc
-       |  FROM qs JOIN assign ca ON ca.cluster = qs.cluster AND ca.vec_id <> qs.vec_id
+       |  FROM qs JOIN assign ca ON ca.cluster = qs.cluster AND ca.vec_id <> qs.vec_id$candFilter
        |          JOIN e c ON c.vec_id = ca.vec_id)
        |SELECT query_id, vec_id, CAST(rnk AS INT) AS rnk, round(cos_raw, 4) AS cos_sim
        |FROM (

@@ -193,6 +193,32 @@ object IncrementalIvfIndex {
       topK)
   }
 
+  /** [[searchTopK]] over an index with PENDING tombstones — probe-time
+    * deletion for the append-only layout: deleted vec_ids are anti-joined
+    * out of the index read in BOTH roles (a deleted vector neither
+    * issues a search nor surfaces as a candidate) until a compaction
+    * ([[graft.engine.Engine.compact]] with the same tombstone frame)
+    * physically retires them — the deletion-vector + rewrite lifecycle
+    * of production table formats. The tombstone set is broadcast-sized
+    * by the compaction-cadence contract (bounded by how much can be
+    * deleted between compactions, not by corpus size), so the anti-join
+    * is a BroadcastHashJoin on the already-pruned probe scan — zero
+    * exchanges added to the probe path. `q_ann_ivf_incremental_delete`
+    * hash-checks this path and `q_ann_ivf_incremental_compact` the
+    * post-compaction one against the same corpus-minus-deleted oracle;
+    * IncrementalIvfIndexSpec pins the two paths bit-equal. */
+  def searchTopKWithDeletes(
+      index: DataFrame,
+      tombstones: DataFrame,
+      nQueries: Int,
+      topK: Int): DataFrame =
+    searchTopK(
+      index.join(
+        org.apache.spark.sql.functions.broadcast(
+          tombstones.select(col("vec_id")).distinct()),
+        Seq("vec_id"), "left_anti"),
+      nQueries, topK)
+
   /** MULTI-PROBE search over the accumulated index: each query probes
     * its `nprobe` nearest TRAINED centroids, not just its own cluster —
     * single-probe recall is bounded by true neighbors living in the

@@ -172,6 +172,52 @@ class EngineSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/log").count() == 2)
   }
 
+  test("compact: content-identical rewrite, 1 file/partition, timestamp frontier survives deletion") {
+    val dir = tmpDir("engcmp")
+    // three builds into a hive-partitioned incremental model → three
+    // files accumulate in partition k=a (the small-files shape)
+    var batch = Seq.empty[(Long, Timestamp, String)]
+    val m = Model("log", Seq(),
+      Materialization.IncrementalAppend("ingested_at", Seq("k")))((_, _) =>
+      batch.toDF("id", "ingested_at", "k"))
+    val e = new Engine(spark, dir, Map.empty, Seq(m))
+    def send(rows: (Long, String, String)*): Unit = {
+      batch = batch ++ rows.map { case (id, ts, k) =>
+        (id, Timestamp.valueOf(ts), k)
+      }
+      assert(e.build().ok)
+    }
+    send((1L, "2024-01-01 00:00:00", "a"), (2L, "2024-01-01 00:00:00", "b"))
+    send((3L, "2024-01-02 00:00:00", "a"))
+    send((4L, "2024-01-03 00:00:00", "a"))
+    def files(k: String): Int = new java.io.File(s"$dir/log/k=$k")
+      .listFiles.count(_.getName.startsWith("part-"))
+    assert(files("a") == 3, files("a"))
+
+    // plain compaction: same rows, one file per partition value
+    val before = spark.read.parquet(s"$dir/log")
+      .as[(Long, Timestamp, String)].collect().toSet
+    assert(e.compact("log") == 4)
+    assert(files("a") == 1 && files("b") == 1)
+    assert(spark.read.parquet(s"$dir/log")
+      .as[(Long, Timestamp, String)].collect().toSet == before)
+
+    // tombstone the TIMESTAMP frontier (row 4): the mark must survive
+    // as a marker row, so re-sending the same batch resurrects nothing
+    assert(e.compact("log",
+      Some(Seq(Timestamp.valueOf("2024-01-03 00:00:00"))
+        .toDF("ingested_at"))) == 3)
+    val post = spark.read.parquet(s"$dir/log")
+    assert(post.filter($"k".isNotNull).count() == 3)
+    assert(post.agg(max($"ingested_at")).first().getTimestamp(0)
+      == Timestamp.valueOf("2024-01-03 00:00:00"))
+    assert(e.build()("log").rows == 0) // same source: nothing re-appends
+    // new data past the restated mark still lands delta-only
+    send((5L, "2024-01-04 00:00:00", "b"))
+    assert(spark.read.parquet(s"$dir/log")
+      .filter($"k".isNotNull).count() == 4)
+  }
+
   test("delete+insert restates only the window's partitions (≡ full refresh)") {
     val dir = tmpDir("eng")
     def fact(rows: Seq[(Long, String, Double)]) = rows.toDF("id", "month", "v")

@@ -220,4 +220,64 @@ class IncrementalIvfIndexSpec extends SparkSpec {
     assert(codeScan.contains("PartitionFilters") && codeScan.contains("cluster"),
       codeScan)
   }
+
+  test("deletion lifecycle: probe-time tombstones ≡ compaction; frontier survives; 1 file/cluster") {
+    val dir = tmpDir("incivfdel")
+    engineFor(dir, vecsDf(training)).build()
+    val eng = engineFor(dir, vecsDf(training ++ arrivals))
+    assert(eng.build().ok)
+    def index() = spark.read.parquet(s"$dir/ivf_index")
+    def files(cluster: Int): Int = new java.io.File(s"$dir/ivf_index/cluster=$cluster")
+      .listFiles.count(_.getName.startsWith("part-"))
+    // append-per-build file accumulation: cluster 0 got rows in both
+    // builds (training 0,1 then arrival 4) — the small-files problem
+    assert(files(0) >= 2, files(0))
+
+    // tombstones: a cluster-0 member (4) AND the frontier row (6)
+    val tomb = Seq(4L, 6L).toDF("vec_id")
+    def hitSet(df: DataFrame): Set[(Long, Long, Int)] =
+      df.select($"query_id", $"vec_id", $"rnk").as[(Long, Long, Int)]
+        .collect().toSet
+    val probeTime = hitSet(IncrementalIvfIndex.searchTopKWithDeletes(
+      index(), tomb, nQueries = 1, topK = 3))
+    // deleted candidate 4 is gone from query 0's results, survivor 1 stays
+    assert(probeTime == Set((0L, 1L, 1)))
+
+    // compaction physically applies the tombstones
+    val keptRows = eng.compact("ivf_index", Some(tomb))
+    assert(keptRows == 5, keptRows) // 7 index rows − 2 deleted
+
+    // content: deleted DATA rows gone; exactly one file per cluster
+    val post = index()
+    assert(post.filter($"cluster".isNotNull && $"vec_id".isin(4L, 6L)).count() == 0)
+    assert(files(0) == 1 && files(1) == 1, (files(0), files(1)))
+
+    // the deleted frontier row's mark survives as a marker (null
+    // partition column — the hive default partition no probe reads)
+    assert(post.agg(max($"vec_id")).first().getLong(0) == 6L)
+
+    // plain probe over the compacted index ≡ the probe-time tombstone
+    // path — the two halves of the deletion lifecycle agree bit-for-bit
+    assert(hitSet(IncrementalIvfIndex.searchTopK(post, nQueries = 1, topK = 3))
+      == probeTime)
+
+    // partition pruning intact on the rewritten layout
+    val probe = post.filter($"cluster" === 1)
+    probe.collect()
+    val scanLine = probe.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("PartitionFilters")).get
+    assert(scanLine.contains("cluster"), scanLine)
+
+    // rebuild from the SAME source: nothing is resurrected — the marker
+    // keeps the HWM at 6, so the build appends zero rows
+    val r = engineFor(dir, vecsDf(training ++ arrivals)).build()
+    assert(r("ivf_index").rows == 0)
+    assert(post.filter($"cluster".isNotNull && $"vec_id".isin(4L, 6L)).count() == 0)
+
+    // a genuinely new arrival still appends delta-only past the mark
+    val r2 = engineFor(dir,
+      vecsDf(training ++ arrivals :+ ((7L, 1, Seq(1L, 8L, 0L, 0L))))).build()
+    assert(r2("ivf_index").rows == 1)
+    assert(index().filter($"vec_id" === 7L && $"cluster" === 1).count() == 1)
+  }
 }
