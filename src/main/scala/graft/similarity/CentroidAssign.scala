@@ -155,6 +155,67 @@ object CentroidAssign {
       }.toDF("vec_id", "cluster", "cos_c", "q", "nsq")
   }
 
+  /** Rank every `(vec_id, q, nsq)` row's `n` nearest centroids — the
+    * scan-local multi-probe ASSIGNMENT: emits `(vec_id, probes, q,
+    * nsq)` with `probes` = the top-`n` cluster labels by (cos DESC,
+    * label ASC), position 0 being exactly [[kernel]]'s argmax. Same
+    * zero-exchange shape and tie/NaN contract as [[kernel]] (ascending-
+    * label scan + `Double.compare` insertion reproduces the oracle's
+    * `ORDER BY cos DESC, label` rank ≤ n bit-for-bit).
+    *
+    * This is what lets the STREAMING read side probe nprobe clusters
+    * with no driver involvement: [[IncrementalIvfIndex
+    * .searchTopKMultiProbe]] derives its probe sets by collecting the
+    * query vectors to the driver — fine for an ad-hoc query set, wrong
+    * inside a micro-batch loop where queries arrive continuously. The
+    * kernel computes each arriving query's probe list inside its scan
+    * task against the same broadcast centroids ([[IncrementalIvfIndex
+    * .searchTopKFor]] with nprobe > 1, via
+    * [[graft.streaming.Streaming.vectorSearchStream]]). */
+  def kernelTopN(
+      vecs: DataFrame,
+      cents: Array[(Int, Array[Long], Long)],
+      n: Int): DataFrame = {
+    val s = vecs.sparkSession
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(cents)
+    vecs.selectExpr("vec_id", "q", "nsq")
+      .as[(Long, Array[Long], Long)]
+      .mapPartitions { it =>
+        val cs = bc.value
+        val take = math.min(n, cs.length)
+        it.map { case (id, q, nsq) =>
+          val selCos = new Array[Double](take)
+          val selL = new Array[Int](take)
+          var filled = 0
+          var j = 0
+          while (j < cs.length) {
+            val (l, c, ncsq) = cs(j)
+            var dot = 0L
+            var i = 0
+            while (i < q.length) { dot += q(i) * c(i); i += 1 }
+            val cos = dot / math.sqrt(nsq.toDouble * ncsq.toDouble)
+            // insertion slot: strictly-greater moves up, so equal-cos
+            // keeps ascending-label order (labels scan ascending)
+            var slot = filled
+            while (slot > 0 && java.lang.Double.compare(cos, selCos(slot - 1)) > 0) slot -= 1
+            if (slot < take) {
+              val last = math.min(filled, take - 1)
+              var m = last
+              while (m > slot) {
+                selCos(m) = selCos(m - 1); selL(m) = selL(m - 1); m -= 1
+              }
+              selCos(slot) = cos
+              selL(slot) = l
+              if (filled < take) filled += 1
+            }
+            j += 1
+          }
+          (id, selL.take(filled).toSeq, q, nsq)
+        }
+      }.toDF("vec_id", "probes", "q", "nsq")
+  }
+
   /** Assign every `(vec_id, q, nsq)` row to its nearest centroid. Emits
     * `(vec_id, cluster, cos_c, q, nsq)` with `cos_c` = cosine to the
     * assigned centroid. */

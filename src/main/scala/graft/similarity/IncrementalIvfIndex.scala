@@ -280,29 +280,53 @@ object IncrementalIvfIndex {
 
   /** Search the index for EXTERNAL query vectors `(vec_id, q, nsq)` —
     * the read side [[graft.streaming.Streaming.vectorSearchStream]]
-    * runs per micro-batch: each query is assigned its probe cluster by
-    * the scan-local kernel against the broadcast frozen centroids (zero
-    * exchanges — identical math to the stored assignments, so an index
-    * vector used as a query probes exactly its own cluster, matching
-    * [[searchTopK]]), then candidates come from the cluster-equi join
+    * runs per micro-batch: each query is assigned its probe cluster(s)
+    * by the scan-local kernel against the broadcast frozen centroids
+    * (zero exchanges — identical math to the stored assignments, so an
+    * index vector used as a query probes exactly its own cluster,
+    * matching [[searchTopK]]), then candidates come from the join
     * against the cluster-partitioned index (runtime-pruned scan) and
-    * reduce through the bounded topk_cos aggregate. */
+    * reduce through the bounded topk_cos aggregate.
+    *
+    * `nprobe > 1` runs the same join over each query's top-`nprobe`
+    * clusters ([[CentroidAssign.kernelTopN]] — probe RANKING computed
+    * inside the query scan task, NOT on the driver like
+    * [[searchTopKMultiProbe]]'s ad-hoc path, so this form composes
+    * with a continuous micro-batch loop where collecting every arriving
+    * query would serialize the stream on the driver). Candidate
+    * superset ⇒ recall dominates single-probe (spec-pinned, streaming
+    * and batch). */
   def searchTopKFor(
       index: DataFrame,
       queries: DataFrame,
       cents: Array[(Int, Array[Long], Long)],
-      topK: Int): DataFrame = {
+      topK: Int,
+      nprobe: Int = 1): DataFrame = {
     graft.functions.GraftFunctions.register(index.sparkSession)
-    val qs = CentroidAssign.kernel(
-        queries.select(col("vec_id"), col("q"), col("nsq")), cents)
-      .select(col("vec_id").as("query_id"), col("cluster"),
-        col("q").as("qq"), col("nsq").as("nq"))
-    topkTail(
-      index.join(broadcast(qs),
-          index("cluster") === qs("cluster") && col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id"),
-          expr("dot_i64(qq, q)").as("dot"), col("nq"), col("nsq").as("nc")),
-      topK)
+    if (nprobe <= 1) {
+      val qs = CentroidAssign.kernel(
+          queries.select(col("vec_id"), col("q"), col("nsq")), cents)
+        .select(col("vec_id").as("query_id"), col("cluster"),
+          col("q").as("qq"), col("nsq").as("nq"))
+      topkTail(
+        index.join(broadcast(qs),
+            index("cluster") === qs("cluster") && col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id"),
+            expr("dot_i64(qq, q)").as("dot"), col("nq"), col("nsq").as("nc")),
+        topK)
+    } else {
+      val qs = CentroidAssign.kernelTopN(
+          queries.select(col("vec_id"), col("q"), col("nsq")), cents, nprobe)
+        .select(col("vec_id").as("query_id"), col("probes"),
+          col("q").as("qq"), col("nsq").as("nq"))
+      topkTail(
+        index.join(broadcast(qs),
+            array_contains(col("probes"), index("cluster")) &&
+              col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id"),
+            expr("dot_i64(qq, q)").as("dot"), col("nq"), col("nsq").as("nc")),
+        topK)
+    }
   }
 
   /** Shared skew-safe top-k tail: bounded map-side topk_cos reduce over

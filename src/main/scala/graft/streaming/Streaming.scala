@@ -204,7 +204,15 @@ object Streaming {
     * partition instead of duplicating it (checkpoint offsets decide WHAT
     * each batch contains; the overwrite makes re-delivery harmless).
     * StreamingSpec pins stream ≡ batch [[graft.similarity
-    * .IncrementalIvfIndex.searchTopK]] and no-duplication under restart. */
+    * .IncrementalIvfIndex.searchTopK]] and no-duplication under restart.
+    *
+    * `nprobe > 1` probes each arriving query's nprobe nearest clusters
+    * — probe ranking computed SCAN-LOCALLY by
+    * [[graft.similarity.CentroidAssign.kernelTopN]] (the ad-hoc
+    * multi-probe path's driver-side ranking would serialize a
+    * continuous stream on the driver); StreamingSpec pins the nprobe=2
+    * stream ≡ batch `searchTopKFor(nprobe = 2)` and its strict recall
+    * win over the single-probe stream. */
   def vectorSearchStream(
       spark: SparkSession,
       querySourceDir: String,
@@ -213,13 +221,14 @@ object Streaming {
       checkpointDir: String,
       schema: org.apache.spark.sql.types.StructType,
       cents: Array[(Int, Array[Long], Long)],
-      topK: Int): Unit = {
+      topK: Int,
+      nprobe: Int = 1): Unit = {
     val index = spark.read.parquet(indexDir)
     val q = spark.readStream.schema(schema).parquet(querySourceDir)
       .writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         graft.similarity.IncrementalIvfIndex
-          .searchTopKFor(index, batch, cents, topK)
+          .searchTopKFor(index, batch, cents, topK, nprobe)
           .withColumn("batch_id", lit(batchId))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")

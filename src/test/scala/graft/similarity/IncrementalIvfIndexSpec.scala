@@ -155,6 +155,37 @@ class IncrementalIvfIndexSpec extends SparkSpec {
     assert(multiHits == Set((0L, 4L), (0L, 1L), (0L, 7L)))
   }
 
+  test("scan-local multi-probe (kernelTopN) ≡ driver-derived multi-probe ranking") {
+    val dir = tmpDir("incivfmp2")
+    val extra = Seq((7L, 1, Seq(6L, 7L, 1L, 0L))) // the near-boundary neighbor
+    val all = vecsDf(training ++ arrivals ++ extra)
+    engineFor(dir, all).build()
+    val index = spark.read.parquet(s"$dir/ivf_index")
+    val cent = spark.read.parquet(s"$dir/ivf_centroids")
+    val cents = CentroidAssign.collectCentroids(cent)
+    def hitSet(df: DataFrame): Set[(Long, Long, Int)] =
+      df.select($"query_id", $"vec_id", $"rnk").as[(Long, Long, Int)]
+        .collect().toSet
+
+    // the kernel's per-row probe ranking (scan-local, streaming-safe)
+    // must agree bit-for-bit with the ad-hoc path's driver-side ranking
+    // over the collected centroid table — same math, two homes
+    val queries = all.filter($"vec_id" < 2)
+    val viaKernel = hitSet(IncrementalIvfIndex.searchTopKFor(
+      index, queries, cents, topK = 3, nprobe = 2))
+    val viaDriver = hitSet(IncrementalIvfIndex.searchTopKMultiProbe(
+      index, cent, nQueries = 2, topK = 3, nprobe = 2))
+    assert(viaKernel == viaDriver)
+
+    // candidate superset: single-probe results survive, and the
+    // cluster-1 boundary neighbor 7 is the strict recall win
+    val single = hitSet(IncrementalIvfIndex.searchTopKFor(
+      index, queries, cents, topK = 3))
+    assert(single.map(t => (t._1, t._2)).subsetOf(viaKernel.map(t => (t._1, t._2))))
+    assert(viaKernel.exists(t => t._1 == 0L && t._2 == 7L))
+    assert(!single.exists(t => t._1 == 0L && t._2 == 7L))
+  }
+
   test("PQ-coded index: codes stored beside cluster, code-only pruned probe, incremental ≡ one-shot") {
     // 64-dim corpus (ProductQuantizer's fixed 8×8 subspace geometry)
     graft.functions.GraftFunctions.register(spark)

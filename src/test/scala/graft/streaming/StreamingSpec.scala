@@ -294,4 +294,58 @@ class StreamingSpec extends SparkSpec {
     assert(truth5.map(_._1) == Set(5L))
     assert(hitSet() == batchTruth ++ truth5)
   }
+
+  test("vector search stream nprobe=2: ≡ batch multi-probe, strict recall win over single-probe stream") {
+    val dir = tmpDir("vecsearchmp")
+    val isrc = s"$dir/isrc"; val idx = s"$dir/idx"; val ickp = s"$dir/ickp"
+    val qsrc = s"$dir/qsrc"
+    def vecs(rows: Seq[(Long, Seq[Long])]) = {
+      graft.functions.GraftFunctions.register(spark)
+      rows.toDF("vec_id", "q")
+        .withColumn("q", $"q".cast("array<long>"))
+        .withColumn("nsq", expr("dot_i64(q, q)"))
+    }
+    val training = Seq(
+      (0L, Seq(10L, 1L, 0L, 0L)), (1L, Seq(9L, 0L, 1L, 0L)),
+      (2L, Seq(0L, 10L, 0L, 1L)), (3L, Seq(1L, 9L, 0L, 0L)))
+    // vector 7: query 0's near-boundary true neighbor that lands in
+    // cluster 1 — what single-probe loses and nprobe=2 recovers
+    val arrivals = Seq(
+      (4L, Seq(8L, 1L, 1L, 0L)), (5L, Seq(0L, 8L, 1L, 0L)),
+      (6L, Seq(1L, 7L, 0L, 1L)), (7L, Seq(6L, 7L, 1L, 0L)))
+    val labeled = Seq((0L, 0), (1L, 0), (2L, 1), (3L, 1)).toDF("vec_id", "label")
+    val cents = graft.similarity.CentroidAssign.collectCentroids(
+      vecs(training).join(labeled, "vec_id")
+        .groupBy($"label")
+        .agg(org.apache.spark.sql.functions.array((1 to 4).map(i =>
+          sum(element_at($"q", i))): _*).as("c"))
+        .withColumn("ncsq", expr("dot_i64(c, c)")))
+    val schema = vecs(training).schema
+    vecs(training ++ arrivals).write.mode("append").parquet(isrc)
+    Streaming.vectorIndexStream(spark, isrc, idx, ickp, schema, cents)
+    val index = spark.read.parquet(idx)
+
+    def hits(tgt: String): Set[(Long, Long, Int)] = spark.read.parquet(tgt)
+      .select($"query_id", $"vec_id", $"rnk").as[(Long, Long, Int)].collect().toSet
+
+    // same arriving query through a single-probe and an nprobe=2 sink
+    vecs(training.take(1)).write.mode("append").parquet(qsrc)
+    Streaming.vectorSearchStream(
+      spark, qsrc, idx, s"$dir/tgt1", s"$dir/ckp1", schema, cents, topK = 3)
+    Streaming.vectorSearchStream(
+      spark, qsrc, idx, s"$dir/tgt2", s"$dir/ckp2", schema, cents, topK = 3,
+      nprobe = 2)
+    val single = hits(s"$dir/tgt1")
+    val multi = hits(s"$dir/tgt2")
+
+    // stream ≡ batch for the multi-probe read path
+    val batchTruth = graft.similarity.IncrementalIvfIndex
+      .searchTopKFor(index, vecs(training.take(1)), cents, topK = 3, nprobe = 2)
+      .select($"query_id", $"vec_id", $"rnk").as[(Long, Long, Int)].collect().toSet
+    assert(multi == batchTruth)
+
+    // strict recall win: the boundary neighbor only the second probe sees
+    assert(single.map(t => (t._1, t._2)).subsetOf(multi.map(t => (t._1, t._2))))
+    assert(multi.exists(t => t._2 == 7L) && !single.exists(t => t._2 == 7L))
+  }
 }
