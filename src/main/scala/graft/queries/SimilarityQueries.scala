@@ -636,6 +636,84 @@ object SimilarityQueries {
           round(cosE, 4).as("cos_sim"))
     },
 
+    // ---- RESIDUAL product quantization — the published IVFADC
+    // formulation (Jégou et al. §IV-A: quantize v − m_c, the residual
+    // to the coarse centroid, not the raw vector): residuals center
+    // near zero, so the same 8×256-entry codebook budget spends its
+    // entries on a tighter distribution — measurably lower total
+    // reconstruction error than raw-vector PQ (pinned in
+    // SimilaritySpec). m_c is the cluster's floor-divided integer mean
+    // ((S − pmod(S, n)) div n — exact and engine-identical for
+    // negative sums too), so everything stays in the established
+    // integer-exactness contract. ADC keeps the zero-arithmetic scan:
+    // the numerator decomposes as dot(q, m_c) — one integer per
+    // (query, probed cluster), precomputed — plus residual-codebook
+    // table lookups, and the stored npq is |m_c + r̂|², an integer
+    // computed at ENCODE time (per-subspace reconstruction dots
+    // against the 128 KB entries literal). Hash-checks via the
+    // own-oracle idiom: both engines derive bit-identical means,
+    // codebooks, and scores.
+    Q.sql(
+      "q_ann_ivf_pq_residual",
+      ivfPqResidualOracleSql
+    ) { (s, dir) =>
+      import s.implicits._
+      val PQ = graft.similarity.ProductQuantizer
+      val e = quantized(s, dir).localCheckpoint()
+      val means = e.groupBy(col("label"))
+        .agg(array((1 to Dims).map(i => sum(element_at(col("q"), i))): _*).as("s"),
+          count(lit(1)).as("n"))
+        .select(col("label"),
+          expr("transform(s, x -> (x - pmod(x, n)) div n)").as("mc"))
+      val resid = e
+        .select(col("vec_id"), col("label"), col("q").as("qv"))
+        .join(broadcast(means), "label")
+        .withColumn("q", expr("zip_with(qv, mc, (a, b) -> a - b)"))
+        .withColumn("nsq", expr("dot_i64(q, q)"))
+      val cb = PQ.train(resid.select(col("vec_id"), col("q"), col("nsq")))
+      val cent = e.groupBy(col("label"))
+        .agg(array((1 to Dims).map(i => sum(element_at(col("q"), i))): _*).as("cc"))
+        .withColumn("ncsq", expr("dot_i64(cc, cc)"))
+      val qs0 = e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("q").as("qq"), col("nsq").as("nq"))
+      val wAssign = Window.partitionBy(col("query_id"))
+        .orderBy(cosine(dot("qq", "cc"), col("nq"), col("ncsq")).desc, col("label"))
+      val assigned = qs0.crossJoin(broadcast(cent))
+        .withColumn("rnk", row_number().over(wAssign))
+        .filter(col("rnk") === 1)
+        .select(col("query_id"), col("qq"), col("nq"), col("label"))
+        .collect()
+      val meanByLabel = means.select(col("label"), col("mc"))
+        .as[(Int, Seq[Long])].collect().toMap
+      val qDf = assigned.toSeq.map { r =>
+        val qq = r.getSeq[Long](1).toArray
+        val lbl = r.getInt(3)
+        val mc = meanByLabel(lbl)
+        var qm = 0L
+        var i = 0
+        while (i < qq.length) { qm += qq(i) * mc(i); i += 1 }
+        (r.getLong(0), qq.toSeq, r.getLong(2), lbl, qm, PQ.adcTable(qq, cb))
+      }.toDF("query_id", "qq", "nq", "cluster", "qm", "adc")
+      val encoded = resid
+        .withColumn("codes", PQ.codesCol)
+        .withColumn("npq", PQ.npqResidualCol(cb))
+      val pairs = encoded.join(broadcast(qDf),
+          col("label") === col("cluster") && col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          (col("qm") + PQ.adcDotCol).as("dot"), col("nq"), col("npq").as("nc"))
+      val short = TopK * 3
+      val shortIds = pairs.groupBy(col("query_id"))
+        .agg(expr(s"topk_cos(struct(vec_id, dot, nq, nc), $short)").as("top"))
+        .select(col("query_id"), explode(col("top.vec_id")).as("vec_id"))
+        .join(broadcast(qDf.select(col("query_id"), col("qq"), col("nq"))), "query_id")
+      val rerank = e.join(broadcast(shortIds), "vec_id")
+      val cosE = cosine(dot("qq", "q"), col("nq"), col("nsq"))
+      val w = Window.partitionBy(col("query_id")).orderBy(cosE.desc, col("vec_id"))
+      rerank.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= TopK)
+        .select(col("query_id"), col("vec_id"), col("rnk"),
+          round(cosE, 4).as("cos_sim"))
+    },
+
     // ---- incrementally-built IVF index: two engine builds (half the
     // corpus, then all of it) accumulate `ivf_index` delta-only — each
     // build assigns ONLY its batch against centroids trained once on
@@ -820,7 +898,12 @@ object SimilarityQueries {
     * medoid entries, and each vector's reconstructed norm — the
     * bit-identical mirror of [[graft.similarity.ProductQuantizer]]'s
     * training + encoding. */
-  private lazy val pqCodebookCtesSql: String = {
+  private lazy val pqCodebookCtesSql: String = pqCodebookCtesSqlFrom("e")
+
+  /** [[pqCodebookCtesSql]] over an arbitrary `(vec_id, label, q)`
+    * relation — the residual-PQ oracle trains the same codebook
+    * machinery on the residual frame instead of the raw vectors. */
+  private def pqCodebookCtesSqlFrom(rel: String): String = {
     import graft.similarity.ProductQuantizer.{M, PlanesPerSub, SubDims, SubPlanes}
     // per-plane-index literal: planes of ALL M subspaces for bit i,
     // indexed [m+1][j] inside the cell-code CASE terms
@@ -832,9 +915,9 @@ object SimilarityQueries {
     val ssumList = (1 to SubDims).map(j => s"sum(sv[$j])").mkString(", ")
     s"""um AS (SELECT unnest(generate_series(0, ${M - 1})) AS m),
        |cells0 AS (
-       |  SELECT e.vec_id, e.label, um.m,
-       |         list_slice(e.q, um.m * $SubDims + 1, um.m * $SubDims + $SubDims) AS sv
-       |  FROM e CROSS JOIN um),
+       |  SELECT $rel.vec_id, $rel.label, um.m,
+       |         list_slice($rel.q, um.m * $SubDims + 1, um.m * $SubDims + $SubDims) AS sv
+       |  FROM $rel CROSS JOIN um),
        |cells AS (
        |  SELECT vec_id, label, m, sv,
        |         list_sum(list_transform(sv, x -> x * x)) AS nsv,
@@ -895,6 +978,88 @@ object SimilarityQueries {
        |             adc.dot / sqrt(CAST(adc.nq AS DOUBLE) * CAST(ec.npq AS DOUBLE)) DESC,
        |             adc.vec_id) AS rnk8
        |    FROM adc JOIN enc ec ON ec.vec_id = adc.vec_id) t
+       |  WHERE rnk8 <= $shortN),
+       |exact AS (
+       |  SELECT s.query_id, s.vec_id,
+       |         list_sum(list_transform(generate_series(1, $Dims), i -> q1.q[i] * c.q[i]))
+       |           / sqrt(CAST(q1.nsq AS DOUBLE) * CAST(c.nsq AS DOUBLE)) AS cos_raw
+       |  FROM sl s JOIN e q1 ON q1.vec_id = s.query_id JOIN e c ON c.vec_id = s.vec_id)
+       |SELECT query_id, vec_id, CAST(rnk AS INT) AS rnk, round(cos_raw, 4) AS cos_sim
+       |FROM (
+       |  SELECT query_id, vec_id, cos_raw,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY cos_raw DESC, vec_id) AS rnk
+       |  FROM exact) t
+       |WHERE rnk <= $TopK""".stripMargin
+  }
+
+  /** Own-oracle for RESIDUAL PQ (IVFADC): integer cluster means by
+    * floor division, the [[pqCodebookCtesSqlFrom]] codebook machinery
+    * over the residual frame, encode-time |m_c + r̂|² norms, and ADC
+    * scoring whose numerator is dot(q, m_c) + residual-codebook
+    * lookups — the bit-identical mirror of the Spark side. */
+  private lazy val ivfPqResidualOracleSql: String = {
+    import graft.similarity.ProductQuantizer.SubDims
+    val centroidSums = (1 to Dims).map(i => s"sum(q[$i])").mkString(", ")
+    val shortN = TopK * 3
+    s"""WITH $quantizedSql,
+       |meanst AS (
+       |  SELECT label, [$centroidSums] AS s, count(*) AS n FROM e GROUP BY label),
+       |means AS (
+       |  SELECT label,
+       |         list_transform(s, x -> (x - (((x % n) + n) % n)) // n) AS mc
+       |  FROM meanst),
+       |resid AS (
+       |  SELECT e.vec_id, e.label,
+       |         list_transform(generate_series(1, $Dims), i -> e.q[i] - m.mc[i]) AS q
+       |  FROM e JOIN means m ON m.label = e.label),
+       |${pqCodebookCtesSqlFrom("resid")},
+       |encr AS (
+       |  SELECT c.vec_id, sum(list_sum(list_transform(generate_series(1, $SubDims),
+       |           j -> (m.mc[c.m * $SubDims + j] + en.ent[j])
+       |              * (m.mc[c.m * $SubDims + j] + en.ent[j])))) AS npq
+       |  FROM cells c
+       |  JOIN entries en ON en.m = c.m AND en.code = c.code
+       |  JOIN means m ON m.label = c.label
+       |  GROUP BY c.vec_id),
+       |cent AS (
+       |  SELECT label, [$centroidSums] AS cc,
+       |         list_sum(list_transform([$centroidSums], x -> x * x)) AS ncsq
+       |  FROM e GROUP BY label),
+       |qs AS (SELECT * FROM e WHERE vec_id < $NQueries),
+       |assign AS (
+       |  SELECT query_id, label FROM (
+       |    SELECT qs.vec_id AS query_id, cent.label,
+       |           row_number() OVER (PARTITION BY qs.vec_id
+       |             ORDER BY list_sum(list_transform(generate_series(1, $Dims),
+       |                        i -> qs.q[i] * cent.cc[i]))
+       |                      / sqrt(CAST(qs.nsq AS DOUBLE) * CAST(cent.ncsq AS DOUBLE)) DESC,
+       |                      cent.label) AS rnk
+       |    FROM qs CROSS JOIN cent) t WHERE rnk = 1),
+       |qmt AS (
+       |  SELECT a.query_id,
+       |         list_sum(list_transform(generate_series(1, $Dims),
+       |           i -> q1.q[i] * m.mc[i])) AS qm
+       |  FROM assign a
+       |  JOIN e q1 ON q1.vec_id = a.query_id
+       |  JOIN means m ON m.label = a.label),
+       |adc AS (
+       |  SELECT qs.vec_id AS query_id, cr.vec_id AS vec_id, qs.nsq AS nq,
+       |         qmt.qm + sum(list_sum(list_transform(generate_series(1, $SubDims),
+       |             j -> qs.q[cr.m * $SubDims + j] * en.ent[j]))) AS dot
+       |  FROM qs
+       |  JOIN assign a ON a.query_id = qs.vec_id
+       |  JOIN qmt ON qmt.query_id = qs.vec_id
+       |  JOIN cells cr ON cr.label = a.label AND cr.vec_id <> qs.vec_id
+       |  JOIN entries en ON en.m = cr.m AND en.code = cr.code
+       |  GROUP BY qs.vec_id, cr.vec_id, qs.nsq, qmt.qm),
+       |sl AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT adc.query_id, adc.vec_id,
+       |           row_number() OVER (PARTITION BY adc.query_id ORDER BY
+       |             adc.dot / sqrt(CAST(adc.nq AS DOUBLE) * CAST(ec.npq AS DOUBLE)) DESC,
+       |             adc.vec_id) AS rnk8
+       |    FROM adc JOIN encr ec ON ec.vec_id = adc.vec_id) t
        |  WHERE rnk8 <= $shortN),
        |exact AS (
        |  SELECT s.query_id, s.vec_id,

@@ -142,6 +142,31 @@ object ProductQuantizer {
       .reduce(_ + _)
   }
 
+  /** The full codebook entries as a literal (M×256×SubDims longs ≈
+    * 128 KB — same broadcast budget as [[npqCol]]'s norm table), for
+    * reconstruction arithmetic in expressions. */
+  def entriesLit(cb: Codebook): Column =
+    typedLit(cb.ent.map(_.map(_.toSeq).toSeq).toSeq)
+
+  /** RESIDUAL-coded reconstructed squared norm: |m_c + r̂|² for a row
+    * carrying `codes` (PQ codes of the residual v − m_c) and `mc` (its
+    * cluster's integer mean vector) — the norm IVFADC's ADC cosine
+    * denominator needs. Subspaces partition the dims, so the norm
+    * decomposes per subspace: Σ_m |mc_sub + ent|², each term an exact
+    * integer dot over an 8-element zip — scan-local lookups + adds
+    * against the 128 KB entries literal, zero per-candidate vector
+    * reads. */
+  def npqResidualCol(cb: Codebook): Column = {
+    val tab = entriesLit(cb)
+    (0 until M).map { m =>
+      val ent = element_at(element_at(tab, m + 1),
+        element_at(col("codes"), m + 1) + 1)
+      val sub = zip_with(
+        slice(col("mc"), m * SubDims + 1, SubDims), ent, (a, b) => a + b)
+      call_function("dot_i64", sub, sub)
+    }.reduce(_ + _)
+  }
+
   /** The query's ADC lookup table: adc(m)(code) = exact integer
     * `dot(q_sub_m, ent[m][code])` — M×256 longs precomputed ONCE per
     * query, after which scoring a candidate is M lookups + adds. */
