@@ -166,7 +166,23 @@ object Streaming {
     * what makes it legal inside a streaming plan; assignment immutability
     * under frozen centroids (IncrementalIvfIndex scaladoc) is what makes
     * append-only output correct. StreamingSpec pins stream ≡ one-shot
-    * batch assignment and exactly-once across restarts. */
+    * batch assignment and exactly-once across restarts.
+    *
+    * The sink is a `foreachBatch` writer into a `(cluster, batch_id)`
+    * hive layout with dynamic partition overwrite — NOT the built-in
+    * parquet `FileStreamSink`, for two 100 TB reasons. (1) The built-in
+    * sink's `_spark_metadata` log records every file ever written and
+    * must be read (and periodically log-compacted) in full by both the
+    * writer and every batch reader — cost grows with the TOTAL file
+    * count of the index's lifetime, the known FileStreamSink scale
+    * wall. (2) The log also freezes the layout: rewriting data files
+    * (compaction) strands the log's file list, so a sink-managed
+    * directory can never be maintained. Here exactly-once comes from
+    * the layout itself — a replayed micro-batch overwrites its own
+    * `batch_id` partitions idempotently (the [[vectorSearchStream]]
+    * sink contract) — readers are plain partition-pruned parquet scans
+    * (`cluster=` stays the leading partition level), and
+    * [[compactVectorIndex]] can rewrite micro-batch dust freely. */
   def vectorIndexStream(
       spark: SparkSession,
       sourceDir: String,
@@ -178,13 +194,51 @@ object Streaming {
       spark.readStream.schema(schema).parquet(sourceDir), cents)
       .select("vec_id", "cluster", "q", "nsq")
     val q = assigned.writeStream
-      .format("parquet")
-      .partitionBy("cluster")
-      .option("path", targetDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("cluster", "batch_id")
+          .parquet(targetDir)
+      }
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+  }
+
+  /** COMPACT a quiesced [[vectorIndexStream]] target: at streaming
+    * cadence every micro-batch leaves one file per touched cluster, so
+    * a long-lived index accumulates `batches × clusters` small files
+    * and probe cost drifts from bytes to file-open overhead. The
+    * rewrite merges everything into the reserved `batch_id = -1`
+    * generation — one shuffle on cluster, ONE file per cluster,
+    * content-identical, `cluster=` pruning untouched — via staging-dir
+    * write-swap (a torn compaction leaves the original readable;
+    * [[graft.engine.Engine.compact]] is the engine-model twin of this
+    * operation). Run it only while the stream is stopped AND its last
+    * batch committed: compacting an uncommitted batch's files would
+    * let the replay double them under a fresh batch_id. Resuming the
+    * stream just appends new `batch_id` generations beside `-1` —
+    * checkpoint offsets are untouched because the SOURCE, not the
+    * sink, owns progress. */
+  def compactVectorIndex(spark: SparkSession, targetDir: String): Long = {
+    val cur = spark.read.parquet(targetDir)
+    val n = cur.count()
+    val tmp = targetDir + ".compact"
+    cur.withColumn("batch_id", lit(-1L))
+      .repartition(col("cluster"))
+      .write.mode("overwrite")
+      .partitionBy("cluster", "batch_id")
+      .parquet(tmp)
+    val dir = new java.io.File(targetDir)
+    def delete(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(delete)
+      f.delete(); ()
+    }
+    if (dir.exists) delete(dir)
+    require(new java.io.File(tmp).renameTo(dir), s"swap failed for $targetDir")
+    n
   }
 
   /** The READ side of the streaming vector index: arriving QUERY vectors

@@ -232,10 +232,40 @@ class StreamingSpec extends SparkSpec {
     assert(got.select($"vec_id", $"cluster").as[(Long, Int)].collect().toSet == oneShot)
     // learned, not labeled: vector 5 crossed to cluster 1
     assert(oneShot.contains(5L -> 1))
-    // cluster-partitioned sink layout
+    // cluster-partitioned sink layout (cluster= is the leading level,
+    // so probes prune exactly as on the engine-built index)
     val dirs = new java.io.File(tgt).listFiles.filter(_.isDirectory)
       .map(_.getName).filter(_.startsWith("cluster=")).toSet
     assert(dirs == Set("cluster=0", "cluster=1"), dirs)
+    // no FileStreamSink metadata log: readers are plain parquet scans
+    // and the layout stays compactable
+    assert(!new java.io.File(tgt, "_spark_metadata").exists)
+
+    // micro-batch dust: two batches → two batch_id generations under
+    // the clusters they touched
+    def gens(cluster: Int): Set[String] =
+      new java.io.File(s"$tgt/cluster=$cluster").listFiles
+        .filter(_.isDirectory).map(_.getName).toSet
+    assert(gens(0) == Set("batch_id=0", "batch_id=1"), gens(0))
+
+    // compaction merges everything into the batch_id=-1 generation:
+    // content-identical, one file per cluster, pruning intact
+    assert(Streaming.compactVectorIndex(spark, tgt) == 7)
+    assert(gens(0) == Set("batch_id=-1") && gens(1) == Set("batch_id=-1"))
+    val compacted = spark.read.parquet(tgt)
+    assert(compacted.select($"vec_id", $"cluster").as[(Long, Int)]
+      .collect().toSet == oneShot)
+    assert(new java.io.File(s"$tgt/cluster=0/batch_id=-1").listFiles
+      .count(_.getName.startsWith("part-")) == 1)
+
+    // the stream RESUMES over the compacted layout: a third arrival
+    // appends its own generation beside -1, exactly-once (checkpoint
+    // offsets untouched — the source owns progress, not the sink)
+    vecs(Seq((7L, Seq(7L, 1L, 0L, 0L)))).write.mode("append").parquet(src)
+    Streaming.vectorIndexStream(spark, src, tgt, ckp, schema, cents)
+    val after = spark.read.parquet(tgt)
+    assert(after.count() == 8)
+    assert(after.filter($"vec_id" === 7L && $"cluster" === 0).count() == 1)
   }
 
   test("vector search stream: stream-static probe ≡ batch searchTopK, exactly-once under restart") {
