@@ -810,6 +810,39 @@ object SimilarityQueries {
         s.read.parquet(s"$wh/pq_codebook"), NQueries, TopK, shortK = TopK * 3)
     },
 
+    // ---- the full IVFADC index: residual PQ composed with the
+    // incremental cluster-partitioned layout. The modelsPQResidual DAG
+    // adds an `ivf_means` Table (the learned clusters' floor-divided
+    // integer means over the fixed snapshot, frozen with the
+    // centroids) and trains the codebook on the snapshot's RESIDUALS;
+    // every stored row carries residual codes + |m_c + r̂|². The probe
+    // is searchTopKPQ's partition-pruned, code-column-only scan with
+    // the IVFADC numerator decomposition dot(q,m_c) + ADC lookups.
+    // Incremental build ≡ one-shot oracle, driver-checked.
+    Q.sql(
+      "q_ann_ivf_pq_residual_incremental",
+      ivfPqResidualIncrementalOracleSql
+    ) { (s, dir) =>
+      val e = quantized(s, dir)
+      val b = e.agg(min(col("vec_id")), max(col("vec_id"))).first()
+      val mid = (b.getLong(0) + b.getLong(1)) / 2
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_incivfpqr").toString
+      def build(batch: DataFrame): Unit = {
+        val rpt = new graft.engine.Engine(s, wh,
+          Map("vectors" -> batch, "vectors_training" -> e),
+          graft.similarity.IncrementalIvfIndex.modelsPQResidual(
+            "vectors", "vectors_training", Dims)).build()
+        require(rpt.ok, rpt.results.mkString("; "))
+      }
+      build(e.filter(col("vec_id") <= mid))
+      build(e)
+      graft.similarity.IncrementalIvfIndex.searchTopKPQResidual(
+        s.read.parquet(s"$wh/ivf_index"),
+        s.read.parquet(s"$wh/pq_codebook"),
+        s.read.parquet(s"$wh/ivf_means"), NQueries, TopK, shortK = TopK * 3)
+    },
+
     // ---- DELETION from the append-only index, probe-time half: a
     // tombstone set (every 7th non-query vec_id) is anti-joined out of
     // the index read in both roles — broadcast-sized by the
@@ -1119,6 +1152,92 @@ object SimilarityQueries {
        |             adc.dot / sqrt(CAST(adc.nq AS DOUBLE) * CAST(ec.npq AS DOUBLE)) DESC,
        |             adc.vec_id) AS rnk8
        |    FROM adc JOIN enc ec ON ec.vec_id = adc.vec_id) t
+       |  WHERE rnk8 <= $shortN),
+       |exact AS (
+       |  SELECT s.query_id, s.vec_id,
+       |         list_sum(list_transform(generate_series(1, $Dims), i -> q1.q[i] * c.q[i]))
+       |           / sqrt(CAST(q1.nsq AS DOUBLE) * CAST(c.nsq AS DOUBLE)) AS cos_raw
+       |  FROM sl s JOIN e q1 ON q1.vec_id = s.query_id JOIN e c ON c.vec_id = s.vec_id)
+       |SELECT query_id, vec_id, CAST(rnk AS INT) AS rnk, round(cos_raw, 4) AS cos_sim
+       |FROM (
+       |  SELECT query_id, vec_id, cos_raw,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY cos_raw DESC, vec_id) AS rnk
+       |  FROM exact) t
+       |WHERE rnk <= $TopK""".stripMargin
+  }
+
+  /** One-shot oracle for the RESIDUAL-PQ incremental index
+    * (`q_ann_ivf_pq_residual_incremental`): learned assignment of
+    * every vector, floor-divided integer means per learned cluster,
+    * the codebook machinery over residuals, encode-time |m_c + r̂|²
+    * norms, IVFADC-decomposed ADC scoring, shortlist, exact re-rank. */
+  private lazy val ivfPqResidualIncrementalOracleSql: String = {
+    import graft.similarity.ProductQuantizer.SubDims
+    val centroidSums = (1 to Dims).map(i => s"sum(q[$i])").mkString(", ")
+    val residSums = (1 to Dims).map(i => s"sum(e.q[$i])").mkString(", ")
+    val shortN = TopK * 3
+    s"""WITH $quantizedSql,
+       |cent AS (
+       |  SELECT label, [$centroidSums] AS c,
+       |         list_sum(list_transform([$centroidSums], x -> x * x)) AS ncsq
+       |  FROM e GROUP BY label),
+       |assignall AS (
+       |  SELECT vec_id, cluster FROM (
+       |    SELECT e.vec_id, cent.label AS cluster,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY list_sum(list_transform(generate_series(1, $Dims),
+       |                        i -> e.q[i] * cent.c[i]))
+       |                      / sqrt(CAST(e.nsq AS DOUBLE) * CAST(cent.ncsq AS DOUBLE)) DESC,
+       |                      cent.label) AS rnk
+       |    FROM e CROSS JOIN cent) t WHERE rnk = 1),
+       |meanst AS (
+       |  SELECT a.cluster, [$residSums] AS s, count(*) AS n
+       |  FROM e JOIN assignall a ON a.vec_id = e.vec_id GROUP BY a.cluster),
+       |means AS (
+       |  SELECT cluster,
+       |         list_transform(s, x -> (x - (((x % n) + n) % n)) // n) AS mc
+       |  FROM meanst),
+       |resid AS (
+       |  SELECT e.vec_id, a.cluster AS label,
+       |         list_transform(generate_series(1, $Dims), i -> e.q[i] - m.mc[i]) AS q
+       |  FROM e
+       |  JOIN assignall a ON a.vec_id = e.vec_id
+       |  JOIN means m ON m.cluster = a.cluster),
+       |${pqCodebookCtesSqlFrom("resid")},
+       |encr AS (
+       |  SELECT c.vec_id, sum(list_sum(list_transform(generate_series(1, $SubDims),
+       |           j -> (m.mc[c.m * $SubDims + j] + en.ent[j])
+       |              * (m.mc[c.m * $SubDims + j] + en.ent[j])))) AS npq
+       |  FROM cells c
+       |  JOIN entries en ON en.m = c.m AND en.code = c.code
+       |  JOIN means m ON m.cluster = c.label
+       |  GROUP BY c.vec_id),
+       |qs AS (
+       |  SELECT e.vec_id, e.q, e.nsq, a.cluster FROM e
+       |  JOIN assignall a ON a.vec_id = e.vec_id WHERE e.vec_id < $NQueries),
+       |qmt AS (
+       |  SELECT qs.vec_id AS query_id,
+       |         list_sum(list_transform(generate_series(1, $Dims),
+       |           i -> qs.q[i] * m.mc[i])) AS qm
+       |  FROM qs JOIN means m ON m.cluster = qs.cluster),
+       |adc AS (
+       |  SELECT qs.vec_id AS query_id, cr.vec_id AS vec_id, qs.nsq AS nq,
+       |         qmt.qm + sum(list_sum(list_transform(generate_series(1, $SubDims),
+       |             j -> qs.q[cr.m * $SubDims + j] * en.ent[j]))) AS dot
+       |  FROM qs
+       |  JOIN qmt ON qmt.query_id = qs.vec_id
+       |  JOIN assignall ca ON ca.cluster = qs.cluster AND ca.vec_id <> qs.vec_id
+       |  JOIN cells cr ON cr.vec_id = ca.vec_id
+       |  JOIN entries en ON en.m = cr.m AND en.code = cr.code
+       |  GROUP BY qs.vec_id, cr.vec_id, qs.nsq, qmt.qm),
+       |sl AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT adc.query_id, adc.vec_id,
+       |           row_number() OVER (PARTITION BY adc.query_id ORDER BY
+       |             adc.dot / sqrt(CAST(adc.nq AS DOUBLE) * CAST(ec.npq AS DOUBLE)) DESC,
+       |             adc.vec_id) AS rnk8
+       |    FROM adc JOIN encr ec ON ec.vec_id = adc.vec_id) t
        |  WHERE rnk8 <= $shortN),
        |exact AS (
        |  SELECT s.query_id, s.vec_id,

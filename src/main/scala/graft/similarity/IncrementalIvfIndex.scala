@@ -123,6 +123,124 @@ object IncrementalIvfIndex {
         .repartition(col("cluster"))
     })
 
+  /** The RESIDUAL-PQ index DAG — the full published IVFADC lifecycle
+    * (Jégou et al. §IV-A) as engine models: PQ codes quantize the
+    * residual v − m_c to the vector's assigned coarse centroid, not the
+    * raw vector, so the codebook budget covers a zero-centered
+    * distribution (strictly lower reconstruction error — pinned in
+    * SimilaritySpec on the ad-hoc operator).
+    *
+    *  - `ivf_means` (Table): the learned clusters' floor-divided
+    *    integer means over the FIXED training snapshot — kernel-assign
+    *    the snapshot, one groupBy(cluster), `(S − pmod(S, n)) div n`
+    *    per component (engine-portable exact arithmetic). Frozen with
+    *    the centroids: k rows, broadcast-sized.
+    *  - `pq_codebook` (Table): [[ProductQuantizer.entriesDf]] over the
+    *    snapshot's RESIDUALS (same frozen-quantizer contract).
+    *  - `ivf_index`: arrivals kernel-assigned, residual computed
+    *    against the broadcast means join, coded scan-locally, and the
+    *    stored `npq` is |m_c + r̂|² — integer at encode time via
+    *    [[ProductQuantizer.npqResidualCol]]. Build shape unchanged:
+    *    kernel assign → broadcast means join → encode → one
+    *    repartition(cluster) write exchange. */
+  def modelsPQResidual(
+      vectorsRef: String, trainingRef: String, dims: Int): Seq[Model] = {
+    def meansOf(r: String => DataFrame): DataFrame =
+      assign(r(trainingRef).select(col("vec_id"), col("q"), col("nsq")),
+          r("ivf_centroids"))
+        .groupBy(col("cluster"))
+        .agg(array((1 to dims).map(i => sum(element_at(col("q"), i))): _*).as("s"),
+          count(lit(1)).as("n"))
+        .select(col("cluster"),
+          expr("transform(s, x -> (x - pmod(x, n)) div n)").as("mc"))
+    def residualsOf(vecs: DataFrame, means: DataFrame): DataFrame =
+      vecs.join(broadcast(means), "cluster")
+        .withColumn("qr", expr("zip_with(q, mc, (a, b) -> a - b)"))
+    Seq(
+      Model("ivf_centroids", Seq(trainingRef), Materialization.Table)((_, r) =>
+        centroids(r(trainingRef), dims)),
+      Model("ivf_means", Seq(trainingRef, "ivf_centroids"),
+        Materialization.Table)((_, r) => meansOf(r)),
+      Model("pq_codebook", Seq(trainingRef, "ivf_centroids", "ivf_means"),
+        Materialization.Table)((_, r) =>
+        ProductQuantizer.entriesDf(
+          residualsOf(
+            assign(r(trainingRef).select(col("vec_id"), col("q"), col("nsq")),
+              r("ivf_centroids")),
+            r("ivf_means"))
+            .select(col("vec_id"), col("qr").as("q"))
+            .withColumn("nsq", expr("dot_i64(q, q)")))),
+      Model.incremental(
+        "ivf_index",
+        Seq(vectorsRef, "ivf_centroids", "ivf_means", "pq_codebook"),
+        Materialization.IncrementalAppend("vec_id", Seq("cluster"))) { (_, r, prior) =>
+        val hwm = Incremental.hwm(prior, "vec_id")
+        val cb = ProductQuantizer.collectCodebook(r("pq_codebook"))
+        residualsOf(
+          assign(r(vectorsRef).filter(col("vec_id") > hwm), r("ivf_centroids")),
+          r("ivf_means"))
+          .withColumn("codes", ProductQuantizer.codesColOf("qr"))
+          .withColumn("npq", ProductQuantizer.npqResidualCol(cb))
+          .select(col("vec_id"), col("cluster"), col("q"), col("nsq"),
+            col("codes"), col("npq"))
+          .repartition(col("cluster"))
+      })
+  }
+
+  /** Probe the residual-PQ index ([[modelsPQResidual]]'s layout): same
+    * ADC economics as [[searchTopKPQ]] — the candidate scan reads only
+    * `(cluster, vec_id, codes, npq)` — with the IVFADC numerator
+    * decomposition `dot(q, v̂) = dot(q, m_c) + Σ_m adc[m][codes[m]]`:
+    * the `dot(q, m_c)` term is one integer per (query, probed cluster),
+    * computed against the collected k-row means table when the query's
+    * ADC tables are built; everything stays integer-exact. */
+  def searchTopKPQResidual(
+      index: DataFrame,
+      codebook: DataFrame,
+      means: DataFrame,
+      nQueries: Int,
+      topK: Int,
+      shortK: Int): DataFrame = {
+    val s = index.sparkSession
+    graft.functions.GraftFunctions.register(s)
+    import s.implicits._
+    val cb = ProductQuantizer.collectCodebook(codebook)
+    val meanByCluster = means.select(col("cluster"), col("mc"))
+      .as[(Int, Seq[Long])].collect().toMap
+    val qRows = index.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("cluster"), col("q"), col("nsq"))
+      .as[(Long, Int, Array[Long], Long)].collect()
+    val qDf = qRows.toSeq.map { case (id, cl, q, nsq) =>
+      val mc = meanByCluster(cl)
+      var qm = 0L
+      var i = 0
+      while (i < q.length) { qm += q(i) * mc(i); i += 1 }
+      (id, cl, q.toSeq, nsq, qm, ProductQuantizer.adcTable(q, cb))
+    }.toDF("query_id", "qcluster", "qq", "nq", "qm", "adc")
+    val probeClusters = qRows.map(_._2).distinct.sorted
+    val codesScan = index
+      .select(col("cluster"), col("vec_id"), col("codes"), col("npq"))
+      .filter(col("cluster").isin(probeClusters.map(Int.box): _*))
+    val pairs = codesScan.join(broadcast(qDf),
+        col("cluster") === col("qcluster") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (col("qm") + ProductQuantizer.adcDotCol).as("dot"),
+        col("nq"), col("npq").as("nc"))
+    val shortIds = pairs.groupBy(col("query_id"))
+      .agg(expr(s"topk_cos(struct(vec_id, dot, nq, nc), $shortK)").as("top"))
+      .select(col("query_id"), explode(col("top.vec_id")).as("vec_id"))
+      .join(broadcast(qDf.select(col("query_id"), col("qq"), col("nq"))), "query_id")
+    val rerank = index.select(col("vec_id"), col("q"), col("nsq"))
+      .join(broadcast(shortIds), "vec_id")
+    val cosE = expr("dot_i64(qq, q)") /
+      sqrt(col("nq").cast("double") * col("nsq").cast("double"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(cosE.desc, col("vec_id"))
+    rerank.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= topK)
+      .select(col("query_id"), col("vec_id"), col("rnk"),
+        round(cosE, 4).as("cos_sim"))
+  }
+
   /** Probe the PQ-coded index ([[modelsPQ]]'s layout) with the full ADC
     * economics: the candidate scan reads ONLY `(cluster, vec_id, codes,
     * npq)` — column-pruned to the M-index code, never the stored vector

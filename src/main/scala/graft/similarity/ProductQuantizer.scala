@@ -58,19 +58,25 @@ object ProductQuantizer {
   }
 
   /** SQL fragment (Spark dialect): the m-th subspace's cell code for the
-    * quantized vector column `q` — sign bits of SubDims-dim integer
+    * quantized vector column `vcol` — sign bits of SubDims-dim integer
     * plane dots, all inside whole-stage codegen via the native dot_i64. */
-  private def codeExpr(m: Int): Column =
+  private def codeExpr(m: Int, vcol: String = "q"): Column =
     (0 until PlanesPerSub).map { i =>
       val lits = SubPlanes(m)(i).map(v => s"${v}L").mkString(",")
       when(expr(
-        s"dot_i64(slice(q, ${m * SubDims + 1}, $SubDims), array($lits)) >= 0"),
+        s"dot_i64(slice($vcol, ${m * SubDims + 1}, $SubDims), array($lits)) >= 0"),
         1 << i).otherwise(0)
     }.reduce(_ + _)
 
   /** `array<int>` of the M cell codes for column `q` — the stored PQ
     * code of a vector (M bytes at production layout). */
-  def codesCol: Column = array((0 until M).map(m => codeExpr(m).cast("int")): _*)
+  def codesCol: Column = codesColOf("q")
+
+  /** [[codesCol]] over an arbitrary vector column — the residual-coded
+    * index stores the ORIGINAL vector in `q` and codes the residual
+    * held in another column. */
+  def codesColOf(vcol: String): Column =
+    array((0 until M).map(m => codeExpr(m, vcol).cast("int")): _*)
 
   /** One row per (vector, subspace): `(vec_id, m, code, sv, nsv)` —
     * the exploded view codebook training and the oracle's ADC join both

@@ -252,6 +252,75 @@ class IncrementalIvfIndexSpec extends SparkSpec {
       codeScan)
   }
 
+  test("residual-PQ index (IVFADC): stored codes ≡ fresh residual encode; incremental ≡ one-shot; pruned probe") {
+    graft.functions.GraftFunctions.register(spark)
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"label".cast("int").as("label"),
+        transform($"embedding", x => round(x * 100, 0).cast("long")).as("q"))
+      .withColumn("nsq", expr("dot_i64(q, q)"))
+      .localCheckpoint()
+    val bounds = e.agg(min($"vec_id"), max($"vec_id")).first()
+    val mid = (bounds.getLong(0) + bounds.getLong(1)) / 2
+
+    def buildInto(dir: String, batches: Seq[DataFrame]): Unit =
+      batches.foreach { b =>
+        val rpt = new Engine(spark, dir,
+          Map("vectors" -> b, "vectors_training" -> e),
+          IncrementalIvfIndex.modelsPQResidual("vectors", "vectors_training", 64)).build()
+        assert(rpt.ok, rpt.results.mkString("; "))
+      }
+    val incDir = tmpDir("incivfpqr_inc")
+    val oneDir = tmpDir("incivfpqr_one")
+    buildInto(incDir, Seq(e.filter($"vec_id" <= mid), e))
+    buildInto(oneDir, Seq(e))
+
+    // stored residual codes + |m_c + r̂|² ≡ a fresh scan-local encode of
+    // the same corpus against the same frozen means + codebook
+    val cb = ProductQuantizer.collectCodebook(
+      spark.read.parquet(s"$incDir/pq_codebook"))
+    val means = spark.read.parquet(s"$incDir/ivf_means")
+    val expected = IncrementalIvfIndex.assign(e, IncrementalIvfIndex.centroids(e, 64))
+      .join(org.apache.spark.sql.functions.broadcast(means), "cluster")
+      .withColumn("qr", expr("zip_with(q, mc, (a, b) -> a - b)"))
+      .withColumn("codes", ProductQuantizer.codesColOf("qr"))
+      .withColumn("npq", ProductQuantizer.npqResidualCol(cb))
+      .select($"vec_id", $"cluster", $"codes", $"npq")
+      .as[(Long, Int, Seq[Int], Long)].collect().toSet
+    val stored = spark.read.parquet(s"$incDir/ivf_index")
+      .select($"vec_id", $"cluster", $"codes", $"npq")
+      .as[(Long, Int, Seq[Int], Long)].collect().toSet
+    assert(stored == expected)
+
+    // incremental ≡ one-shot, through the residual-ADC probe itself
+    def probe(dir: String): Set[(Long, Long, Int)] =
+      IncrementalIvfIndex.searchTopKPQResidual(
+          spark.read.parquet(s"$dir/ivf_index"),
+          spark.read.parquet(s"$dir/pq_codebook"),
+          spark.read.parquet(s"$dir/ivf_means"),
+          nQueries = 5, topK = 10, shortK = 30)
+        .select($"query_id", $"vec_id", $"rnk").as[(Long, Long, Int)]
+        .collect().toSet
+    val incHits = probe(incDir)
+    assert(incHits == probe(oneDir))
+    assert(incHits.map(_._1) == Set(0L, 1L, 2L, 3L, 4L))
+
+    // candidate scan: code columns only (never the stored vector),
+    // partition-pruned to the probed clusters
+    val hits = IncrementalIvfIndex.searchTopKPQResidual(
+      spark.read.parquet(s"$incDir/ivf_index"),
+      spark.read.parquet(s"$incDir/pq_codebook"),
+      spark.read.parquet(s"$incDir/ivf_means"),
+      nQueries = 5, topK = 10, shortK = 30)
+    hits.collect()
+    val plan = hits.queryExecution.executedPlan.toString
+    val codeScan = plan.linesIterator
+      .find(l => l.contains("ReadSchema") && l.contains("codes")).getOrElse("")
+    assert(codeScan.nonEmpty, plan)
+    assert(!codeScan.contains("q:array"), codeScan)
+    assert(codeScan.contains("PartitionFilters") && codeScan.contains("cluster"),
+      codeScan)
+  }
+
   test("deletion lifecycle: probe-time tombstones ≡ compaction; frontier survives; 1 file/cluster") {
     val dir = tmpDir("incivfdel")
     engineFor(dir, vecsDf(training)).build()
