@@ -810,6 +810,38 @@ object SimilarityQueries {
         s.read.parquet(s"$wh/pq_codebook"), NQueries, TopK, shortK = TopK * 3)
     },
 
+    // ---- MULTI-PROBE over the PQ-coded incremental index — the
+    // production ANN configuration (IVFADC economics with nprobe>1):
+    // each query ADC-scores its NProbe nearest clusters' code columns
+    // (partition-pruned union isin, per-query array_contains match),
+    // exact re-rank on the shortlist. Candidate superset ⇒ recall
+    // dominates single-probe PQ (SimilaritySpec); incremental build ≡
+    // one-shot oracle, driver-checked.
+    Q.sql(
+      "q_ann_ivf_pq_incremental_multiprobe",
+      ivfPqIncrementalMultiProbeOracleSql
+    ) { (s, dir) =>
+      val e = quantized(s, dir)
+      val b = e.agg(min(col("vec_id")), max(col("vec_id"))).first()
+      val mid = (b.getLong(0) + b.getLong(1)) / 2
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_incivfpqmp").toString
+      def build(batch: DataFrame): Unit = {
+        val rpt = new graft.engine.Engine(s, wh,
+          Map("vectors" -> batch, "vectors_training" -> e),
+          graft.similarity.IncrementalIvfIndex.modelsPQ(
+            "vectors", "vectors_training", Dims)).build()
+        require(rpt.ok, rpt.results.mkString("; "))
+      }
+      build(e.filter(col("vec_id") <= mid))
+      build(e)
+      graft.similarity.IncrementalIvfIndex.searchTopKPQMultiProbe(
+        s.read.parquet(s"$wh/ivf_index"),
+        s.read.parquet(s"$wh/pq_codebook"),
+        s.read.parquet(s"$wh/ivf_centroids"),
+        NQueries, TopK, shortK = TopK * 3, nprobe = NProbe)
+    },
+
     // ---- the full IVFADC index: residual PQ composed with the
     // incremental cluster-partitioned layout. The modelsPQResidual DAG
     // adds an `ivf_means` Table (the learned clusters' floor-divided
@@ -1113,8 +1145,16 @@ object SimilarityQueries {
     * over the full fixed snapshot, every vector LEARNED-assigned to its
     * nearest centroid (the [[ivfIncrementalOracleSql]] inverted file,
     * not the raw label), queries ADC-score their own cluster's members
-    * on codes, shortlist, exact re-rank. */
-  private lazy val ivfPqIncrementalOracleSql: String = {
+    * on codes, shortlist, exact re-rank. nprobe=1's probe CTE top-1 is
+    * exactly the query's assigned cluster (identical ranking), so one
+    * core serves both the single- and multi-probe entries. */
+  private lazy val ivfPqIncrementalOracleSql: String =
+    ivfPqIncrementalOracleSqlCore(1)
+
+  private lazy val ivfPqIncrementalMultiProbeOracleSql: String =
+    ivfPqIncrementalOracleSqlCore(NProbe)
+
+  private def ivfPqIncrementalOracleSqlCore(nprobe: Int): String = {
     import graft.similarity.ProductQuantizer.SubDims
     val centroidSums = (1 to Dims).map(i => s"sum(q[$i])").mkString(", ")
     val shortN = TopK * 3
@@ -1133,15 +1173,24 @@ object SimilarityQueries {
        |                      / sqrt(CAST(e.nsq AS DOUBLE) * CAST(cent.ncsq AS DOUBLE)) DESC,
        |                      cent.label) AS rnk
        |    FROM e CROSS JOIN cent) t WHERE rnk = 1),
+       |probe AS (
+       |  SELECT vec_id, pcluster FROM (
+       |    SELECT e.vec_id, cent.label AS pcluster,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY list_sum(list_transform(generate_series(1, $Dims),
+       |                        i -> e.q[i] * cent.c[i]))
+       |                      / sqrt(CAST(e.nsq AS DOUBLE) * CAST(cent.ncsq AS DOUBLE)) DESC,
+       |                      cent.label) AS rnk
+       |    FROM e CROSS JOIN cent WHERE e.vec_id < $NQueries) t WHERE rnk <= $nprobe),
        |qs AS (
-       |  SELECT e.vec_id, e.q, e.nsq, a.cluster FROM e
-       |  JOIN assignall a ON a.vec_id = e.vec_id WHERE e.vec_id < $NQueries),
+       |  SELECT e.vec_id, e.q, e.nsq, p.pcluster FROM e
+       |  JOIN probe p ON p.vec_id = e.vec_id),
        |adc AS (
        |  SELECT qs.vec_id AS query_id, cr.vec_id AS vec_id, qs.nsq AS nq,
        |         sum(list_sum(list_transform(generate_series(1, $SubDims),
        |             j -> qs.q[cr.m * $SubDims + j] * en.ent[j]))) AS dot
        |  FROM qs
-       |  JOIN assignall ca ON ca.cluster = qs.cluster AND ca.vec_id <> qs.vec_id
+       |  JOIN assignall ca ON ca.cluster = qs.pcluster AND ca.vec_id <> qs.vec_id
        |  JOIN cells cr ON cr.vec_id = ca.vec_id
        |  JOIN entries en ON en.m = cr.m AND en.code = cr.code
        |  GROUP BY qs.vec_id, cr.vec_id, qs.nsq),

@@ -289,6 +289,71 @@ object IncrementalIvfIndex {
         round(cosE, 4).as("cos_sim"))
   }
 
+  /** MULTI-PROBE over the PQ-coded index — the production ANN
+    * configuration (IVFADC with nprobe > 1): each query's `nprobe`
+    * nearest trained centroids are ranked on the driver from the
+    * collected k-row centroid table (the [[searchTopKMultiProbe]]
+    * contract), the code-column scan is partition-pruned to the UNION
+    * of probed clusters by a literal isin, each query ADC-scores only
+    * its OWN probed clusters' members (array_contains against the
+    * broadcast query side — every candidate lives in exactly one
+    * cluster, so the union is duplicate-free), and the exact re-rank
+    * touches only the shortlist. Candidate superset ⇒ recall dominates
+    * the single-probe [[searchTopKPQ]] (spec-pinned). */
+  def searchTopKPQMultiProbe(
+      index: DataFrame,
+      codebook: DataFrame,
+      cent: DataFrame,
+      nQueries: Int,
+      topK: Int,
+      shortK: Int,
+      nprobe: Int): DataFrame = {
+    val s = index.sparkSession
+    graft.functions.GraftFunctions.register(s)
+    import s.implicits._
+    val cb = ProductQuantizer.collectCodebook(codebook)
+    val cents = CentroidAssign.collectCentroids(cent)
+    val qRows = index.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("q"), col("nsq"))
+      .as[(Long, Array[Long], Long)].collect()
+    val qProbes = qRows.map { case (id, q, nsq) =>
+      val ranked = cents.map { case (l, c, ncsq) =>
+        var dot = 0L
+        var i = 0
+        while (i < q.length) { dot += q(i) * c(i); i += 1 }
+        (l, dot / math.sqrt(nsq.toDouble * ncsq.toDouble))
+      }.sortWith { (a, b) =>
+        val c = java.lang.Double.compare(a._2, b._2)
+        c > 0 || (c == 0 && a._1 < b._1)
+      }
+      (id, q.toSeq, nsq, ranked.take(nprobe).map(_._1).toSeq,
+        ProductQuantizer.adcTable(q, cb))
+    }
+    val probeSet = qProbes.flatMap(_._4).distinct.sorted
+    val qDf = qProbes.toSeq.toDF("query_id", "qq", "nq", "probes", "adc")
+    val codesScan = index
+      .select(col("cluster"), col("vec_id"), col("codes"), col("npq"))
+      .filter(col("cluster").isin(probeSet.map(Int.box): _*))
+    val pairs = codesScan.join(broadcast(qDf),
+        array_contains(col("probes"), col("cluster")) &&
+          col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        ProductQuantizer.adcDotCol.as("dot"), col("nq"), col("npq").as("nc"))
+    val shortIds = pairs.groupBy(col("query_id"))
+      .agg(expr(s"topk_cos(struct(vec_id, dot, nq, nc), $shortK)").as("top"))
+      .select(col("query_id"), explode(col("top.vec_id")).as("vec_id"))
+      .join(broadcast(qDf.select(col("query_id"), col("qq"), col("nq"))), "query_id")
+    val rerank = index.select(col("vec_id"), col("q"), col("nsq"))
+      .join(broadcast(shortIds), "vec_id")
+    val cosE = expr("dot_i64(qq, q)") /
+      sqrt(col("nq").cast("double") * col("nsq").cast("double"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(cosE.desc, col("vec_id"))
+    rerank.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= topK)
+      .select(col("query_id"), col("vec_id"), col("rnk"),
+        round(cosE, 4).as("cos_sim"))
+  }
+
   /** Probe the accumulated index: queries are corpus vectors (vec_id <
     * nQueries) probing their OWN cluster — each query's candidate set is
     * one cluster's rows (N/k of the corpus; cluster-partitioned storage

@@ -221,9 +221,24 @@ object Streaming {
     * let the replay double them under a fresh batch_id. Resuming the
     * stream just appends new `batch_id` generations beside `-1` —
     * checkpoint offsets are untouched because the SOURCE, not the
-    * sink, owns progress. */
-  def compactVectorIndex(spark: SparkSession, targetDir: String): Long = {
-    val cur = spark.read.parquet(targetDir)
+    * sink, owns progress.
+    *
+    * `tombstones` applies vector DELETES during the rewrite (the
+    * [[graft.engine.Engine.compact]] lifecycle) — and unlike the
+    * engine-model twin, NO frontier marker is needed: the engine's
+    * incremental build watermarks on the data rows themselves, so
+    * deleting its max row would re-ingest history, but here progress
+    * lives in the checkpoint's SOURCE offsets — deleting any stored
+    * row can never cause re-ingestion. */
+  def compactVectorIndex(
+      spark: SparkSession,
+      targetDir: String,
+      tombstones: Option[DataFrame] = None): Long = {
+    val all = spark.read.parquet(targetDir)
+    val cur = tombstones.fold(all) { t =>
+      all.join(broadcast(t.select(col("vec_id")).distinct()),
+        Seq("vec_id"), "left_anti")
+    }
     val n = cur.count()
     val tmp = targetDir + ".compact"
     cur.withColumn("batch_id", lit(-1L))

@@ -138,6 +138,21 @@ class SimilaritySpec extends SparkSpec {
     assert(agree >= 0.5, s"residual-PQ agreement with full-precision IVF $agree")
   }
 
+  test("PQ multi-probe over the incremental index: strict recall win over single-probe PQ") {
+    val truth = pairs("q_ann_bruteforce_topk")
+    val single = pairs("q_ann_ivf_pq_incremental")
+    val multi = pairs("q_ann_ivf_pq_incremental_multiprobe")
+    // nprobe=2 doubles the ADC candidate pool; unlike the exact
+    // multi-probe, a FIXED shortlist means new candidates can in
+    // principle displace a single-probe survivor at the boundary, so
+    // the pin is the recall WIN (the reason the production config runs
+    // nprobe>1), not hit-set containment
+    val singleRecall = (single intersect truth).size
+    val multiRecall = (multi intersect truth).size
+    assert(multiRecall > singleRecall,
+      s"PQ nprobe=2 recall $multiRecall must beat nprobe=1 $singleRecall of ${truth.size}")
+  }
+
   test("IVF+SQ8 composed probe: recall bounded by IVF stage, codes lose little") {
     val ivf = pairs("q_ann_ivf_topk")
     val ivfSq8 = pairs("q_ann_ivf_sq8")

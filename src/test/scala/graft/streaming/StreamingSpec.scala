@@ -266,6 +266,21 @@ class StreamingSpec extends SparkSpec {
     val after = spark.read.parquet(tgt)
     assert(after.count() == 8)
     assert(after.filter($"vec_id" === 7L && $"cluster" === 0).count() == 1)
+
+    // tombstoned compaction: deletes apply physically; no marker row is
+    // needed (progress lives in the checkpoint's source offsets, so
+    // deleting ANY stored row — even the newest — can't re-ingest), and
+    // the stream still resumes exactly-once afterwards
+    assert(Streaming.compactVectorIndex(spark, tgt,
+      Some(Seq(4L, 7L).toDF("vec_id"))) == 6)
+    val pruned = spark.read.parquet(tgt)
+    assert(pruned.count() == 6)
+    assert(pruned.filter($"vec_id".isin(4L, 7L)).count() == 0)
+    vecs(Seq((8L, Seq(0L, 9L, 0L, 0L)))).write.mode("append").parquet(src)
+    Streaming.vectorIndexStream(spark, src, tgt, ckp, schema, cents)
+    val fin = spark.read.parquet(tgt)
+    assert(fin.count() == 7)
+    assert(fin.filter($"vec_id".isin(4L, 7L)).count() == 0) // stays deleted
   }
 
   test("vector search stream: stream-static probe ≡ batch searchTopK, exactly-once under restart") {
