@@ -252,6 +252,45 @@ class IncrementalIvfIndexSpec extends SparkSpec {
       codeScan)
   }
 
+  test("property: kernelTopN ≡ declarative (cos DESC, label ASC) rank ≤ n on seeded random corpora") {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(spark)
+    // small value domains force near-ties, duplicate centroids, and
+    // occasional zero vectors (NaN cosines) — the scan-local insertion
+    // sort must reproduce the window rank under every partitioning
+    val rnd = new scala.util.Random(314159)
+    for (trial <- 1 to 5) {
+      val dims = 8
+      val k = 3 + rnd.nextInt(5)
+      val n = 20 + rnd.nextInt(40)
+      val nprobe = 1 + rnd.nextInt(k)
+      val vecs = (0 until n).map { i =>
+        (i.toLong, Seq.fill(dims)((rnd.nextInt(5) - 2).toLong))
+      }.toDF("vec_id", "q")
+        .withColumn("q", $"q".cast("array<long>"))
+        .withColumn("nsq", expr("dot_i64(q, q)"))
+        .repartition(1 + rnd.nextInt(4))
+      val cents: Array[(Int, Array[Long], Long)] = (0 until k).map { l =>
+        val c = Array.fill(dims)((rnd.nextInt(5) - 2).toLong)
+        (l, c, c.map(x => x * x).sum)
+      }.toArray
+      val got = CentroidAssign.kernelTopN(vecs, cents, nprobe)
+        .select($"vec_id", $"probes").as[(Long, Seq[Int])].collect().toMap
+      val centDf = cents.toSeq.map { case (l, c, ncsq) => (l, c.toSeq, ncsq) }
+        .toDF("label", "c", "ncsq")
+      val cos = expr("dot_i64(q, c)") /
+        sqrt($"nsq".cast("double") * $"ncsq".cast("double"))
+      val w = Window.partitionBy($"vec_id").orderBy(cos.desc, $"label")
+      val want = vecs.crossJoin(centDf)
+        .withColumn("rnk", row_number().over(w)).filter($"rnk" <= nprobe)
+        .select($"vec_id", $"rnk", $"label")
+        .as[(Long, Int, Int)].collect()
+        .groupBy(_._1)
+        .map { case (id, rows) => id -> rows.sortBy(_._2).map(_._3).toSeq }
+      assert(got == want, s"trial=$trial k=$k n=$n nprobe=$nprobe")
+    }
+  }
+
   test("residual-PQ index (IVFADC): stored codes ≡ fresh residual encode; incremental ≡ one-shot; pruned probe") {
     graft.functions.GraftFunctions.register(spark)
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

@@ -51,6 +51,45 @@ class ProductQuantizerSpec extends SparkSpec {
     }
   }
 
+  test("residual algebra: npqResidualCol ≡ |mc + reconstruction|²; codesColOf ≡ codesCol") {
+    val e = corpus(33, 200).localCheckpoint()
+    // an arbitrary integer "cluster mean" per row (two fake clusters) —
+    // the algebra must hold for ANY mc, not just real means
+    val rnd = new scala.util.Random(77)
+    val mcs = IndexedSeq.fill(2)(
+      Seq.fill(ProductQuantizer.Dims)((rnd.nextInt(7) - 3).toLong))
+    val withMc = e
+      .withColumn("mc", when($"vec_id" % 2 === 0, typedLit(mcs(0)))
+        .otherwise(typedLit(mcs(1))))
+      .withColumn("qr", expr("zip_with(q, mc, (a, b) -> a - b)"))
+    val cb = ProductQuantizer.train(
+      withMc.select($"vec_id", $"qr".as("q"))
+        .withColumn("nsq", expr("dot_i64(q, q)")))
+
+    // codesColOf over the residual column ≡ codesCol over a frame where
+    // the residual IS the q column (same expression, different home)
+    val viaOf = withMc.withColumn("codes", ProductQuantizer.codesColOf("qr"))
+      .select($"vec_id", $"codes").as[(Long, Seq[Int])].collect().toMap
+    val viaQ = withMc.select($"vec_id", $"qr".as("q"))
+      .withColumn("codes", ProductQuantizer.codesCol)
+      .select($"vec_id", $"codes").as[(Long, Seq[Int])].collect().toMap
+    assert(viaOf == viaQ)
+
+    // npqResidualCol ≡ dot of the explicit (mc + concatenated-entries)
+    // reconstruction with itself
+    val rows = withMc
+      .withColumn("codes", ProductQuantizer.codesColOf("qr"))
+      .withColumn("npq", ProductQuantizer.npqResidualCol(cb))
+      .select($"vec_id", $"mc", $"codes", $"npq")
+      .as[(Long, Array[Long], Array[Int], Long)].collect()
+    assert(rows.length == 200)
+    rows.foreach { case (_, mc, codes, npq) =>
+      val vhat = codes.zipWithIndex.flatMap { case (c, m) => cb.ent(m)(c) }
+        .zip(mc).map { case (r, m) => m + r }
+      assert(npq == vhat.map(x => x * x).sum)
+    }
+  }
+
   test("training is deterministic and idempotent; every emitted code has an entry") {
     val e = corpus(32, 150).localCheckpoint()
     val a = ProductQuantizer.train(e)
