@@ -377,10 +377,17 @@ class IncrementalIvfIndexSpec extends SparkSpec {
     def hitSet(df: DataFrame): Set[(Long, Long, Int)] =
       df.select($"query_id", $"vec_id", $"rnk").as[(Long, Long, Int)]
         .collect().toSet
-    val probeTime = hitSet(IncrementalIvfIndex.searchTopKWithDeletes(
-      index(), tomb, nQueries = 1, topK = 3))
+    val probeTimeDf = IncrementalIvfIndex.searchTopKWithDeletes(
+      index(), tomb, nQueries = 1, topK = 3)
+    val probeTime = hitSet(probeTimeDf)
     // deleted candidate 4 is gone from query 0's results, survivor 1 stays
     assert(probeTime == Set((0L, 1L, 1)))
+    // the tombstone anti-join does NOT cost the probe its runtime
+    // partition pruning: the candidate scan still carries the
+    // dynamicpruning filter on cluster (at 100 TB, losing it would turn
+    // the probe into a full-index read)
+    assert(probeTimeDf.queryExecution.executedPlan.toString
+      .toLowerCase.contains("dynamicpruning"))
 
     // compaction physically applies the tombstones
     val keptRows = eng.compact("ivf_index", Some(tomb))
