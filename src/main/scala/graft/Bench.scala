@@ -20,11 +20,14 @@ import org.apache.spark.sql.SparkSession
   * projection-only query would measure just the scan), while the noop
   * sink consumes every output column without paying a real sink's I/O.
   *
-  * `q_*_incremental` entries additionally report a `phases` split
-  * `{build_s, query_s}`: their DataFrame CONSTRUCTION eagerly runs the
-  * engine-DAG builds (temp-warehouse materialization), while the timed
-  * ACTION is the probe/read path — conflating them can mask a probe
-  * regression under build noise (or vice versa). build_s is the
+  * Build-heavy entries additionally report a `phases` split
+  * `{build_s, query_s}`: `q_*_incremental` DataFrame CONSTRUCTION
+  * eagerly runs engine-DAG builds (temp-warehouse materialization),
+  * and the ad-hoc PQ/ANN entries train codebooks / assign queries via
+  * eager collects — while the timed ACTION is the probe/read path;
+  * conflating them can mask a probe regression under build noise (or
+  * vice versa). Reported for every incremental entry and any other
+  * whose construction costs ≥ 0.2 s. build_s is the
   * construction time and query_s the action time of the median run;
   * per-query totals and the headline total are unchanged
   * (build_s + query_s of the median run = the reported total), so the
@@ -93,9 +96,14 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val singleShot = timed.map(_._2._2).filter(_ >= 0).sum
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // build-vs-query split for the engine-DAG-building entries only
+    // build-vs-query split wherever construction does real work: the
+    // engine-DAG-building incremental entries, plus any entry whose
+    // construction phase (eager collects — codebook training, query
+    // assignment) costs ≥ 0.2 s — conflating either with the probe
+    // action can mask a probe regression under build noise
     val phases = timed.collect {
-      case (k, (med, _, (b, q))) if k.contains("_incremental") && med >= 0 =>
+      case (k, (med, _, (b, q)))
+          if med >= 0 && (k.contains("_incremental") || b >= 0.2) =>
         "\"" + k + f"""":{"build_s":$b%.3f,"query_s":$q%.3f}"""
     }.mkString("{", ",", "}")
     def line(qs: String) =
