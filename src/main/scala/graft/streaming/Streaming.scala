@@ -207,6 +207,48 @@ object Streaming {
     q.awaitTermination()
   }
 
+  /** [[vectorIndexStream]] writing the PRODUCTION layout: each arriving
+    * vector is kernel-assigned its cluster AND PQ-encoded in the same
+    * scan — codes from the frozen codebook's plane signs (whole-stage
+    * codegen), reconstructed norm from the ≈128 KB codebook-norm
+    * literal — so the stream maintains exactly the
+    * [[graft.similarity.IncrementalIvfIndex.modelsPQ]] index shape and
+    * [[graft.similarity.IncrementalIvfIndex.searchTopKPQ]] probes the
+    * accumulated directory directly (code-column scan + shortlist
+    * re-rank). Both the quantizers (centroids AND codebook) are frozen
+    * training-snapshot artifacts by the same contract as the engine
+    * DAG; encoding is stateless per row, which keeps it legal inside
+    * the streaming plan. Same idempotent (cluster, batch_id) sink.
+    * StreamingSpec pins stream-built ≡ engine-built, row-for-row and
+    * through the ADC probe. */
+  def vectorIndexStreamPQ(
+      spark: SparkSession,
+      sourceDir: String,
+      targetDir: String,
+      checkpointDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      cents: Array[(Int, Array[Long], Long)],
+      cb: graft.similarity.ProductQuantizer.Codebook): Unit = {
+    val PQ = graft.similarity.ProductQuantizer
+    val assigned = graft.similarity.CentroidAssign.kernel(
+      spark.readStream.schema(schema).parquet(sourceDir), cents)
+      .select("vec_id", "cluster", "q", "nsq")
+      .withColumn("codes", PQ.codesCol)
+      .withColumn("npq", PQ.npqCol(cb))
+    val q = assigned.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("cluster", "batch_id")
+          .parquet(targetDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** COMPACT a quiesced [[vectorIndexStream]] target: at streaming
     * cadence every micro-batch leaves one file per touched cluster, so
     * a long-lived index accumulates `batches × clusters` small files

@@ -340,6 +340,57 @@ class StreamingSpec extends SparkSpec {
     assert(hitSet() == batchTruth ++ truth5)
   }
 
+  test("PQ-encoded index stream: stream-built ≡ engine-built, row-for-row and through the ADC probe") {
+    graft.functions.GraftFunctions.register(spark)
+    val dir = tmpDir("vecstreampq")
+    val src = s"$dir/src"; val tgt = s"$dir/tgt"; val ckp = s"$dir/ckp"
+    // 64-dim corpus (ProductQuantizer's fixed subspace geometry)
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"label".cast("int").as("label"),
+        transform($"embedding", x => round(x * 100, 0).cast("long")).as("q"))
+      .withColumn("nsq", expr("dot_i64(q, q)"))
+      .localCheckpoint()
+    val bounds = e.agg(min($"vec_id"), max($"vec_id")).first()
+    val mid = (bounds.getLong(0) + bounds.getLong(1)) / 2
+
+    // the engine-built reference index (one-shot modelsPQ build)
+    val engDir = tmpDir("vecstreampq_eng")
+    val rpt = new graft.engine.Engine(spark, engDir,
+      Map("vectors" -> e, "vectors_training" -> e),
+      graft.similarity.IncrementalIvfIndex.modelsPQ(
+        "vectors", "vectors_training", 64)).build()
+    assert(rpt.ok, rpt.results.mkString("; "))
+
+    // stream the same corpus in two micro-batches through the same
+    // frozen quantizers (centroids + codebook from the engine build)
+    val cents = graft.similarity.CentroidAssign.collectCentroids(
+      spark.read.parquet(s"$engDir/ivf_centroids"))
+    val cb = graft.similarity.ProductQuantizer.collectCodebook(
+      spark.read.parquet(s"$engDir/pq_codebook"))
+    val feed = e.select($"vec_id", $"q", $"nsq")
+    val schema = feed.schema
+    feed.filter($"vec_id" <= mid).write.mode("append").parquet(src)
+    Streaming.vectorIndexStreamPQ(spark, src, tgt, ckp, schema, cents, cb)
+    feed.filter($"vec_id" > mid).write.mode("append").parquet(src)
+    Streaming.vectorIndexStreamPQ(spark, src, tgt, ckp, schema, cents, cb)
+
+    // row-for-row: same (vec_id, cluster, codes, npq) as the engine DAG
+    def rowsOf(d: String) = spark.read.parquet(d)
+      .select($"vec_id", $"cluster", $"codes", $"npq")
+      .as[(Long, Int, Seq[Int], Long)].collect().toSet
+    assert(rowsOf(tgt) == rowsOf(s"$engDir/ivf_index"))
+
+    // and the ADC probe over the stream-accumulated directory gives
+    // the engine-built index's results exactly
+    def probe(d: String) = graft.similarity.IncrementalIvfIndex
+      .searchTopKPQ(spark.read.parquet(d),
+        spark.read.parquet(s"$engDir/pq_codebook"),
+        nQueries = 5, topK = 10, shortK = 30)
+      .select($"query_id", $"vec_id", $"rnk").as[(Long, Long, Int)]
+      .collect().toSet
+    assert(probe(tgt) == probe(s"$engDir/ivf_index"))
+  }
+
   test("vector search stream nprobe=2: ≡ batch multi-probe, strict recall win over single-probe stream") {
     val dir = tmpDir("vecsearchmp")
     val isrc = s"$dir/isrc"; val idx = s"$dir/idx"; val ickp = s"$dir/ickp"
