@@ -875,6 +875,40 @@ object SimilarityQueries {
         s.read.parquet(s"$wh/ivf_means"), NQueries, TopK, shortK = TopK * 3)
     },
 
+    // ---- the COMPLETE production IVFADC configuration: residual
+    // codes AND nprobe>1 on the same incremental index. The ADC
+    // numerator's dot(q, m_c) term differs per probed cluster, so the
+    // broadcast query side carries one row per (query, probed cluster)
+    // with its own precomputed qm; everything else is the residual
+    // probe's partition-pruned, code-only economics. Incremental build
+    // ≡ one-shot oracle (the residual oracle generalized to a probe
+    // CTE), driver-checked.
+    Q.sql(
+      "q_ann_ivf_pq_residual_incremental_multiprobe",
+      ivfPqResidualIncrementalMultiProbeOracleSql
+    ) { (s, dir) =>
+      val e = quantized(s, dir)
+      val b = e.agg(min(col("vec_id")), max(col("vec_id"))).first()
+      val mid = (b.getLong(0) + b.getLong(1)) / 2
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_incivfpqrmp").toString
+      def build(batch: DataFrame): Unit = {
+        val rpt = new graft.engine.Engine(s, wh,
+          Map("vectors" -> batch, "vectors_training" -> e),
+          graft.similarity.IncrementalIvfIndex.modelsPQResidual(
+            "vectors", "vectors_training", Dims)).build()
+        require(rpt.ok, rpt.results.mkString("; "))
+      }
+      build(e.filter(col("vec_id") <= mid))
+      build(e)
+      graft.similarity.IncrementalIvfIndex.searchTopKPQResidualMultiProbe(
+        s.read.parquet(s"$wh/ivf_index"),
+        s.read.parquet(s"$wh/pq_codebook"),
+        s.read.parquet(s"$wh/ivf_means"),
+        s.read.parquet(s"$wh/ivf_centroids"),
+        NQueries, TopK, shortK = TopK * 3, nprobe = NProbe)
+    },
+
     // ---- DELETION from the append-only index, probe-time half: a
     // tombstone set (every 7th non-query vec_id) is anti-joined out of
     // the index read in both roles — broadcast-sized by the
@@ -1221,7 +1255,13 @@ object SimilarityQueries {
     * every vector, floor-divided integer means per learned cluster,
     * the codebook machinery over residuals, encode-time |m_c + r̂|²
     * norms, IVFADC-decomposed ADC scoring, shortlist, exact re-rank. */
-  private lazy val ivfPqResidualIncrementalOracleSql: String = {
+  private lazy val ivfPqResidualIncrementalOracleSql: String =
+    ivfPqResidualIncrementalOracleSqlCore(1)
+
+  private lazy val ivfPqResidualIncrementalMultiProbeOracleSql: String =
+    ivfPqResidualIncrementalOracleSqlCore(NProbe)
+
+  private def ivfPqResidualIncrementalOracleSqlCore(nprobe: Int): String = {
     import graft.similarity.ProductQuantizer.SubDims
     val centroidSums = (1 to Dims).map(i => s"sum(q[$i])").mkString(", ")
     val residSums = (1 to Dims).map(i => s"sum(e.q[$i])").mkString(", ")
@@ -1262,21 +1302,30 @@ object SimilarityQueries {
        |  JOIN entries en ON en.m = c.m AND en.code = c.code
        |  JOIN means m ON m.cluster = c.label
        |  GROUP BY c.vec_id),
+       |probe AS (
+       |  SELECT vec_id, pcluster FROM (
+       |    SELECT e.vec_id, cent.label AS pcluster,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY list_sum(list_transform(generate_series(1, $Dims),
+       |                        i -> e.q[i] * cent.c[i]))
+       |                      / sqrt(CAST(e.nsq AS DOUBLE) * CAST(cent.ncsq AS DOUBLE)) DESC,
+       |                      cent.label) AS rnk
+       |    FROM e CROSS JOIN cent WHERE e.vec_id < $NQueries) t WHERE rnk <= $nprobe),
        |qs AS (
-       |  SELECT e.vec_id, e.q, e.nsq, a.cluster FROM e
-       |  JOIN assignall a ON a.vec_id = e.vec_id WHERE e.vec_id < $NQueries),
+       |  SELECT e.vec_id, e.q, e.nsq, p.pcluster FROM e
+       |  JOIN probe p ON p.vec_id = e.vec_id),
        |qmt AS (
-       |  SELECT qs.vec_id AS query_id,
+       |  SELECT qs.vec_id AS query_id, qs.pcluster,
        |         list_sum(list_transform(generate_series(1, $Dims),
        |           i -> qs.q[i] * m.mc[i])) AS qm
-       |  FROM qs JOIN means m ON m.cluster = qs.cluster),
+       |  FROM qs JOIN means m ON m.cluster = qs.pcluster),
        |adc AS (
        |  SELECT qs.vec_id AS query_id, cr.vec_id AS vec_id, qs.nsq AS nq,
        |         qmt.qm + sum(list_sum(list_transform(generate_series(1, $SubDims),
        |             j -> qs.q[cr.m * $SubDims + j] * en.ent[j]))) AS dot
        |  FROM qs
-       |  JOIN qmt ON qmt.query_id = qs.vec_id
-       |  JOIN assignall ca ON ca.cluster = qs.cluster AND ca.vec_id <> qs.vec_id
+       |  JOIN qmt ON qmt.query_id = qs.vec_id AND qmt.pcluster = qs.pcluster
+       |  JOIN assignall ca ON ca.cluster = qs.pcluster AND ca.vec_id <> qs.vec_id
        |  JOIN cells cr ON cr.vec_id = ca.vec_id
        |  JOIN entries en ON en.m = cr.m AND en.code = cr.code
        |  GROUP BY qs.vec_id, cr.vec_id, qs.nsq, qmt.qm),

@@ -289,6 +289,80 @@ object IncrementalIvfIndex {
         round(cosE, 4).as("cos_sim"))
   }
 
+  /** MULTI-PROBE over the RESIDUAL-PQ index — the complete production
+    * IVFADC configuration (residual codes + nprobe > 1): the ADC
+    * numerator's dot(q, m_c) term differs per PROBED cluster, so the
+    * broadcast query side carries one row per (query, probed cluster)
+    * — |Q|·nprobe tiny rows — each with its own precomputed qm; the
+    * shared residual-codebook ADC tables, the partition-pruned
+    * code-only candidate scan, the bounded topk_cos shortlist (rows
+    * from all probed clusters merge per query), and the exact re-rank
+    * are exactly [[searchTopKPQResidual]]'s. */
+  def searchTopKPQResidualMultiProbe(
+      index: DataFrame,
+      codebook: DataFrame,
+      means: DataFrame,
+      cent: DataFrame,
+      nQueries: Int,
+      topK: Int,
+      shortK: Int,
+      nprobe: Int): DataFrame = {
+    val s = index.sparkSession
+    graft.functions.GraftFunctions.register(s)
+    import s.implicits._
+    val cb = ProductQuantizer.collectCodebook(codebook)
+    val cents = CentroidAssign.collectCentroids(cent)
+    val meanByCluster = means.select(col("cluster"), col("mc"))
+      .as[(Int, Seq[Long])].collect().toMap
+    val qRows = index.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("q"), col("nsq"))
+      .as[(Long, Array[Long], Long)].collect()
+    val qRowsExp = qRows.flatMap { case (id, q, nsq) =>
+      val ranked = cents.map { case (l, c, ncsq) =>
+        var dot = 0L
+        var i = 0
+        while (i < q.length) { dot += q(i) * c(i); i += 1 }
+        (l, dot / math.sqrt(nsq.toDouble * ncsq.toDouble))
+      }.sortWith { (a, b) =>
+        val c = java.lang.Double.compare(a._2, b._2)
+        c > 0 || (c == 0 && a._1 < b._1)
+      }
+      val adc = ProductQuantizer.adcTable(q, cb)
+      ranked.take(nprobe).map { case (pc, _) =>
+        val mc = meanByCluster(pc)
+        var qm = 0L
+        var i = 0
+        while (i < q.length) { qm += q(i) * mc(i); i += 1 }
+        (id, pc, q.toSeq, nsq, qm, adc)
+      }
+    }
+    val probeSet = qRowsExp.map(_._2).distinct.sorted
+    val qDf = qRowsExp.toSeq
+      .toDF("query_id", "pcluster", "qq", "nq", "qm", "adc")
+    val codesScan = index
+      .select(col("cluster"), col("vec_id"), col("codes"), col("npq"))
+      .filter(col("cluster").isin(probeSet.map(Int.box): _*))
+    val pairs = codesScan.join(broadcast(qDf),
+        col("cluster") === col("pcluster") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (col("qm") + ProductQuantizer.adcDotCol).as("dot"),
+        col("nq"), col("npq").as("nc"))
+    val shortIds = pairs.groupBy(col("query_id"))
+      .agg(expr(s"topk_cos(struct(vec_id, dot, nq, nc), $shortK)").as("top"))
+      .select(col("query_id"), explode(col("top.vec_id")).as("vec_id"))
+      .join(broadcast(qDf.select(col("query_id"), col("qq"), col("nq"))
+        .dropDuplicates("query_id")), "query_id")
+    val rerank = index.select(col("vec_id"), col("q"), col("nsq"))
+      .join(broadcast(shortIds), "vec_id")
+    val cosE = expr("dot_i64(qq, q)") /
+      sqrt(col("nq").cast("double") * col("nsq").cast("double"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(cosE.desc, col("vec_id"))
+    rerank.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= topK)
+      .select(col("query_id"), col("vec_id"), col("rnk"),
+        round(cosE, 4).as("cos_sim"))
+  }
+
   /** MULTI-PROBE over the PQ-coded index — the production ANN
     * configuration (IVFADC with nprobe > 1): each query's `nprobe`
     * nearest trained centroids are ranked on the driver from the

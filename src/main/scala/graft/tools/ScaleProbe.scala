@@ -51,6 +51,7 @@ object ScaleProbe {
       "q_ann_ivf_incremental_multiprobe", "q_ann_ivf_pq",
       "q_ann_ivf_pq_incremental", "q_ann_ivf_pq_residual",
       "q_ann_ivf_pq_residual_incremental", "q_ann_ivf_pq_incremental_multiprobe",
+      "q_ann_ivf_pq_residual_incremental_multiprobe",
       "q_ann_ivf_incremental_delete", "q_ann_ivf_incremental_compact",
       "q_ann_bruteforce_topk", "q_ann_sq8_rerank")
     val queries = sys.env.get("SPARK_GRAFT_PROBE_QUERIES")

@@ -153,6 +153,16 @@ class SimilaritySpec extends SparkSpec {
       s"PQ nprobe=2 recall $multiRecall must beat nprobe=1 $singleRecall of ${truth.size}")
   }
 
+  test("residual-PQ multi-probe (full IVFADC config): strict recall win over single-probe residual") {
+    val truth = pairs("q_ann_bruteforce_topk")
+    val single = pairs("q_ann_ivf_pq_residual_incremental")
+    val multi = pairs("q_ann_ivf_pq_residual_incremental_multiprobe")
+    val singleRecall = (single intersect truth).size
+    val multiRecall = (multi intersect truth).size
+    assert(multiRecall > singleRecall,
+      s"residual-PQ nprobe=2 recall $multiRecall must beat nprobe=1 $singleRecall of ${truth.size}")
+  }
+
   test("IVF+SQ8 composed probe: recall bounded by IVF stage, codes lose little") {
     val ivf = pairs("q_ann_ivf_topk")
     val ivfSq8 = pairs("q_ann_ivf_sq8")
