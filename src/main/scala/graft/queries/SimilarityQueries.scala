@@ -777,6 +777,40 @@ object SimilarityQueries {
         s.read.parquet(s"$wh/ivf_centroids"), NQueries, TopK, NProbe)
     },
 
+    // ---- the SAME multi-probe search through the scan-local
+    // kernelTopN ranking (the streaming-safe path: probe lists
+    // computed inside each query's scan task, not on the driver) —
+    // hash-checked against the SAME oracle as the driver-ranked form,
+    // so the driver verifies the two ranking homes agree bit-for-bit
+    // on top of the spec's fixture pin.
+    Q.sql(
+      "q_ann_ivf_incremental_multiprobe_kernel",
+      ivfIncrementalMultiProbeOracleSql
+    ) { (s, dir) =>
+      val e = quantized(s, dir)
+      val b = e.agg(min(col("vec_id")), max(col("vec_id"))).first()
+      val mid = (b.getLong(0) + b.getLong(1)) / 2
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_incivfmpk").toString
+      def build(batch: DataFrame): Unit = {
+        val rpt = new graft.engine.Engine(s, wh,
+          Map("vectors" -> batch, "vectors_training" -> e),
+          graft.similarity.IncrementalIvfIndex.models(
+            "vectors", "vectors_training", Dims)).build()
+        require(rpt.ok, rpt.results.mkString("; "))
+      }
+      build(e.filter(col("vec_id") <= mid))
+      build(e)
+      val index = s.read.parquet(s"$wh/ivf_index")
+      graft.similarity.IncrementalIvfIndex.searchTopKFor(
+        index,
+        index.filter(col("vec_id") < NQueries)
+          .select(col("vec_id"), col("q"), col("nsq")),
+        graft.similarity.CentroidAssign.collectCentroids(
+          s.read.parquet(s"$wh/ivf_centroids")),
+        TopK, nprobe = NProbe)
+    },
+
     // ---- PQ codes stored IN the incremental index: the modelsPQ DAG
     // adds a pq_codebook Table (trained once on the same fixed snapshot
     // as the centroids — frozen-quantizer contract) and stores each
