@@ -106,9 +106,15 @@ object Bench {
           if med >= 0 && (k.contains("_incremental") || b >= 0.2) =>
         "\"" + k + f"""":{"build_s":$b%.3f,"query_s":$q%.3f}"""
     }.mkString("{", ",", "}")
-    def line(qs: String) =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","repeats":$Repeats,"single_shot_total":$singleShot%.3f,"queries":$qs,"phases":$phases,"errors":$errs,"sf":"$sfDir"}"""
-    val full = line(toJson(results))
+    // `ph` is a parameter because the headline line is byte-budgeted to
+    // fit the driver's ~2,000-char stdout tail: in r12 the full phases
+    // map (~1,500 chars) rode along on the headline line and blew that
+    // window, losing the round's bench signal (BENCH_r12 parsed:null).
+    // The full map appears only on the full line / target/bench.json;
+    // the headline line carries an empty object.
+    def line(qs: String, ph: String) =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","repeats":$Repeats,"single_shot_total":$singleShot%.3f,"queries":$qs,"phases":$ph,"errors":$errs,"sf":"$sfDir"}"""
+    val full = line(toJson(results), phases)
     // Full per-query map → file (survives any log truncation).
     try {
       val out = java.nio.file.Paths.get("target", "bench.json")
@@ -130,7 +136,7 @@ object Bench {
     }
     println(full)
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec"}""")
-    println(line(toJson(headline)))
+    println(line(toJson(headline), "{}"))
     spark.stop()
   }
 }
