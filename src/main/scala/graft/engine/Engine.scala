@@ -202,17 +202,10 @@ final class Engine(
     replaceDir(tmp, target)
   }
 
-  /** Replace `target` with the committed contents of `tmp` (local-fs
-    * delete + rename; the object-store analogue is a metadata swap). */
-  private def replaceDir(tmp: String, target: String): Unit = {
-    val dir = new java.io.File(target)
-    def delete(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles.foreach(delete)
-      f.delete(); ()
-    }
-    if (dir.exists) delete(dir)
-    require(new java.io.File(tmp).renameTo(dir), s"swap failed for $target")
-  }
+  /** Replace `target` with the committed contents of `tmp` — the shared
+    * crash-safe rename-aside swap ([[DirSwap.replace]]). */
+  private def replaceDir(tmp: String, target: String): Unit =
+    DirSwap.replace(tmp, target)
 
   /** COMPACT an [[Materialization.IncrementalAppend]] model's storage —
     * the maintenance rewrite append-only layouts need at streaming
@@ -227,9 +220,13 @@ final class Engine(
     * pinned in EngineSpec and IncrementalIvfIndexSpec).
     *
     * `tombstones` additionally applies DELETES during the rewrite: rows
-    * whose `watermarkCol` value appears in the tombstone frame are
-    * dropped — physical deletion from an append-only model, the
-    * deletion-vector + rewrite lifecycle of production table formats
+    * whose `keyCol` value (default: the model's watermark column — the
+    * right key when the watermark is a unique row id, like `ivf_index`'s
+    * `vec_id`; pass the row-key column explicitly on models whose
+    * watermark is a non-unique timestamp, where keying on it would
+    * silently delete every row sharing a value) appears in the tombstone
+    * frame are dropped — physical deletion from an append-only model,
+    * the deletion-vector + rewrite lifecycle of production table formats
     * (readers anti-join the same tombstone set at probe time until a
     * compaction retires it). The tombstone set is broadcast-sized by
     * contract: it is bounded by compaction cadence, not corpus size.
@@ -244,28 +241,44 @@ final class Engine(
     * and resurrecting — deleted history.
     *
     * Crash-safe via write-swap: the rewrite lands in a staging dir and
-    * replaces the original only after committing, so a torn compaction
-    * leaves the original readable. Returns the compacted row count
-    * (markers excluded). */
-  def compact(name: String, tombstones: Option[DataFrame] = None): Long = {
+    * replaces the original only after committing (rename-aside swap —
+    * a recoverable copy exists through the whole window). Returns the
+    * compacted DATA row count: marker rows — this compaction's AND any
+    * earlier compaction's, which are folded into the new frontier
+    * rather than accumulated — are excluded. */
+  def compact(
+      name: String,
+      tombstones: Option[DataFrame] = None,
+      keyCol: Option[String] = None): Long = {
     val m = byName(name)
     val (wm, pcols) = m.materialization match {
       case Materialization.IncrementalAppend(w, p) => (w, p)
       case other => throw new IllegalArgumentException(
         s"compact: ${m.name} is ${other.getClass.getSimpleName}, not IncrementalAppend")
     }
+    val key = keyCol.getOrElse(wm)
     val cur = spark.read.parquet(path(name))
+    // frontier over EVERYTHING, marker rows included — a prior
+    // compaction's marker may itself hold the high-water mark
     val hwmRow = cur.agg(max(col(wm))).first()
     val oldHwm: Any = if (hwmRow.isNullAt(0)) null else hwmRow.get(0)
-    val kept = tombstones.fold(cur) { t =>
-      cur.join(broadcast(t.select(col(wm)).distinct()), Seq(wm), "left_anti")
+    // marker rows (the Incremental idiom: every column null except the
+    // watermark) are split out — the rewrite re-derives ONE marker from
+    // the frontier instead of carrying markers from every past
+    // compaction forward, and they never count as data rows
+    val nonWm = cur.schema.fieldNames.toSeq.filterNot(_ == wm)
+    val markerPred = nonWm.map(col(_).isNull)
+      .reduceOption(_ && _).getOrElse(lit(false))
+    val data = cur.filter(!markerPred)
+    val kept = tombstones.fold(data) { t =>
+      data.join(broadcast(t.select(col(key)).distinct()), Seq(key), "left_anti")
     }
     // one pass: the post-delete frontier (decides the marker) + row count
     val stat = kept.agg(max(col(wm)), count(lit(1))).first()
     val newHwm: Any = if (stat.isNullAt(0)) null else stat.get(0)
     // deletes only remove rows, so max(wm) can only drop: inequality ⇒
-    // the frontier row itself was deleted and its mark must be restated
-    // (works for any orderable watermark type — long, timestamp, ...)
+    // the frontier row was deleted (or lives only in a prior marker) and
+    // its mark must be restated (any orderable watermark type)
     val out =
       if (oldHwm != null && oldHwm != newHwm)
         kept.unionByName(kept.sparkSession.range(1).select(
@@ -282,6 +295,43 @@ final class Engine(
     if (viewsRegistered) registerViews() // refresh pinned file listings
     stat.getLong(1)
   }
+
+  /** Small-files debt of an append-only model's storage: the MAX data
+    * file count across its leaf partition directories (the whole dir for
+    * an unpartitioned model). Every incremental build appends one file
+    * per touched partition, so this is ≈ builds-since-last-compaction —
+    * the number that decides when [[compact]] is due. Local-fs listing
+    * here; on HDFS/object stores this is the same listing the planner
+    * already performs, and table formats expose it as manifest
+    * statistics. */
+  def maxFilesPerPartition(name: String): Int = {
+    def leafCounts(d: java.io.File): Seq[Int] = {
+      val (dirs, files) = d.listFiles.toSeq.partition(_.isDirectory)
+      val dataFiles = files.count(f => f.getName.endsWith(".parquet"))
+      val sub = dirs.flatMap(leafCounts)
+      if (sub.isEmpty) Seq(dataFiles) else sub
+    }
+    val root = new java.io.File(path(name))
+    if (!root.exists) 0 else leafCounts(root).foldLeft(0)(math.max)
+  }
+
+  /** CADENCE-POLICY compaction: run [[compact]] only when the model's
+    * small-files debt ([[maxFilesPerPartition]]) exceeds `maxFiles` —
+    * the engine-owned bound that keeps probe cost tied to bytes, not
+    * file-open overhead, without relying on operator discipline. At
+    * streaming/build cadence call this after every build: it is a
+    * metadata-only listing until the threshold trips, then one
+    * partition-shuffle rewrite resets the debt to one file per
+    * partition. Returns the compacted data row count when a compaction
+    * ran. */
+  def compactIfNeeded(
+      name: String,
+      maxFiles: Int,
+      tombstones: Option[DataFrame] = None,
+      keyCol: Option[String] = None): Option[Long] =
+    if (maxFilesPerPartition(name) > maxFiles)
+      Some(compact(name, tombstones, keyCol))
+    else None
 
   /** Run `write` on `df` and return the row count the write actually
     * produced, harvested from an observed metric ON the write plan itself

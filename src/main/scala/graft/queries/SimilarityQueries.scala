@@ -943,6 +943,82 @@ object SimilarityQueries {
         NQueries, TopK, shortK = TopK * 3, nprobe = NProbe)
     },
 
+    // ---- the SAME multi-probe ADC search through the SCAN-LOCAL
+    // kernel (ProductQuantizer.adcProbeKernel): probe ranking AND the
+    // per-query ADC table computed inside each query's scan task — the
+    // streaming-safe path the driver-side tables of the ad-hoc probes
+    // can't take — hash-checked against the SAME oracle as the
+    // driver-ranked form, so the driver verifies the two ADC homes
+    // agree bit-for-bit (the q_ann_ivf_incremental_multiprobe_kernel
+    // idiom, completed for PQ scoring).
+    Q.sql(
+      "q_ann_ivf_pq_multiprobe_kernel",
+      ivfPqIncrementalMultiProbeOracleSql
+    ) { (s, dir) =>
+      val e = quantized(s, dir)
+      val b = e.agg(min(col("vec_id")), max(col("vec_id"))).first()
+      val mid = (b.getLong(0) + b.getLong(1)) / 2
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_incivfpqk").toString
+      def build(batch: DataFrame): Unit = {
+        val rpt = new graft.engine.Engine(s, wh,
+          Map("vectors" -> batch, "vectors_training" -> e),
+          graft.similarity.IncrementalIvfIndex.modelsPQ(
+            "vectors", "vectors_training", Dims)).build()
+        require(rpt.ok, rpt.results.mkString("; "))
+      }
+      build(e.filter(col("vec_id") <= mid))
+      build(e)
+      val index = s.read.parquet(s"$wh/ivf_index")
+      graft.similarity.IncrementalIvfIndex.searchTopKPQFor(
+        index,
+        index.filter(col("vec_id") < NQueries)
+          .select(col("vec_id"), col("q"), col("nsq")),
+        graft.similarity.CentroidAssign.collectCentroids(
+          s.read.parquet(s"$wh/ivf_centroids")),
+        graft.similarity.ProductQuantizer.collectCodebook(
+          s.read.parquet(s"$wh/pq_codebook")),
+        means = Map.empty,
+        TopK, shortK = TopK * 3, nprobe = NProbe)
+    },
+
+    // ---- and the COMPLETE production configuration through the same
+    // scan-local kernel: residual codes, nprobe>1, per-probe dot(q,m_c)
+    // numerator terms — all computed in-scan against the broadcast
+    // frozen centroids/codebook/means. Same oracle as the driver-ranked
+    // residual multi-probe ⇒ driver-verified bit-equal.
+    Q.sql(
+      "q_ann_ivf_pq_residual_multiprobe_kernel",
+      ivfPqResidualIncrementalMultiProbeOracleSql
+    ) { (s, dir) =>
+      val e = quantized(s, dir)
+      val b = e.agg(min(col("vec_id")), max(col("vec_id"))).first()
+      val mid = (b.getLong(0) + b.getLong(1)) / 2
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_incivfpqrk").toString
+      def build(batch: DataFrame): Unit = {
+        val rpt = new graft.engine.Engine(s, wh,
+          Map("vectors" -> batch, "vectors_training" -> e),
+          graft.similarity.IncrementalIvfIndex.modelsPQResidual(
+            "vectors", "vectors_training", Dims)).build()
+        require(rpt.ok, rpt.results.mkString("; "))
+      }
+      build(e.filter(col("vec_id") <= mid))
+      build(e)
+      val index = s.read.parquet(s"$wh/ivf_index")
+      graft.similarity.IncrementalIvfIndex.searchTopKPQFor(
+        index,
+        index.filter(col("vec_id") < NQueries)
+          .select(col("vec_id"), col("q"), col("nsq")),
+        graft.similarity.CentroidAssign.collectCentroids(
+          s.read.parquet(s"$wh/ivf_centroids")),
+        graft.similarity.ProductQuantizer.collectCodebook(
+          s.read.parquet(s"$wh/pq_codebook")),
+        graft.similarity.IncrementalIvfIndex.collectMeans(
+          s.read.parquet(s"$wh/ivf_means")),
+        TopK, shortK = TopK * 3, nprobe = NProbe)
+    },
+
     // ---- DELETION from the append-only index, probe-time half: a
     // tombstone set (every 7th non-query vec_id) is anti-joined out of
     // the index read in both roles — broadcast-sized by the

@@ -297,7 +297,12 @@ object IncrementalIvfIndex {
     * shared residual-codebook ADC tables, the partition-pruned
     * code-only candidate scan, the bounded topk_cos shortlist (rows
     * from all probed clusters merge per query), and the exact re-rank
-    * are exactly [[searchTopKPQResidual]]'s. */
+    * are exactly [[searchTopKPQResidual]]'s. The ADC table is identical
+    * across a query's probe rows, so it rides a SEPARATE query-keyed
+    * broadcast frame (joined on query_id after the probe match) instead
+    * of being duplicated into every (query, probed-cluster) row — the
+    * probe-row broadcast stays (query_id, pcluster, qm)-thin at any
+    * nprobe. */
   def searchTopKPQResidualMultiProbe(
       index: DataFrame,
       codebook: DataFrame,
@@ -327,31 +332,35 @@ object IncrementalIvfIndex {
         val c = java.lang.Double.compare(a._2, b._2)
         c > 0 || (c == 0 && a._1 < b._1)
       }
-      val adc = ProductQuantizer.adcTable(q, cb)
       ranked.take(nprobe).map { case (pc, _) =>
         val mc = meanByCluster(pc)
         var qm = 0L
         var i = 0
         while (i < q.length) { qm += q(i) * mc(i); i += 1 }
-        (id, pc, q.toSeq, nsq, qm, adc)
+        (id, pc, qm)
       }
     }
     val probeSet = qRowsExp.map(_._2).distinct.sorted
-    val qDf = qRowsExp.toSeq
-      .toDF("query_id", "pcluster", "qq", "nq", "qm", "adc")
+    val qDf = qRowsExp.toSeq.toDF("query_id", "pcluster", "qm")
+    // per-QUERY frame: the ADC table (identical across a query's probe
+    // rows) + query vector/norm, broadcast once per query
+    val adcDf = qRows.toSeq.map { case (id, q, nsq) =>
+      (id, q.toSeq, nsq, ProductQuantizer.adcTable(q, cb))
+    }.toDF("query_id", "qq", "nq", "adc")
     val codesScan = index
       .select(col("cluster"), col("vec_id"), col("codes"), col("npq"))
       .filter(col("cluster").isin(probeSet.map(Int.box): _*))
     val pairs = codesScan.join(broadcast(qDf),
         col("cluster") === col("pcluster") && col("vec_id") =!= col("query_id"))
+      .join(broadcast(adcDf.select(col("query_id"), col("adc"), col("nq"))),
+        "query_id")
       .select(col("query_id"), col("vec_id"),
         (col("qm") + ProductQuantizer.adcDotCol).as("dot"),
         col("nq"), col("npq").as("nc"))
     val shortIds = pairs.groupBy(col("query_id"))
       .agg(expr(s"topk_cos(struct(vec_id, dot, nq, nc), $shortK)").as("top"))
       .select(col("query_id"), explode(col("top.vec_id")).as("vec_id"))
-      .join(broadcast(qDf.select(col("query_id"), col("qq"), col("nq"))
-        .dropDuplicates("query_id")), "query_id")
+      .join(broadcast(adcDf.select(col("query_id"), col("qq"), col("nq"))), "query_id")
     val rerank = index.select(col("vec_id"), col("q"), col("nsq"))
       .join(broadcast(shortIds), "vec_id")
     val cosE = expr("dot_i64(qq, q)") /
@@ -417,6 +426,88 @@ object IncrementalIvfIndex {
       .agg(expr(s"topk_cos(struct(vec_id, dot, nq, nc), $shortK)").as("top"))
       .select(col("query_id"), explode(col("top.vec_id")).as("vec_id"))
       .join(broadcast(qDf.select(col("query_id"), col("qq"), col("nq"))), "query_id")
+    val rerank = index.select(col("vec_id"), col("q"), col("nsq"))
+      .join(broadcast(shortIds), "vec_id")
+    val cosE = expr("dot_i64(qq, q)") /
+      sqrt(col("nq").cast("double") * col("nsq").cast("double"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(cosE.desc, col("vec_id"))
+    rerank.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= topK)
+      .select(col("query_id"), col("vec_id"), col("rnk"),
+        round(cosE, 4).as("cos_sim"))
+  }
+
+  /** Collect an `ivf_means` table to its k-row driver map — the
+    * broadcast-state shape [[searchTopKPQFor]] /
+    * [[graft.streaming.Streaming.vectorSearchStreamPQ]] take (same
+    * budget contract as [[CentroidAssign.collectCentroids]]). */
+  def collectMeans(means: DataFrame): Map[Int, Array[Long]] = {
+    val s = means.sparkSession
+    import s.implicits._
+    means.select(col("cluster"), col("mc"))
+      .as[(Int, Array[Long])].collect().toMap
+  }
+
+  /** SCAN-LOCAL ADC probe of a PQ or residual-PQ index for EXTERNAL
+    * query vectors `(vec_id, q, nsq)` — the PQ analogue of
+    * [[searchTopKFor]], and the form
+    * [[graft.streaming.Streaming.vectorSearchStreamPQ]] runs per
+    * micro-batch: probe RANKING and the per-query ADC table are both
+    * computed inside the query's scan task by
+    * [[ProductQuantizer.adcProbeKernel]] against the broadcast frozen
+    * centroids + codebook (+ k-row means map for the residual layout) —
+    * NO driver collect, unlike the ad-hoc [[searchTopKPQ]] family whose
+    * driver-side ADC tables are fine for driver-sized query batches but
+    * would serialize a continuous stream on the driver.
+    *
+    * Join shape, built for runtime pruning: the kernel's probe lists are
+    * EXPLODED into one `(query_id, cluster, qm)` row per probe and
+    * equi-joined on `cluster`, so the candidate scan is a
+    * BroadcastHashJoin over the cluster-partitioned layout and dynamic
+    * partition pruning applies (an `array_contains` match would plan as
+    * a BroadcastNestedLoopJoin — full-index scan every batch). The ADC
+    * table rides a SEPARATE query-keyed broadcast frame joined after the
+    * probe match, so it is broadcast once per QUERY, not once per probe
+    * row. Candidates read ONLY `(cluster, vec_id, codes, npq)`;
+    * scoring is `qm + Σ_m adc[m][codes[m]]` (the IVFADC numerator —
+    * `qm = 0` for the non-residual layout); the bounded topk_cos
+    * aggregate shortlists `shortK` per query map-side; full vectors are
+    * touched only for the exact re-rank. Ranking, scoring, and tie
+    * order are bit-equal to the driver-ranked ad-hoc forms —
+    * `q_ann_ivf_pq_*_kernel` hash-check this path against the SAME
+    * oracles as the driver-ranked entries. */
+  def searchTopKPQFor(
+      index: DataFrame,
+      queries: DataFrame,
+      cents: Array[(Int, Array[Long], Long)],
+      cb: ProductQuantizer.Codebook,
+      means: Map[Int, Array[Long]],
+      topK: Int,
+      shortK: Int,
+      nprobe: Int): DataFrame = {
+    val s = index.sparkSession
+    graft.functions.GraftFunctions.register(s)
+    val kq = ProductQuantizer.adcProbeKernel(
+      queries.select(col("vec_id"), col("q"), col("nsq")), cents, cb, means, nprobe)
+    val probeRows = kq.select(col("vec_id").as("query_id"),
+        explode(arrays_zip(col("probes"), col("qms"))).as("p"))
+      .select(col("query_id"), col("p.probes").as("pcluster"), col("p.qms").as("qm"))
+    val adcFrame = kq.select(col("vec_id").as("query_id"),
+      col("adc"), col("nsq").as("nq"))
+    val pairs = index
+      .select(col("cluster"), col("vec_id"), col("codes"), col("npq"))
+      .join(broadcast(probeRows),
+        col("cluster") === col("pcluster") && col("vec_id") =!= col("query_id"))
+      .join(broadcast(adcFrame), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        (col("qm") + ProductQuantizer.adcDotCol).as("dot"),
+        col("nq"), col("npq").as("nc"))
+    val qFrame = kq.select(col("vec_id").as("query_id"),
+      col("q").as("qq"), col("nsq").as("nq"))
+    val shortIds = pairs.groupBy(col("query_id"))
+      .agg(expr(s"topk_cos(struct(vec_id, dot, nq, nc), $shortK)").as("top"))
+      .select(col("query_id"), explode(col("top.vec_id")).as("vec_id"))
+      .join(broadcast(qFrame), "query_id")
     val rerank = index.select(col("vec_id"), col("q"), col("nsq"))
       .join(broadcast(shortIds), "vec_id")
     val cosE = expr("dot_i64(qq, q)") /
@@ -572,13 +663,22 @@ object IncrementalIvfIndex {
             expr("dot_i64(qq, q)").as("dot"), col("nq"), col("nsq").as("nc")),
         topK)
     } else {
+      // one (query, probed cluster) row per probe, EQUI-joined on
+      // cluster: an array_contains match would plan as a
+      // BroadcastNestedLoopJoin — no partition pruning, full-index scan
+      // every micro-batch — while the equi-join is a BroadcastHashJoin
+      // and dynamic partition pruning reaches the cluster-partitioned
+      // scan exactly as in the single-probe branch. Probe lists are
+      // distinct per query and every candidate lives in exactly one
+      // cluster, so the explode introduces no duplicate pairs.
       val qs = CentroidAssign.kernelTopN(
           queries.select(col("vec_id"), col("q"), col("nsq")), cents, nprobe)
-        .select(col("vec_id").as("query_id"), col("probes"),
+        .select(col("vec_id").as("query_id"),
+          explode(col("probes")).as("pcluster"),
           col("q").as("qq"), col("nsq").as("nq"))
       topkTail(
         index.join(broadcast(qs),
-            array_contains(col("probes"), index("cluster")) &&
+            index("cluster") === qs("pcluster") &&
               col("vec_id") =!= col("query_id"))
           .select(col("query_id"), col("vec_id"),
             expr("dot_i64(qq, q)").as("dot"), col("nq"), col("nsq").as("nc")),

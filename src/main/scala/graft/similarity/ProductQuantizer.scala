@@ -194,4 +194,91 @@ object ProductQuantizer {
     (0 until M).map(m =>
       element_at(element_at(col("adc"), m + 1), element_at(col("codes"), m + 1) + 1))
       .reduce(_ + _)
+
+  /** SCAN-LOCAL probe preparation for a PQ/IVFADC read: rank each
+    * `(vec_id, q, nsq)` query row's top-`nprobe` coarse clusters AND
+    * build its ADC lookup table INSIDE the query's scan task, against
+    * the broadcast frozen centroids + codebook — no driver collect, so
+    * the form composes with a continuous micro-batch loop (the same
+    * move [[graft.similarity.CentroidAssign.kernelTopN]] made for
+    * cluster RANKING in the raw-vector path; this completes it for ADC
+    * SCORING, which [[graft.similarity.IncrementalIvfIndex]]'s ad-hoc
+    * probes still do driver-side per their driver-sized-query-batch
+    * contract).
+    *
+    * Emits `(vec_id, probes, qms, adc, q, nsq)`: `probes` = the
+    * top-`nprobe` cluster labels by (cos DESC, label ASC) — identical
+    * insertion-order math to kernelTopN, so position 0 is exactly
+    * [[graft.similarity.CentroidAssign.kernel]]'s argmax and the whole
+    * list is bit-equal to the driver-side ranking the oracle-checked
+    * ad-hoc probes use; `qms(i)` = the IVFADC numerator term
+    * `dot(q, m_probes(i))` against `means` (all-zero when `means` is
+    * empty — the non-residual layout, whose codes quantize raw
+    * vectors); `adc` = the M×256 integer lookup table of
+    * [[adcTable]]. Everything integer-exact; per-row cost is
+    * k·Dims + M·256·SubDims multiplies, independent of corpus size. */
+  def adcProbeKernel(
+      vecs: DataFrame,
+      cents: Array[(Int, Array[Long], Long)],
+      cb: Codebook,
+      means: Map[Int, Array[Long]],
+      nprobe: Int): DataFrame = {
+    val s = vecs.sparkSession
+    import s.implicits._
+    val bc = s.sparkContext.broadcast((cents, cb, means))
+    vecs.selectExpr("vec_id", "q", "nsq")
+      .as[(Long, Array[Long], Long)]
+      .mapPartitions { it =>
+        val (cs, book, ms) = bc.value
+        val take = math.min(nprobe, cs.length)
+        it.map { case (id, q, nsq) =>
+          // top-`take` clusters by (cos DESC, label ASC): strictly-
+          // greater moves up, ascending-label scan keeps ties in label
+          // order — kernelTopN's exact contract
+          val selCos = new Array[Double](take)
+          val selL = new Array[Int](take)
+          var filled = 0
+          var j = 0
+          while (j < cs.length) {
+            val (l, c, ncsq) = cs(j)
+            var dot = 0L
+            var i = 0
+            while (i < q.length) { dot += q(i) * c(i); i += 1 }
+            val cos = dot / math.sqrt(nsq.toDouble * ncsq.toDouble)
+            var slot = filled
+            while (slot > 0 && java.lang.Double.compare(cos, selCos(slot - 1)) > 0) slot -= 1
+            if (slot < take) {
+              val last = math.min(filled, take - 1)
+              var m = last
+              while (m > slot) {
+                selCos(m) = selCos(m - 1); selL(m) = selL(m - 1); m -= 1
+              }
+              selCos(slot) = cos
+              selL(slot) = l
+              if (filled < take) filled += 1
+            }
+            j += 1
+          }
+          val probes = selL.take(filled)
+          val qms = probes.map { pc =>
+            ms.get(pc).fold(0L) { mc =>
+              var d = 0L
+              var i = 0
+              while (i < q.length) { d += q(i) * mc(i); i += 1 }
+              d
+            }
+          }
+          val adc = (0 until M).map { m =>
+            (0 until CodebookSize).map { c =>
+              val ent = book.ent(m)(c)
+              var d = 0L
+              var j2 = 0
+              while (j2 < SubDims) { d += q(m * SubDims + j2) * ent(j2); j2 += 1 }
+              d
+            }
+          }
+          (id, probes.toSeq, qms.toSeq, adc, q, nsq)
+        }
+      }.toDF("vec_id", "probes", "qms", "adc", "q", "nsq")
+  }
 }

@@ -288,13 +288,10 @@ object Streaming {
       .write.mode("overwrite")
       .partitionBy("cluster", "batch_id")
       .parquet(tmp)
-    val dir = new java.io.File(targetDir)
-    def delete(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles.foreach(delete)
-      f.delete(); ()
-    }
-    if (dir.exists) delete(dir)
-    require(new java.io.File(tmp).renameTo(dir), s"swap failed for $targetDir")
+    // shared rename-aside swap: unlike an engine model, a streaming
+    // target may not be rebuildable once source batches are retired, so
+    // the swap must never pass through a state with no readable copy
+    graft.engine.DirSwap.replace(tmp, targetDir)
     n
   }
 
@@ -340,6 +337,64 @@ object Streaming {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         graft.similarity.IncrementalIvfIndex
           .searchTopKFor(index, batch, cents, topK, nprobe)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(targetDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** The READ side over the PRODUCTION (PQ / residual-PQ) index layout —
+    * the ADC-scored twin of [[vectorSearchStream]], which completes the
+    * streaming lifecycle: [[vectorIndexStreamPQ]] builds the layout, this
+    * probes it, [[compactVectorIndex]] maintains it. Each arriving query
+    * flows through [[graft.similarity.IncrementalIvfIndex
+    * .searchTopKPQFor]]: probe ranking AND the per-query ADC lookup
+    * table are computed INSIDE the query's scan task against the
+    * broadcast frozen centroids + ≈128 KB codebook
+    * ([[graft.similarity.ProductQuantizer.adcProbeKernel]]) — the ad-hoc
+    * PQ probes' driver-side ADC tables are fine for driver-sized query
+    * batches but would serialize a continuous micro-batch loop on the
+    * driver. Candidates come from an EQUI-join on the exploded probe
+    * list (BroadcastHashJoin + dynamic partition pruning over the
+    * cluster-partitioned scan, reading only the code columns), scoring
+    * is integer table lookups, the shortlist reduce is the bounded
+    * topk_cos aggregate (per-batch state ≤ shortK rows per query), and
+    * only the shortlist's full vectors are re-read for the exact
+    * re-rank.
+    *
+    * Pass `means` (the `ivf_means` table collected to its k-row map) for
+    * a residual-PQ index — the kernel then adds each probe's
+    * `dot(q, m_c)` IVFADC numerator term; empty for the plain-PQ layout.
+    * Same exactly-once contract as [[vectorSearchStream]]: batch results
+    * land in a `batch_id` partition with dynamic overwrite, so replays
+    * are idempotent. StreamingSpec pins stream ≡ batch
+    * `searchTopKPQFor` ≡ the driver-ranked `searchTopKPQ[MultiProbe]`
+    * on the same index, and no duplication under restart. */
+  def vectorSearchStreamPQ(
+      spark: SparkSession,
+      querySourceDir: String,
+      indexDir: String,
+      targetDir: String,
+      checkpointDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      cents: Array[(Int, Array[Long], Long)],
+      cb: graft.similarity.ProductQuantizer.Codebook,
+      means: Map[Int, Array[Long]],
+      topK: Int,
+      shortK: Int,
+      nprobe: Int = 1): Unit = {
+    val index = spark.read.parquet(indexDir)
+    val q = spark.readStream.schema(schema).parquet(querySourceDir)
+      .writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.similarity.IncrementalIvfIndex
+          .searchTopKPQFor(index, batch, cents, cb, means, topK, shortK, nprobe)
           .withColumn("batch_id", lit(batchId))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")

@@ -218,6 +218,81 @@ class EngineSpec extends SparkSpec {
       .filter($"k".isNotNull).count() == 4)
   }
 
+  test("compact: keyed tombstones don't over-delete shared watermarks; repeated compactions fold markers") {
+    val dir = tmpDir("engcmpk")
+    var batch = Seq.empty[(Long, Timestamp, String)]
+    val m = Model("log", Seq(),
+      Materialization.IncrementalAppend("ingested_at", Seq("k")))((_, _) =>
+      batch.toDF("id", "ingested_at", "k"))
+    val e = new Engine(spark, dir, Map.empty, Seq(m))
+    def send(rows: (Long, String, String)*): Unit = {
+      batch = batch ++ rows.map { case (id, ts, k) =>
+        (id, Timestamp.valueOf(ts), k)
+      }
+      assert(e.build().ok)
+    }
+    // rows 1 and 2 SHARE the watermark timestamp; row 4 holds the frontier
+    send((1L, "2024-01-01 00:00:00", "a"), (2L, "2024-01-01 00:00:00", "b"))
+    send((3L, "2024-01-02 00:00:00", "a"), (4L, "2024-01-03 00:00:00", "a"))
+
+    // keyed tombstone on the unique id: deletes ONLY row 1, not row 2
+    // (a watermark-keyed tombstone would silently take both) — and the
+    // count is the surviving data rows
+    assert(e.compact("log", Some(Seq(1L).toDF("id")), keyCol = Some("id")) == 3)
+    val afterFirst = spark.read.parquet(s"$dir/log")
+    assert(afterFirst.filter($"id" === 2L).count() == 1)
+    assert(afterFirst.filter($"id" === 1L).count() == 0)
+
+    // delete the frontier row (id=4): its mark is restated as a marker
+    assert(e.compact("log", Some(Seq(4L).toDF("id")), keyCol = Some("id")) == 2)
+    def markers() = spark.read.parquet(s"$dir/log").filter($"id".isNull)
+    assert(markers().count() == 1)
+    assert(markers().agg(max($"ingested_at")).first().getTimestamp(0)
+      == Timestamp.valueOf("2024-01-03 00:00:00"))
+
+    // a FURTHER compaction folds the prior marker into the new one
+    // (still exactly one, still carrying the frontier) and keeps
+    // excluding markers from the count
+    assert(e.compact("log", Some(Seq(3L).toDF("id")), keyCol = Some("id")) == 1)
+    assert(markers().count() == 1)
+    assert(spark.read.parquet(s"$dir/log")
+      .agg(max($"ingested_at")).first().getTimestamp(0)
+      == Timestamp.valueOf("2024-01-03 00:00:00"))
+    // the restated frontier still gates: re-sending history appends nothing
+    assert(e.build()("log").rows == 0)
+  }
+
+  test("compactIfNeeded: files-per-partition threshold gates the rewrite") {
+    val dir = tmpDir("engcmpt")
+    var batch = Seq.empty[(Long, Timestamp, String)]
+    val m = Model("log", Seq(),
+      Materialization.IncrementalAppend("ingested_at", Seq("k")))((_, _) =>
+      batch.toDF("id", "ingested_at", "k"))
+    val e = new Engine(spark, dir, Map.empty, Seq(m))
+    def send(rows: (Long, String, String)*): Unit = {
+      batch = batch ++ rows.map { case (id, ts, k) =>
+        (id, Timestamp.valueOf(ts), k)
+      }
+      assert(e.build().ok)
+    }
+    send((1L, "2024-01-01 00:00:00", "a"))
+    send((2L, "2024-01-02 00:00:00", "a"))
+    send((3L, "2024-01-03 00:00:00", "a"), (4L, "2024-01-03 00:00:00", "b"))
+    assert(e.maxFilesPerPartition("log") == 3)
+    // below threshold: listing only, no rewrite
+    assert(e.compactIfNeeded("log", maxFiles = 3).isEmpty)
+    assert(e.maxFilesPerPartition("log") == 3)
+    // over threshold: one rewrite → one file per partition, rows intact
+    val before = spark.read.parquet(s"$dir/log")
+      .as[(Long, Timestamp, String)].collect().toSet
+    assert(e.compactIfNeeded("log", maxFiles = 2).contains(4L))
+    assert(e.maxFilesPerPartition("log") == 1)
+    assert(spark.read.parquet(s"$dir/log")
+      .as[(Long, Timestamp, String)].collect().toSet == before)
+    // debt reset: the same threshold no longer trips
+    assert(e.compactIfNeeded("log", maxFiles = 2).isEmpty)
+  }
+
   test("delete+insert restates only the window's partitions (≡ full refresh)") {
     val dir = tmpDir("eng")
     def fact(rows: Seq[(Long, String, Double)]) = rows.toDF("id", "month", "v")

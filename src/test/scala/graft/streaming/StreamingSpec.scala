@@ -444,4 +444,72 @@ class StreamingSpec extends SparkSpec {
     assert(single.map(t => (t._1, t._2)).subsetOf(multi.map(t => (t._1, t._2))))
     assert(multi.exists(t => t._2 == 7L) && !single.exists(t => t._2 == 7L))
   }
+
+  test("PQ search stream: scan-local ADC read ≡ batch probe ≡ driver-ranked probe, exactly-once under restart") {
+    graft.functions.GraftFunctions.register(spark)
+    val dir = tmpDir("vecsearchadc")
+    val qsrc = s"$dir/qsrc"; val tgt = s"$dir/tgt"; val ckp = s"$dir/ckp"
+    // engine-built RESIDUAL-PQ index (the full IVFADC production layout)
+    // over the 64-dim corpus
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"label".cast("int").as("label"),
+        transform($"embedding", x => round(x * 100, 0).cast("long")).as("q"))
+      .withColumn("nsq", expr("dot_i64(q, q)"))
+      .localCheckpoint()
+    val engDir = tmpDir("vecsearchadc_eng")
+    val rpt = new graft.engine.Engine(spark, engDir,
+      Map("vectors" -> e, "vectors_training" -> e),
+      graft.similarity.IncrementalIvfIndex.modelsPQResidual(
+        "vectors", "vectors_training", 64)).build()
+    assert(rpt.ok, rpt.results.mkString("; "))
+    val cents = graft.similarity.CentroidAssign.collectCentroids(
+      spark.read.parquet(s"$engDir/ivf_centroids"))
+    val cb = graft.similarity.ProductQuantizer.collectCodebook(
+      spark.read.parquet(s"$engDir/pq_codebook"))
+    val means = graft.similarity.IncrementalIvfIndex.collectMeans(
+      spark.read.parquet(s"$engDir/ivf_means"))
+    val index = spark.read.parquet(s"$engDir/ivf_index")
+    val queries = e.filter($"vec_id" < 5).select($"vec_id", $"q", $"nsq")
+      .localCheckpoint()
+    val schema = queries.schema
+    def run(): Unit = Streaming.vectorSearchStreamPQ(
+      spark, qsrc, s"$engDir/ivf_index", tgt, ckp, schema,
+      cents, cb, means, topK = 10, shortK = 30, nprobe = 2)
+    def hits() = spark.read.parquet(tgt)
+      .select($"query_id", $"vec_id", $"rnk")
+      .as[(Long, Long, Int)].collect().toSet
+
+    // two query micro-batches through the ADC stream — the union must
+    // equal one batch `searchTopKPQFor` over all queries (per-query
+    // results are independent of batching)
+    queries.filter($"vec_id" < 2).write.mode("append").parquet(qsrc)
+    run()
+    queries.filter($"vec_id" >= 2).write.mode("append").parquet(qsrc)
+    run()
+    val batchTruth = graft.similarity.IncrementalIvfIndex
+      .searchTopKPQFor(index, queries, cents, cb, means,
+        topK = 10, shortK = 30, nprobe = 2)
+      .select($"query_id", $"vec_id", $"rnk")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(hits() == batchTruth)
+    assert(batchTruth.nonEmpty)
+
+    // …and the scan-local path agrees with the DRIVER-ranked ad-hoc
+    // probe on the same index (ranking + ADC scoring homes bit-equal)
+    val driverTruth = graft.similarity.IncrementalIvfIndex
+      .searchTopKPQResidualMultiProbe(index,
+        spark.read.parquet(s"$engDir/pq_codebook"),
+        spark.read.parquet(s"$engDir/ivf_means"),
+        spark.read.parquet(s"$engDir/ivf_centroids"),
+        nQueries = 5, topK = 10, shortK = 30, nprobe = 2)
+      .select($"query_id", $"vec_id", $"rnk")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(batchTruth == driverTruth)
+
+    // restart with no new queries: checkpoint offsets + the idempotent
+    // batch_id sink ⇒ nothing reprocessed, nothing duplicated
+    val n = spark.read.parquet(tgt).count()
+    run()
+    assert(spark.read.parquet(tgt).count() == n)
+  }
 }
