@@ -42,6 +42,32 @@ import org.apache.spark.sql.SparkSession
   * masquerade as a fast success.
   */
 object Bench {
+  /** Stdout-tail byte budget for the headline line: the driver keeps
+    * only a ~2,000-char tail, so the LAST printed line must stay under
+    * it whole — r12 lost its bench signal when the full phases map rode
+    * along and blew the window. BenchLineSpec pins the invariant. */
+  val HeadlineBudget = 1400
+
+  def toJson(rs: Seq[(String, Double)]): String =
+    rs.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}")
+
+  /** One bench output line. `ph` is a parameter because the headline
+    * line is byte-budgeted (empty object there); the full phases map
+    * appears only on the full line / target/bench.json. */
+  def line(total: Double, repeats: Int, singleShot: Double,
+      qs: String, ph: String, errs: String, sfDir: String): String =
+    f"""{"metric":"total","value":$total%.3f,"unit":"sec","repeats":$repeats,"single_shot_total":$singleShot%.3f,"queries":$qs,"phases":$ph,"errors":$errs,"sf":"$sfDir"}"""
+
+  /** Greedy slowest-first packing of per-query results into the
+    * headline budget (each entry costs name + ~12 bytes of punctuation
+    * and fixed-width value), returned name-sorted for stable diffs. */
+  def headlinePack(results: Seq[(String, Double)]): Seq[(String, Double)] = {
+    var used = 0
+    results.sortBy { case (_, v) => -v }.takeWhile { case (k, _) =>
+      used += k.length + 12; used <= HeadlineBudget
+    }.sortBy(_._1)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = "/root/testdata/sf0.001"
@@ -91,8 +117,6 @@ object Bench {
     }
     val results = timed.map { case (k, (med, _, _)) => k -> med }
     val failed = results.collect { case (k, v) if v < 0 => k }
-    def toJson(rs: Seq[(String, Double)]): String =
-      rs.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val singleShot = timed.map(_._2._2).filter(_ >= 0).sum
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -106,15 +130,7 @@ object Bench {
           if med >= 0 && (k.contains("_incremental") || b >= 0.2) =>
         "\"" + k + f"""":{"build_s":$b%.3f,"query_s":$q%.3f}"""
     }.mkString("{", ",", "}")
-    // `ph` is a parameter because the headline line is byte-budgeted to
-    // fit the driver's ~2,000-char stdout tail: in r12 the full phases
-    // map (~1,500 chars) rode along on the headline line and blew that
-    // window, losing the round's bench signal (BENCH_r12 parsed:null).
-    // The full map appears only on the full line / target/bench.json;
-    // the headline line carries an empty object.
-    def line(qs: String, ph: String) =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","repeats":$Repeats,"single_shot_total":$singleShot%.3f,"queries":$qs,"phases":$ph,"errors":$errs,"sf":"$sfDir"}"""
-    val full = line(toJson(results), phases)
+    val full = line(total, Repeats, singleShot, toJson(results), phases, errs, sfDir)
     // Full per-query map → file (survives any log truncation).
     try {
       val out = java.nio.file.Paths.get("target", "bench.json")
@@ -123,20 +139,12 @@ object Bench {
     } catch { case _: Throwable => () }
     // The driver keeps only a ~2,000-char stdout tail; the full line is
     // wider than that window, so the LAST line is a headline subset (the
-    // slowest queries, greedily packed to ~1,400 bytes) that always fits
-    // and parses whole. Order: full line (humans/file), bare total
-    // (backup), headline line last (the one the tail parser sees).
-    val budget = 1400
-    val byTime = results.sortBy { case (_, v) => -v }
-    val headline = {
-      var used = 0
-      byTime.takeWhile { case (k, _) =>
-        used += k.length + 12; used <= budget
-      }.sortBy(_._1)
-    }
+    // slowest queries, greedily packed to HeadlineBudget bytes) that
+    // always fits and parses whole. Order: full line (humans/file), bare
+    // total (backup), headline line last (the one the tail parser sees).
     println(full)
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec"}""")
-    println(line(toJson(headline), "{}"))
+    println(line(total, Repeats, singleShot, toJson(headlinePack(results)), "{}", errs, sfDir))
     spark.stop()
   }
 }

@@ -13,10 +13,19 @@ package graft.engine
   * never a state where NO generation of the data exists on disk. The
   * previous delete-then-rename order had exactly that window, which is
   * tolerable for an engine model (rebuildable from sources) but not for
-  * a streaming target whose source batches may be retired. A leftover
-  * `target.old` from a torn earlier swap is cleared first (the rename
-  * into `target` is the commit point, so a surviving `.old` is always
-  * the obsolete generation).
+  * a streaming target whose source batches may be retired.
+  *
+  * The one state a crash can leave that needs more than cleanup is
+  * "target missing, `target.old` present" (crash BETWEEN the
+  * rename-aside and the rename-into-place): there `.old` is the only
+  * surviving generation, and a later writer that recreates `target`
+  * from scratch (e.g. a streaming micro-batch appending to the missing
+  * index dir) would make the next swap's `.old` cleanup destroy the
+  * full history. [[recover]] heals exactly that state — readers and
+  * writers call it before touching a swap-managed directory — and
+  * [[replace]] runs it first, so in every OTHER state a surviving
+  * `.old` is provably the obsolete generation (the rename into
+  * `target` is the commit point) and is safe to clear.
   */
 object DirSwap {
 
@@ -25,11 +34,26 @@ object DirSwap {
     f.delete(); ()
   }
 
-  /** Replace `target` with the committed contents of `tmp`. */
-  def replace(tmp: String, target: String): Unit = {
+  /** Heal a swap torn between rename-aside and rename-into-place: if
+    * `target` is missing but `target.old` exists, the aside copy is the
+    * ONLY generation — rename it back into place. Returns true when a
+    * recovery happened. Call before reading or writing a swap-managed
+    * directory; no-op (false) in every healthy state. */
+  def recover(target: String): Boolean = {
     val dir = new java.io.File(target)
     val old = new java.io.File(target + ".old")
-    if (old.exists) deleteRec(old)
+    if (!dir.exists && old.exists) {
+      require(old.renameTo(dir), s"recovery failed restoring $target from .old")
+      true
+    } else false
+  }
+
+  /** Replace `target` with the committed contents of `tmp`. */
+  def replace(tmp: String, target: String): Unit = {
+    recover(target) // a torn prior swap's .old is the live generation
+    val dir = new java.io.File(target)
+    val old = new java.io.File(target + ".old")
+    if (old.exists) deleteRec(old) // post-recovery, provably obsolete
     if (dir.exists)
       require(dir.renameTo(old), s"swap failed moving $target aside")
     require(new java.io.File(tmp).renameTo(dir), s"swap failed for $target")

@@ -18,7 +18,12 @@ final class UnknownRefException(val refName: String)
   *   (views, skipped nodes). This is the measured counterpart to every
   *   "one exchange" claim in the model scaladocs: a bucketed-input
   *   consumer should show ~0 here while the bucketed write upstream
-  *   pays the shuffle once. */
+  *   pays the shuffle once.
+  * @param maxFilesPerPartition small-files debt of an IncrementalAppend
+  *   model's storage AFTER this build ([[Engine.maxFilesPerPartition]]
+  *   ≈ builds-since-last-compaction) — surfaced per build so CI watches
+  *   layout debt from the artifact instead of re-listing the store; −1
+  *   for every other materialization. */
 final case class NodeResult(
     name: String,
     status: String, // "ok" | "test_failed" | "skipped_upstream" | "error"
@@ -26,7 +31,8 @@ final case class NodeResult(
     failedChecks: Seq[String] = Nil,
     error: Option[String] = None,
     shuffleBytes: Long = -1L,
-    elapsedMs: Long = -1L)
+    elapsedMs: Long = -1L,
+    maxFilesPerPartition: Int = -1)
 
 final case class BuildReport(results: Seq[NodeResult]) {
   def ok: Boolean = results.forall(_.status == "ok")
@@ -222,9 +228,10 @@ final class Engine(
     * `tombstones` additionally applies DELETES during the rewrite: rows
     * whose `keyCol` value (default: the model's watermark column — the
     * right key when the watermark is a unique row id, like `ivf_index`'s
-    * `vec_id`; pass the row-key column explicitly on models whose
-    * watermark is a non-unique timestamp, where keying on it would
-    * silently delete every row sharing a value) appears in the tombstone
+    * `vec_id`; on a TIME-typed watermark the default is an ERROR, not a
+    * footgun — keying deletes on a non-unique timestamp would silently
+    * drop every row sharing a value, so such models must pass the key
+    * column explicitly) appears in the tombstone
     * frame are dropped — physical deletion from an append-only model,
     * the deletion-vector + rewrite lifecycle of production table formats
     * (readers anti-join the same tombstone set at probe time until a
@@ -257,7 +264,21 @@ final class Engine(
         s"compact: ${m.name} is ${other.getClass.getSimpleName}, not IncrementalAppend")
     }
     val key = keyCol.getOrElse(wm)
+    DirSwap.recover(path(name)) // heal a swap torn mid-rename before reading
     val cur = spark.read.parquet(path(name))
+    // Guard the documented footgun: defaulting the tombstone key to the
+    // watermark is only sound when the watermark is a unique row id. A
+    // time-typed watermark (timestamp/date) is non-unique by nature —
+    // one tombstone value would silently delete EVERY row sharing it —
+    // so tombstones against such a model require an explicit keyCol.
+    if (tombstones.nonEmpty && keyCol.isEmpty) {
+      import org.apache.spark.sql.types.{DateType, TimestampType, TimestampNTZType}
+      val wmType = cur.schema(wm).dataType
+      require(!Seq(DateType, TimestampType, TimestampNTZType).contains(wmType),
+        s"compact($name): tombstones need an explicit keyCol — the watermark " +
+          s"'$wm' is $wmType-typed (non-unique), so keying deletes on it would " +
+          "drop every row sharing a tombstoned value")
+    }
     // frontier over EVERYTHING, marker rows included — a prior
     // compaction's marker may itself hold the high-water mark
     val hwmRow = cur.agg(max(col(wm))).first()
@@ -309,7 +330,11 @@ final class Engine(
       val (dirs, files) = d.listFiles.toSeq.partition(_.isDirectory)
       val dataFiles = files.count(f => f.getName.endsWith(".parquet"))
       val sub = dirs.flatMap(leafCounts)
-      if (sub.isEmpty) Seq(dataFiles) else sub
+      // a mixed layout (data files ALONGSIDE partition dirs) still owes
+      // its loose files to the debt count, not just its leaf dirs
+      if (sub.isEmpty) Seq(dataFiles)
+      else if (dataFiles > 0) dataFiles +: sub
+      else sub
     }
     val root = new java.io.File(path(name))
     if (!root.exists) 0 else leafCounts(root).foldLeft(0)(math.max)
@@ -473,9 +498,17 @@ final class Engine(
             None
         }
       }
+      // layout-debt reading for append-only storage: a local-fs listing
+      // here; manifest statistics on a real table format
+      val debt = m.materialization match {
+        case _: Materialization.IncrementalAppend => maxFilesPerPartition(name)
+        case _ => -1
+      }
       if (failed.nonEmpty)
-        NodeResult(name, "test_failed", rows, failed, shuffleBytes = sb, elapsedMs = ms)
-      else NodeResult(name, "ok", rows, shuffleBytes = sb, elapsedMs = ms)
+        NodeResult(name, "test_failed", rows, failed, shuffleBytes = sb,
+          elapsedMs = ms, maxFilesPerPartition = debt)
+      else NodeResult(name, "ok", rows, shuffleBytes = sb, elapsedMs = ms,
+        maxFilesPerPartition = debt)
     } catch {
       case e: Exception => NodeResult(name, "error", 0, error = Some(e.getMessage))
     }
@@ -659,6 +692,8 @@ final class Engine(
     val nodes = report.results.map { r =>
       s"""{"name":"${esc(r.name)}","status":"${esc(r.status)}","rows":${r.rows}""" +
         s""","elapsed_ms":${r.elapsedMs},"shuffle_bytes":${r.shuffleBytes}""" +
+        (if (r.maxFilesPerPartition >= 0)
+          s""","max_files_per_partition":${r.maxFilesPerPartition}""" else "") +
         (if (r.failedChecks.nonEmpty) s""","failed_checks":${arr(r.failedChecks)}""" else "") +
         r.error.map(e => s""","error":"${esc(e)}"""").getOrElse("") + "}"
     }

@@ -63,6 +63,17 @@ object Materialization {
     * cluster reads one cluster's partition, N/k of the data. Appends
     * land inside the partitions their rows belong to; nothing else is
     * touched.
+    *
+    * RESERVED ROW SHAPE: a row with every non-watermark column null is
+    * the engine's frontier MARKER (written by [[Engine.compact]] when a
+    * delete removes the high-water-mark row, so the next build still
+    * appends strictly past the old mark). Compaction classifies such
+    * rows as markers — folds them into the new frontier and excludes
+    * them from data counts — so an IncrementalAppend model's DATA rows
+    * must carry at least one non-null value outside the watermark
+    * column. Models whose rows can legitimately be all-null there
+    * should add a constant discriminator column rather than rely on
+    * this shape.
     */
   final case class IncrementalAppend(
       watermarkCol: String,

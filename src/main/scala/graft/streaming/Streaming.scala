@@ -182,19 +182,36 @@ object Streaming {
     * `batch_id` partitions idempotently (the [[vectorSearchStream]]
     * sink contract) — readers are plain partition-pruned parquet scans
     * (`cluster=` stays the leading partition level), and
-    * [[compactVectorIndex]] can rewrite micro-batch dust freely. */
+    * [[compactVectorIndex]] can rewrite micro-batch dust freely.
+    *
+    * `maintenanceMaxFiles` puts compaction cadence under the ENGINE'S
+    * control instead of operator discipline: at the start of each
+    * micro-batch the accumulated layout's small-files debt
+    * ([[indexFilesPerCluster]]) is checked — a local listing, no Spark
+    * job — and a threshold trip folds every COMMITTED generation into
+    * `batch_id = -1` before the batch appends (`keepFrom = batchId`
+    * keeps a torn earlier attempt of THIS batch replay-safe; see
+    * [[compactVectorIndex]]). */
   def vectorIndexStream(
       spark: SparkSession,
       sourceDir: String,
       targetDir: String,
       checkpointDir: String,
       schema: org.apache.spark.sql.types.StructType,
-      cents: Array[(Int, Array[Long], Long)]): Unit = {
+      cents: Array[(Int, Array[Long], Long)],
+      maintenanceMaxFiles: Option[Int] = None): Unit = {
     val assigned = graft.similarity.CentroidAssign.kernel(
       spark.readStream.schema(schema).parquet(sourceDir), cents)
       .select("vec_id", "cluster", "q", "nsq")
     val q = assigned.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        // recover-before-write: recreating a missing swap-managed dir on
+        // top of a torn compaction would orphan the .old generation
+        graft.engine.DirSwap.recover(targetDir)
+        maintenanceMaxFiles.foreach { mf =>
+          compactVectorIndexIfNeeded(batch.sparkSession, targetDir, mf,
+            keepFrom = batchId)
+        }
         batch.withColumn("batch_id", lit(batchId))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
@@ -218,9 +235,10 @@ object Streaming {
     * re-rank). Both the quantizers (centroids AND codebook) are frozen
     * training-snapshot artifacts by the same contract as the engine
     * DAG; encoding is stateless per row, which keeps it legal inside
-    * the streaming plan. Same idempotent (cluster, batch_id) sink.
-    * StreamingSpec pins stream-built ≡ engine-built, row-for-row and
-    * through the ADC probe. */
+    * the streaming plan. Same idempotent (cluster, batch_id) sink and
+    * the same `maintenanceMaxFiles` cadence-gated compaction as
+    * [[vectorIndexStream]]. StreamingSpec pins stream-built ≡
+    * engine-built, row-for-row and through the ADC probe. */
   def vectorIndexStreamPQ(
       spark: SparkSession,
       sourceDir: String,
@@ -228,7 +246,8 @@ object Streaming {
       checkpointDir: String,
       schema: org.apache.spark.sql.types.StructType,
       cents: Array[(Int, Array[Long], Long)],
-      cb: graft.similarity.ProductQuantizer.Codebook): Unit = {
+      cb: graft.similarity.ProductQuantizer.Codebook,
+      maintenanceMaxFiles: Option[Int] = None): Unit = {
     val PQ = graft.similarity.ProductQuantizer
     val assigned = graft.similarity.CentroidAssign.kernel(
       spark.readStream.schema(schema).parquet(sourceDir), cents)
@@ -237,6 +256,11 @@ object Streaming {
       .withColumn("npq", PQ.npqCol(cb))
     val q = assigned.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.engine.DirSwap.recover(targetDir) // see vectorIndexStream
+        maintenanceMaxFiles.foreach { mf =>
+          compactVectorIndexIfNeeded(batch.sparkSession, targetDir, mf,
+            keepFrom = batchId)
+        }
         batch.withColumn("batch_id", lit(batchId))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
@@ -260,10 +284,21 @@ object Streaming {
     * [[graft.engine.Engine.compact]] is the engine-model twin of this
     * operation). Run it only while the stream is stopped AND its last
     * batch committed: compacting an uncommitted batch's files would
-    * let the replay double them under a fresh batch_id. Resuming the
-    * stream just appends new `batch_id` generations beside `-1` —
-    * checkpoint offsets are untouched because the SOURCE, not the
-    * sink, owns progress.
+    * let the replay double them under a fresh batch_id — UNLESS those
+    * files are excluded via `keepFrom`. Resuming the stream just
+    * appends new `batch_id` generations beside `-1` — checkpoint
+    * offsets are untouched because the SOURCE, not the sink, owns
+    * progress.
+    *
+    * `keepFrom` makes the rewrite safe to run INSIDE the build stream's
+    * micro-batch loop (the [[vectorIndexStream]] `maintenanceMaxFiles`
+    * wiring): generations with `batch_id >= keepFrom` keep their own
+    * batch_id instead of folding into `-1`. At the START of batch N
+    * every generation `< N` is checkpoint-committed (the stream only
+    * reaches batch N after committing N−1), while a torn earlier
+    * attempt of batch N itself — the replay-doubling hazard — carries
+    * `batch_id = N ≥ keepFrom`, stays under its own partition, and the
+    * replay's dynamic overwrite replaces it idempotently.
     *
     * `tombstones` applies vector DELETES during the rewrite (the
     * [[graft.engine.Engine.compact]] lifecycle) — and unlike the
@@ -275,7 +310,9 @@ object Streaming {
   def compactVectorIndex(
       spark: SparkSession,
       targetDir: String,
-      tombstones: Option[DataFrame] = None): Long = {
+      tombstones: Option[DataFrame] = None,
+      keepFrom: Long = Long.MaxValue): Long = {
+    graft.engine.DirSwap.recover(targetDir) // heal a torn prior swap first
     val all = spark.read.parquet(targetDir)
     val cur = tombstones.fold(all) { t =>
       all.join(broadcast(t.select(col("vec_id")).distinct()),
@@ -283,7 +320,8 @@ object Streaming {
     }
     val n = cur.count()
     val tmp = targetDir + ".compact"
-    cur.withColumn("batch_id", lit(-1L))
+    cur.withColumn("batch_id",
+        when(col("batch_id") >= keepFrom, col("batch_id")).otherwise(lit(-1L)))
       .repartition(col("cluster"))
       .write.mode("overwrite")
       .partitionBy("cluster", "batch_id")
@@ -294,6 +332,40 @@ object Streaming {
     graft.engine.DirSwap.replace(tmp, targetDir)
     n
   }
+
+  /** Small-files debt of a streaming index layout: the max parquet-file
+    * count under one `cluster=` partition, summed across its `batch_id`
+    * generations — ≈ micro-batches since the last compaction, the
+    * number that decides when [[compactVectorIndex]] is due (the
+    * streaming twin of [[graft.engine.Engine.maxFilesPerPartition]]).
+    * Local-fs listing; manifest statistics on a real table format. */
+  def indexFilesPerCluster(targetDir: String): Int = {
+    def countParquet(f: java.io.File): Int =
+      if (f.isDirectory) f.listFiles.map(countParquet).sum
+      else if (f.getName.endsWith(".parquet")) 1 else 0
+    val root = new java.io.File(targetDir)
+    if (!root.exists) 0
+    else root.listFiles.toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("cluster="))
+      .map(countParquet).foldLeft(0)(math.max)
+  }
+
+  /** CADENCE-POLICY index maintenance (the streaming twin of
+    * [[graft.engine.Engine.compactIfNeeded]]): compact only when
+    * [[indexFilesPerCluster]] exceeds `maxFiles` — a metadata-only
+    * listing until the threshold trips, then one cluster-shuffle
+    * rewrite resets the debt to one file per cluster (plus any
+    * `keepFrom`-preserved generations). Returns the compacted row count
+    * when a compaction ran. */
+  def compactVectorIndexIfNeeded(
+      spark: SparkSession,
+      targetDir: String,
+      maxFiles: Int,
+      tombstones: Option[DataFrame] = None,
+      keepFrom: Long = Long.MaxValue): Option[Long] =
+    if (indexFilesPerCluster(targetDir) > maxFiles)
+      Some(compactVectorIndex(spark, targetDir, tombstones, keepFrom))
+    else None
 
   /** The READ side of the streaming vector index: arriving QUERY vectors
     * stream against the accumulated cluster-partitioned index
@@ -331,10 +403,17 @@ object Streaming {
       cents: Array[(Int, Array[Long], Long)],
       topK: Int,
       nprobe: Int = 1): Unit = {
-    val index = spark.read.parquet(indexDir)
     val q = spark.readStream.schema(schema).parquet(querySourceDir)
       .writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        // resolve the index PER BATCH, not once at stream start: a
+        // maintenance compaction between micro-batches swaps indexDir's
+        // files, and a listing pinned at start would 404 every later
+        // batch. recover() first heals a swap torn mid-rename. (A swap
+        // concurrent with a RUNNING batch can still lose the race — that
+        // batch fails and the restart replays it idempotently.)
+        graft.engine.DirSwap.recover(indexDir)
+        val index = batch.sparkSession.read.parquet(indexDir)
         graft.similarity.IncrementalIvfIndex
           .searchTopKFor(index, batch, cents, topK, nprobe)
           .withColumn("batch_id", lit(batchId))
@@ -389,10 +468,13 @@ object Streaming {
       topK: Int,
       shortK: Int,
       nprobe: Int = 1): Unit = {
-    val index = spark.read.parquet(indexDir)
     val q = spark.readStream.schema(schema).parquet(querySourceDir)
       .writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        // per-batch index resolution — same maintenance-concurrency
+        // contract as [[vectorSearchStream]]'s foreachBatch
+        graft.engine.DirSwap.recover(indexDir)
+        val index = batch.sparkSession.read.parquet(indexDir)
         graft.similarity.IncrementalIvfIndex
           .searchTopKPQFor(index, batch, cents, cb, means, topK, shortK, nprobe)
           .withColumn("batch_id", lit(batchId))

@@ -53,7 +53,10 @@ object ScaleProbe {
       "q_ann_ivf_pq_residual_incremental", "q_ann_ivf_pq_incremental_multiprobe",
       "q_ann_ivf_pq_residual_incremental_multiprobe",
       "q_ann_ivf_incremental_delete", "q_ann_ivf_incremental_compact",
-      "q_ann_bruteforce_topk", "q_ann_sq8_rerank")
+      "q_ann_bruteforce_topk", "q_ann_sq8_rerank",
+      // r14: the r13 scan-local ADC probes + the r13 bench outliers
+      "q_ann_ivf_pq_multiprobe_kernel", "q_ann_ivf_pq_residual_multiprobe_kernel",
+      "q_pipeline_curation_funnel", "q_ts_resample_locf")
     val queries = sys.env.get("SPARK_GRAFT_PROBE_QUERIES")
       .map(_.split(",").map(_.trim).toSet)
       .fold(allQueries)(sub => allQueries.filter(sub.contains))
@@ -114,6 +117,18 @@ object ScaleProbe {
             "slice(embedding, 1, CAST(rep AS INT) % 64))"))
         .drop("rep")
         .write.mode("overwrite").parquet(s"$scaled/embeddings.parquet")
+      // events: replicas remap user_id AND event_id, so each replica is
+      // a fresh user population with the base per-user series shape —
+      // the hourly-grid/LOCF unit of work per user stays constant and
+      // the USER count grows with the corpus (naive copies would stack
+      // amp observations on the same instants, measuring a different,
+      // artificially-tied workload)
+      spark.read.parquet(s"$dir/events.parquet")
+        .crossJoin(spark.range(amp.toLong).toDF("rep"))
+        .withColumn("event_id", col("event_id") * amp + col("rep"))
+        .withColumn("user_id", col("user_id") * amp + col("rep"))
+        .drop("rep")
+        .write.mode("overwrite").parquet(s"$scaled/events.parquet")
       for (t <- Seq("lineitem", "customer", "nation", "region"))
         spark.read.parquet(s"$dir/$t.parquet")
           .write.mode("overwrite").parquet(s"$scaled/$t.parquet")

@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Regression guard for the r12 bench-signal failure mode: the driver
+  * parses only a ~2,000-char stdout TAIL, so the last line Bench prints
+  * (the headline) must stay under that window whole no matter how many
+  * queries — or how long their names — the board grows. */
+class BenchLineSpec extends AnyFunSuite {
+
+  private def headlineLen(results: Seq[(String, Double)]): Int =
+    Bench.line(
+      total = results.map(_._2).sum,
+      repeats = 3,
+      singleShot = results.map(_._2).sum,
+      qs = Bench.toJson(Bench.headlinePack(results)),
+      ph = "{}",
+      errs = "[]",
+      sfDir = "/root/testdata/sf0.1").length
+
+  test("headline line fits the driver tail for the CURRENT query board") {
+    // worst realistic shape: every registered query present with a
+    // 4-digit-seconds value (f"%.3f" on 9999.999 = 8 chars)
+    val results = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 9999.999)
+    val len = headlineLen(results)
+    assert(len < 2000, s"headline $len chars would blow the driver tail")
+  }
+
+  test("headline packing respects the budget under adversarial growth") {
+    // 500 queries with 60-char names: packing must drop entries, not
+    // stretch the line
+    val results = (1 to 500).map(i =>
+      f"q_adversarially_long_query_name_padding_padding_pad_$i%04d" -> i * 1.0)
+    val len = headlineLen(results)
+    assert(len < 2000, s"headline $len chars")
+    // and the packed subset is the SLOWEST queries (signal, not noise)
+    val packed = Bench.headlinePack(results).map(_._1).toSet
+    assert(packed.contains(results.maxBy(_._2)._1))
+  }
+
+  test("failure sentinels pack AFTER real timings (slowest-first keeps signal)") {
+    // a -1.0 sentinel must never displace a real slow query from the
+    // budget: slowest-first ordering puts sentinels at the very end
+    val results = (1 to 200).map(i => f"q_real_$i%03d" -> (i * 1.0)) :+
+      ("q_dead" -> -1.0)
+    val packed = Bench.headlinePack(results).toMap
+    assert(packed.contains("q_real_200"))
+    if (packed.contains("q_dead")) // only if budget had room for ALL
+      assert(packed.size == results.size)
+  }
+}

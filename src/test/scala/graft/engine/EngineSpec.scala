@@ -203,10 +203,17 @@ class EngineSpec extends SparkSpec {
       .as[(Long, Timestamp, String)].collect().toSet == before)
 
     // tombstone the TIMESTAMP frontier (row 4): the mark must survive
-    // as a marker row, so re-sending the same batch resurrects nothing
+    // as a marker row, so re-sending the same batch resurrects nothing.
+    // Tombstones without an explicit keyCol are an ERROR on a
+    // time-typed watermark (one value could take every row sharing it)
+    // — the delete-by-watermark-value semantics must be opted into.
+    val noKey = intercept[IllegalArgumentException](e.compact("log",
+      Some(Seq(Timestamp.valueOf("2024-01-03 00:00:00"))
+        .toDF("ingested_at"))))
+    assert(noKey.getMessage.contains("explicit keyCol"), noKey.getMessage)
     assert(e.compact("log",
       Some(Seq(Timestamp.valueOf("2024-01-03 00:00:00"))
-        .toDF("ingested_at"))) == 3)
+        .toDF("ingested_at")), keyCol = Some("ingested_at")) == 3)
     val post = spark.read.parquet(s"$dir/log")
     assert(post.filter($"k".isNotNull).count() == 3)
     assert(post.agg(max($"ingested_at")).first().getTimestamp(0)
@@ -291,6 +298,55 @@ class EngineSpec extends SparkSpec {
       .as[(Long, Timestamp, String)].collect().toSet == before)
     // debt reset: the same threshold no longer trips
     assert(e.compactIfNeeded("log", maxFiles = 2).isEmpty)
+  }
+
+  test("maxFilesPerPartition counts loose files alongside partition dirs (mixed layout)") {
+    val dir = tmpDir("engmix")
+    var batch = Seq((1L, Timestamp.valueOf("2024-01-01 00:00:00"), "a"))
+    val m = Model("log", Seq(),
+      Materialization.IncrementalAppend("ingested_at", Seq("k")))((_, _) =>
+      batch.toDF("id", "ingested_at", "k"))
+    val e = new Engine(spark, dir, Map.empty, Seq(m))
+    assert(e.build().ok)
+    batch = batch :+ ((2L, Timestamp.valueOf("2024-01-02 00:00:00"), "a"))
+    assert(e.build().ok)
+    assert(e.maxFilesPerPartition("log") == 2)
+    // simulate a mixed layout: data files sitting at the model root
+    // BESIDE the k= partition dirs (non-Hive writers produce these) —
+    // they owe the debt count too, not just the leaf dirs
+    val part = new java.io.File(s"$dir/log/k=a").listFiles
+      .filter(_.getName.endsWith(".parquet"))
+    for ((f, i) <- part.zipWithIndex ++ part.zipWithIndex.map {
+        case (f, i) => (f, i + part.length) })
+      java.nio.file.Files.copy(f.toPath,
+        java.nio.file.Paths.get(s"$dir/log/loose_$i.parquet"))
+    assert(e.maxFilesPerPartition("log") == 4) // 4 loose > 2 in k=a
+  }
+
+  test("build's run_results.json surfaces small-files debt for IncrementalAppend models") {
+    val dir = tmpDir("engrrmf")
+    var batch = Seq((1L, Timestamp.valueOf("2024-01-01 00:00:00"), "a"))
+    val mk = Seq(
+      Model("log", Seq(),
+        Materialization.IncrementalAppend("ingested_at", Seq("k")))((_, _) =>
+        batch.toDF("id", "ingested_at", "k")),
+      Model("tbl", Seq("log"), Materialization.Table)((_, r) => r("log")))
+    val e = new Engine(spark, dir, Map.empty, mk)
+    assert(e.build().ok)
+    batch = batch :+ ((2L, Timestamp.valueOf("2024-01-02 00:00:00"), "a"))
+    assert(e.build().ok)
+    val raw = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "run_results.json")), "UTF-8")
+    // still strict JSON with the new field
+    spark.read.option("mode", "FAILFAST")
+      .json(spark.createDataset(Seq(raw))(org.apache.spark.sql.Encoders.STRING))
+      .collect()
+    // the append model reports its post-build debt (2 builds → 2 files
+    // in k=a); the plain table reports none
+    val mf = """"name":"log"[^}]*"max_files_per_partition":(\d+)""".r
+      .findFirstMatchIn(raw).map(_.group(1).toInt)
+    assert(mf.contains(2), raw)
+    assert(!raw.matches("""(?s).*"name":"tbl"[^}]*"max_files_per_partition".*"""), raw)
   }
 
   test("delete+insert restates only the window's partitions (≡ full refresh)") {

@@ -58,8 +58,13 @@ class TopKCosSpec extends SparkSpec {
       val agg = viaAgg(rows.repartition(parts), 2).map(r => (r._1, r._2, r._3))
       assert(agg == Set((1L, 99L, 1), (1L, 10L, 2)), s"parts=$parts agg=$agg")
     }
-    val ansiErr = intercept[Exception](viaWindow(rows, 2))
-    assert(ansiErr.getMessage.contains("DIVIDE_BY_ZERO"), ansiErr.getMessage)
+    // the intercepted task failure would still stack-trace at ERROR in
+    // the CI log — silence executor logging for the deliberate failure
+    spark.sparkContext.setLogLevel("FATAL")
+    try {
+      val ansiErr = intercept[Exception](viaWindow(rows, 2))
+      assert(ansiErr.getMessage.contains("DIVIDE_BY_ZERO"), ansiErr.getMessage)
+    } finally spark.sparkContext.setLogLevel("WARN")
   }
 
   test("property: topk_cos ≡ window on seeded random inputs with forced ties") {

@@ -283,6 +283,64 @@ class StreamingSpec extends SparkSpec {
     assert(fin.filter($"vec_id".isin(4L, 7L)).count() == 0) // stays deleted
   }
 
+  test("vector index stream maintenance: files-per-cluster threshold trips auto-compaction in the batch loop") {
+    val dir = tmpDir("vecmaint")
+    val src = s"$dir/src"; val tgt = s"$dir/tgt"; val ckp = s"$dir/ckp"
+    def vecs(rows: Seq[(Long, Seq[Long])]) = {
+      graft.functions.GraftFunctions.register(spark)
+      rows.toDF("vec_id", "q")
+        .withColumn("q", $"q".cast("array<long>"))
+        .withColumn("nsq", expr("dot_i64(q, q)"))
+    }
+    val training = Seq(
+      (0L, Seq(10L, 1L, 0L, 0L)), (1L, Seq(9L, 0L, 1L, 0L)),
+      (2L, Seq(0L, 10L, 0L, 1L)), (3L, Seq(1L, 9L, 0L, 0L)))
+    val labeled = Seq((0L, 0), (1L, 0), (2L, 1), (3L, 1)).toDF("vec_id", "label")
+    val cents = graft.similarity.CentroidAssign.collectCentroids(
+      vecs(training).join(labeled, "vec_id")
+        .groupBy($"label")
+        .agg(org.apache.spark.sql.functions.array((1 to 4).map(i =>
+          sum(element_at($"q", i))): _*).as("c"))
+        .withColumn("ncsq", expr("dot_i64(c, c)")))
+    val schema = vecs(training).schema
+    // every arrival batch lands in cluster 0, so its debt climbs one
+    // file per micro-batch — the small-files shape the cadence bounds
+    val all = (0 to 3).map(i => (10L + i, Seq(10L - i, 1L, 0L, 0L)))
+    def run(): Unit = Streaming.vectorIndexStream(
+      spark, src, tgt, ckp, schema, cents, maintenanceMaxFiles = Some(2))
+    for ((v, i) <- all.zipWithIndex) {
+      vecs(Seq(v)).write.mode("append").parquet(src)
+      run()
+      val debt = Streaming.indexFilesPerCluster(tgt)
+      assert(debt <= 3, s"batch $i: debt $debt escaped the cadence bound")
+    }
+    def gens(): Set[String] =
+      new java.io.File(s"$tgt/cluster=0").listFiles
+        .filter(_.isDirectory).map(_.getName).toSet
+    // batches 0-2 accumulated to debt 3 > 2, so batch 3's loop folded
+    // them into -1 BEFORE appending its own generation (keepFrom kept
+    // batch 3 out of the fold — it wasn't committed yet)
+    assert(gens() == Set("batch_id=-1", "batch_id=3"), gens())
+    // exactly-once through the maintenance: every arrival exactly once,
+    // assignments ≡ one-shot batch kernel
+    val got = spark.read.parquet(tgt)
+    assert(got.count() == 4)
+    val oneShot = graft.similarity.CentroidAssign.kernel(vecs(all), cents)
+      .select($"vec_id", $"cluster").as[(Long, Int)].collect().toSet
+    assert(got.select($"vec_id", $"cluster").as[(Long, Int)]
+      .collect().toSet == oneShot)
+    // the stream RESUMES exactly-once over the rewritten layout
+    vecs(Seq((20L, Seq(9L, 2L, 0L, 0L)))).write.mode("append").parquet(src)
+    run()
+    assert(spark.read.parquet(tgt).count() == 5)
+    assert(spark.read.parquet(tgt)
+      .filter($"vec_id" === 20L).count() == 1)
+    // keepFrom preserves uncommitted generations under a DIRECT call
+    // too: fold everything below the newest gen, keep it in place
+    assert(Streaming.compactVectorIndex(spark, tgt, keepFrom = 4L) == 5)
+    assert(gens() == Set("batch_id=-1", "batch_id=4"), gens())
+  }
+
   test("vector search stream: stream-static probe ≡ batch searchTopK, exactly-once under restart") {
     val dir = tmpDir("vecsearch")
     val isrc = s"$dir/isrc"; val idx = s"$dir/idx"; val ickp = s"$dir/ickp"
