@@ -32,6 +32,10 @@ object SimilarityQueries {
   private val TopK = 10
   private val NQueries = 5
   private val NProbe = 2 // clusters probed by the multi-probe IVF variant
+  // filtered-search probe width: single-probe widened by the filter's
+  // inverse selectivity (vec_id % 3 = 0 keeps ~1/3 of candidates), so
+  // the expected QUALIFYING candidate count matches unfiltered 1-probe
+  private val FilteredProbe = 3
   // the deterministic tombstone set both deletion-lifecycle queries and
   // their shared oracle use: every DeleteMod-th vec_id ≡ DeleteRem,
   // restricted to non-query rows (declared BEFORE qs: the oracle
@@ -241,6 +245,113 @@ object SimilarityQueries {
         .filter(col("rnk") <= NProbe) // the ONLY change vs single-probe
         .select(col("query_id"), col("qq"), col("nq"), col("label"))
       val pairs = e.as("c").join(broadcast(assign.as("a")),
+          col("c.label") === col("a.label") && col("c.vec_id") =!= col("a.query_id"))
+        .select(col("query_id"), col("vec_id"),
+          dot("qq", "q").as("dot"), col("nq"), col("nsq").as("nc"))
+      topKReduce(pairs, TopK)
+    },
+
+    // ---- FILTERED vector search (brute-force baseline): top-k among
+    // candidates satisfying an attribute predicate (vec_id % 3 = 0) —
+    // the faceted/metadata-filtered search every production vector
+    // store exposes (filter by language, license, source, date).
+    // Pre-filtering (predicate BEFORE scoring) is the correct-recall
+    // form: post-filtering a k-sized result can return < k or miss
+    // qualifying neighbors entirely. The predicate is on a plain
+    // column, so it rides the parquet scan (PushedFilters) and the
+    // scored candidate set is sel·N — filtered search is CHEAPER than
+    // unfiltered at equal recall, never a recall trade.
+    Q.sql(
+      "q_ann_filtered_topk",
+      s"""WITH $quantizedSql,
+         |qs AS (SELECT * FROM e WHERE vec_id < $NQueries),
+         |pairs AS (
+         |  SELECT qs.vec_id AS query_id, c.vec_id AS vec_id,
+         |         list_sum(list_transform(generate_series(1, $Dims),
+         |                  i -> qs.q[i] * c.q[i])) AS dot,
+         |         qs.nsq AS nq, c.nsq AS nc
+         |  FROM qs JOIN e c ON c.vec_id <> qs.vec_id AND c.vec_id % 3 = 0),
+         |ranked AS (
+         |  SELECT query_id, vec_id,
+         |         dot / sqrt(CAST(nq AS DOUBLE) * CAST(nc AS DOUBLE)) AS cos_raw,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY dot / sqrt(CAST(nq AS DOUBLE) * CAST(nc AS DOUBLE)) DESC, vec_id) AS rnk
+         |  FROM pairs)
+         |SELECT query_id, vec_id, CAST(rnk AS INT) AS rnk, round(cos_raw, 4) AS cos_sim
+         |FROM ranked WHERE rnk <= $TopK""".stripMargin
+    ) { (s, dir) =>
+      val e = quantized(s, dir)
+      val qs = e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("q").as("qq"), col("nsq").as("nq"))
+      // predicate applied to the CANDIDATE scan before scoring — a
+      // plain column filter, so it reaches the parquet reader
+      val pairs = e.filter(col("vec_id") % 3 === 0)
+        .join(broadcast(qs), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          dot("qq", "q").as("dot"), col("nq"), col("nsq").as("nc"))
+      topKReduce(pairs, TopK)
+    },
+
+    // ---- FILTERED IVF search: the predicate composed with the
+    // cluster-probe structure. A selective filter starves a single
+    // probe (its cluster holds ~sel·N/C qualifying rows — possibly
+    // < k), so the standard production rule widens the probe list by
+    // the filter's inverse selectivity: nprobe = 1/sel (= 3 here, the
+    // vec_id % 3 predicate) keeps the EXPECTED qualifying candidate
+    // count equal to the unfiltered single-probe scan. The filter
+    // rides the candidate scan (cluster partition + column predicate
+    // at 100 TB: partition pruning AND row-group skipping); recall vs
+    // the filtered brute-force truth is measured in SimilaritySpec.
+    Q.sql(
+      "q_ann_ivf_filtered", {
+        val centroidSums = (1 to Dims).map(i => s"sum(q[$i])").mkString(", ")
+        s"""WITH $quantizedSql,
+           |cent AS (
+           |  SELECT label, [$centroidSums] AS c,
+           |         list_sum(list_transform([$centroidSums], x -> x * x)) AS ncsq
+           |  FROM e GROUP BY label),
+           |qs AS (SELECT * FROM e WHERE vec_id < $NQueries),
+           |assign AS (
+           |  SELECT query_id, label FROM (
+           |    SELECT qs.vec_id AS query_id, cent.label,
+           |           row_number() OVER (PARTITION BY qs.vec_id
+           |             ORDER BY list_sum(list_transform(generate_series(1, $Dims),
+           |                        i -> qs.q[i] * cent.c[i]))
+           |                      / sqrt(CAST(qs.nsq AS DOUBLE) * CAST(cent.ncsq AS DOUBLE)) DESC,
+           |                      cent.label) AS rnk
+           |    FROM qs CROSS JOIN cent) t WHERE rnk <= $FilteredProbe),
+           |pairs AS (
+           |  SELECT qs.vec_id AS query_id, c.vec_id AS vec_id,
+           |         list_sum(list_transform(generate_series(1, $Dims),
+           |                  i -> qs.q[i] * c.q[i])) AS dot,
+           |         qs.nsq AS nq, c.nsq AS nc
+           |  FROM qs JOIN assign a ON qs.vec_id = a.query_id
+           |          JOIN e c ON c.label = a.label AND c.vec_id <> qs.vec_id
+           |                   AND c.vec_id % 3 = 0)
+           |SELECT query_id, vec_id, CAST(rnk AS INT) AS rnk, round(cos_raw, 4) AS cos_sim
+           |FROM (
+           |  SELECT query_id, vec_id,
+           |         dot / sqrt(CAST(nq AS DOUBLE) * CAST(nc AS DOUBLE)) AS cos_raw,
+           |         row_number() OVER (PARTITION BY query_id
+           |           ORDER BY dot / sqrt(CAST(nq AS DOUBLE) * CAST(nc AS DOUBLE)) DESC, vec_id) AS rnk
+           |  FROM pairs) t
+           |WHERE rnk <= $TopK""".stripMargin
+      }
+    ) { (s, dir) =>
+      val e = quantized(s, dir).localCheckpoint()
+      val cent = e.groupBy(col("label"))
+        .agg(array((1 to Dims).map(i => sum(element_at(col("q"), i))): _*).as("c"))
+        .withColumn("ncsq", expr("dot_i64(c, c)"))
+      val qs = e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("q").as("qq"), col("nsq").as("nq"))
+      val wAssign = Window.partitionBy(col("query_id"))
+        .orderBy(cosine(dot("qq", "c"), col("nq"), col("ncsq")).desc, col("label"))
+      val assign = qs.crossJoin(broadcast(cent))
+        .withColumn("rnk", row_number().over(wAssign))
+        .filter(col("rnk") <= FilteredProbe) // widened by 1/selectivity
+        .select(col("query_id"), col("qq"), col("nq"), col("label"))
+      val pairs = e.filter(col("vec_id") % 3 === 0).as("c")
+        .join(broadcast(assign.as("a")),
           col("c.label") === col("a.label") && col("c.vec_id") =!= col("a.query_id"))
         .select(col("query_id"), col("vec_id"),
           dot("qq", "q").as("dot"), col("nq"), col("nsq").as("nc"))
