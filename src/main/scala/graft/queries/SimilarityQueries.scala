@@ -922,6 +922,39 @@ object SimilarityQueries {
         TopK, nprobe = NProbe)
     },
 
+    // ---- FILTERED search over the SAME incrementally-built index:
+    // q_ann_ivf_filtered's metadata-predicate semantics wired through
+    // the index's partition-pruned read path. The predicate applies to
+    // the candidate scan only (cluster isin pruning + row predicate in
+    // one scan — at 100 TB: directory pruning AND row-group skipping),
+    // queries probe regardless, and the probe list is widened by the
+    // filter's inverse selectivity (nprobe = 3). Incremental build ≡
+    // one-shot filtered oracle, driver-checked.
+    Q.sql(
+      "q_ann_ivf_incremental_filtered",
+      ivfIncrementalFilteredOracleSql
+    ) { (s, dir) =>
+      val e = quantized(s, dir)
+      val b = e.agg(min(col("vec_id")), max(col("vec_id"))).first()
+      val mid = (b.getLong(0) + b.getLong(1)) / 2
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_incivff").toString
+      def build(batch: DataFrame): Unit = {
+        val rpt = new graft.engine.Engine(s, wh,
+          Map("vectors" -> batch, "vectors_training" -> e),
+          graft.similarity.IncrementalIvfIndex.models(
+            "vectors", "vectors_training", Dims)).build()
+        require(rpt.ok, rpt.results.mkString("; "))
+      }
+      build(e.filter(col("vec_id") <= mid))
+      build(e)
+      graft.similarity.IncrementalIvfIndex.searchTopKMultiProbe(
+        s.read.parquet(s"$wh/ivf_index"),
+        s.read.parquet(s"$wh/ivf_centroids"), NQueries, TopK,
+        nprobe = FilteredProbe,
+        candFilter = Some(col("vec_id") % 3 === 0))
+    },
+
     // ---- PQ codes stored IN the incremental index: the modelsPQ DAG
     // adds a pq_codebook Table (trained once on the same fixed snapshot
     // as the centroids — frozen-quantizer contract) and stores each
@@ -1577,7 +1610,18 @@ object SimilarityQueries {
     * centroids ((cos DESC, label ASC) rank ≤ NProbe) and candidates are
     * the union of those clusters' ASSIGNED members — each vector has
     * exactly one assigned cluster, so the union is duplicate-free. */
-  private lazy val ivfIncrementalMultiProbeOracleSql: String = {
+  private lazy val ivfIncrementalMultiProbeOracleSql: String =
+    ivfIncrementalMultiProbeOracleSqlCore(NProbe, "")
+
+  /** [[ivfIncrementalMultiProbeOracleSqlCore]] with the filtered-search
+    * predicate on the candidate side and the 1/sel-widened probe width
+    * — the one-shot truth `q_ann_ivf_incremental_filtered` must match. */
+  private lazy val ivfIncrementalFilteredOracleSql: String =
+    ivfIncrementalMultiProbeOracleSqlCore(
+      FilteredProbe, " AND ca.vec_id % 3 = 0")
+
+  private def ivfIncrementalMultiProbeOracleSqlCore(
+      nprobe: Int, candFilter: String): String = {
     val centroidSums = (1 to Dims).map(i => s"sum(q[$i])").mkString(", ")
     s"""WITH $quantizedSql,
        |cent AS (
@@ -1601,7 +1645,7 @@ object SimilarityQueries {
        |                        i -> e.q[i] * cent.c[i]))
        |                      / sqrt(CAST(e.nsq AS DOUBLE) * CAST(cent.ncsq AS DOUBLE)) DESC,
        |                      cent.label) AS rnk
-       |    FROM e CROSS JOIN cent WHERE e.vec_id < $NQueries) t WHERE rnk <= $NProbe),
+       |    FROM e CROSS JOIN cent WHERE e.vec_id < $NQueries) t WHERE rnk <= $nprobe),
        |qs AS (
        |  SELECT e.vec_id, e.q, e.nsq, p.pcluster FROM e
        |  JOIN probe p ON p.vec_id = e.vec_id),
@@ -1610,7 +1654,7 @@ object SimilarityQueries {
        |         list_sum(list_transform(generate_series(1, $Dims),
        |                  i -> qs.q[i] * c.q[i])) AS dot,
        |         qs.nsq AS nq, c.nsq AS nc
-       |  FROM qs JOIN assign ca ON ca.cluster = qs.pcluster AND ca.vec_id <> qs.vec_id
+       |  FROM qs JOIN assign ca ON ca.cluster = qs.pcluster AND ca.vec_id <> qs.vec_id$candFilter
        |          JOIN e c ON c.vec_id = ca.vec_id)
        |SELECT query_id, vec_id, CAST(rnk AS INT) AS rnk, round(cos_raw, 4) AS cos_sim
        |FROM (

@@ -584,13 +584,23 @@ object IncrementalIvfIndex {
     * corpus and nothing else, with no runtime DPP dependency. Each
     * query is then matched to ITS OWN probe list (array_contains
     * against the broadcast query side) and the final reduce is the
-    * bounded topk_cos aggregate, as in [[searchTopK]]. */
+    * bounded topk_cos aggregate, as in [[searchTopK]].
+    *
+    * `candFilter` makes this FILTERED search over the index (the
+    * metadata-predicate form every production vector store exposes):
+    * the predicate applies to CANDIDATE rows only — queries still probe
+    * regardless — and rides the already-pruned candidate scan as a data
+    * filter (partition pruning by cluster AND row predicate in one
+    * scan). Callers widen `nprobe` by the filter's inverse selectivity
+    * to keep the expected qualifying candidate count (the
+    * `q_ann_ivf_filtered` rule). */
   def searchTopKMultiProbe(
       index: DataFrame,
       cent: DataFrame,
       nQueries: Int,
       topK: Int,
-      nprobe: Int): DataFrame = {
+      nprobe: Int,
+      candFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val s = index.sparkSession
     graft.functions.GraftFunctions.register(s)
     import s.implicits._
@@ -615,7 +625,9 @@ object IncrementalIvfIndex {
     val probeSet = qProbes.flatMap(_._4).distinct.sorted
     val qDf = qProbes.toSeq.toDF("query_id", "qq", "nq", "probes")
     // literal static pruning over the union of probed clusters …
-    val pruned = index.filter(col("cluster").isin(probeSet.map(Int.box): _*))
+    val isinPruned = index.filter(col("cluster").isin(probeSet.map(Int.box): _*))
+    // … the metadata predicate (filtered search) rides the same scan …
+    val pruned = candFilter.fold(isinPruned)(isinPruned.filter)
     // … then each query sees only its OWN probed clusters' members
     topkTail(
       pruned.join(broadcast(qDf),
