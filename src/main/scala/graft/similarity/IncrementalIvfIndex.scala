@@ -484,7 +484,8 @@ object IncrementalIvfIndex {
       means: Map[Int, Array[Long]],
       topK: Int,
       shortK: Int,
-      nprobe: Int): DataFrame = {
+      nprobe: Int,
+      candFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val s = index.sparkSession
     graft.functions.GraftFunctions.register(s)
     val kq = ProductQuantizer.adcProbeKernel(
@@ -494,7 +495,10 @@ object IncrementalIvfIndex {
       .select(col("query_id"), col("p.probes").as("pcluster"), col("p.qms").as("qm"))
     val adcFrame = kq.select(col("vec_id").as("query_id"),
       col("adc"), col("nsq").as("nq"))
-    val pairs = index
+    // filtered search: the metadata predicate rides the ADC candidate
+    // scan (code columns only); the shortlist — and therefore the
+    // full-vector re-rank — inherits it, so no second filter is needed
+    val pairs = candFilter.fold(index)(index.filter)
       .select(col("cluster"), col("vec_id"), col("codes"), col("npq"))
       .join(broadcast(probeRows),
         col("cluster") === col("pcluster") && col("vec_id") =!= col("query_id"))
@@ -661,16 +665,22 @@ object IncrementalIvfIndex {
       queries: DataFrame,
       cents: Array[(Int, Array[Long], Long)],
       topK: Int,
-      nprobe: Int = 1): DataFrame = {
+      nprobe: Int = 1,
+      candFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     graft.functions.GraftFunctions.register(index.sparkSession)
+    // filtered search for external queries: the metadata predicate
+    // applies to CANDIDATE rows only (same contract as
+    // [[searchTopKMultiProbe]]) and rides the pruned candidate scan;
+    // callers widen nprobe by the filter's inverse selectivity
+    val cand = candFilter.fold(index)(index.filter)
     if (nprobe <= 1) {
       val qs = CentroidAssign.kernel(
           queries.select(col("vec_id"), col("q"), col("nsq")), cents)
         .select(col("vec_id").as("query_id"), col("cluster"),
           col("q").as("qq"), col("nsq").as("nq"))
       topkTail(
-        index.join(broadcast(qs),
-            index("cluster") === qs("cluster") && col("vec_id") =!= col("query_id"))
+        cand.join(broadcast(qs),
+            cand("cluster") === qs("cluster") && col("vec_id") =!= col("query_id"))
           .select(col("query_id"), col("vec_id"),
             expr("dot_i64(qq, q)").as("dot"), col("nq"), col("nsq").as("nc")),
         topK)
@@ -689,8 +699,8 @@ object IncrementalIvfIndex {
           explode(col("probes")).as("pcluster"),
           col("q").as("qq"), col("nsq").as("nq"))
       topkTail(
-        index.join(broadcast(qs),
-            index("cluster") === qs("pcluster") &&
+        cand.join(broadcast(qs),
+            cand("cluster") === qs("pcluster") &&
               col("vec_id") =!= col("query_id"))
           .select(col("query_id"), col("vec_id"),
             expr("dot_i64(qq, q)").as("dot"), col("nq"), col("nsq").as("nc")),

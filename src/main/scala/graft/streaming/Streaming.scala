@@ -392,7 +392,14 @@ object Streaming {
     * multi-probe path's driver-side ranking would serialize a
     * continuous stream on the driver); StreamingSpec pins the nprobe=2
     * stream ≡ batch `searchTopKFor(nprobe = 2)` and its strict recall
-    * win over the single-probe stream. */
+    * win over the single-probe stream.
+    *
+    * `candFilter` is FILTERED search as a stream (the
+    * `q_ann_ivf_filtered` semantics): the metadata predicate applies to
+    * the index candidate scan inside every micro-batch — queries probe
+    * regardless — so a continuous query stream serves per-tenant /
+    * per-facet searches without a per-predicate index copy; widen
+    * `nprobe` by the filter's inverse selectivity (the batch rule). */
   def vectorSearchStream(
       spark: SparkSession,
       querySourceDir: String,
@@ -402,7 +409,8 @@ object Streaming {
       schema: org.apache.spark.sql.types.StructType,
       cents: Array[(Int, Array[Long], Long)],
       topK: Int,
-      nprobe: Int = 1): Unit = {
+      nprobe: Int = 1,
+      candFilter: Option[org.apache.spark.sql.Column] = None): Unit = {
     val q = spark.readStream.schema(schema).parquet(querySourceDir)
       .writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -415,7 +423,7 @@ object Streaming {
         graft.engine.DirSwap.recover(indexDir)
         val index = batch.sparkSession.read.parquet(indexDir)
         graft.similarity.IncrementalIvfIndex
-          .searchTopKFor(index, batch, cents, topK, nprobe)
+          .searchTopKFor(index, batch, cents, topK, nprobe, candFilter)
           .withColumn("batch_id", lit(batchId))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
@@ -452,7 +460,9 @@ object Streaming {
     * `dot(q, m_c)` IVFADC numerator term; empty for the plain-PQ layout.
     * Same exactly-once contract as [[vectorSearchStream]]: batch results
     * land in a `batch_id` partition with dynamic overwrite, so replays
-    * are idempotent. StreamingSpec pins stream ≡ batch
+    * are idempotent — and the same `candFilter` filtered-search option
+    * (the predicate rides the code-column candidate scan; the shortlist
+    * and re-rank inherit it). StreamingSpec pins stream ≡ batch
     * `searchTopKPQFor` ≡ the driver-ranked `searchTopKPQ[MultiProbe]`
     * on the same index, and no duplication under restart. */
   def vectorSearchStreamPQ(
@@ -467,7 +477,8 @@ object Streaming {
       means: Map[Int, Array[Long]],
       topK: Int,
       shortK: Int,
-      nprobe: Int = 1): Unit = {
+      nprobe: Int = 1,
+      candFilter: Option[org.apache.spark.sql.Column] = None): Unit = {
     val q = spark.readStream.schema(schema).parquet(querySourceDir)
       .writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -476,7 +487,8 @@ object Streaming {
         graft.engine.DirSwap.recover(indexDir)
         val index = batch.sparkSession.read.parquet(indexDir)
         graft.similarity.IncrementalIvfIndex
-          .searchTopKPQFor(index, batch, cents, cb, means, topK, shortK, nprobe)
+          .searchTopKPQFor(index, batch, cents, cb, means, topK, shortK,
+            nprobe, candFilter)
           .withColumn("batch_id", lit(batchId))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")

@@ -501,6 +501,24 @@ class StreamingSpec extends SparkSpec {
     // strict recall win: the boundary neighbor only the second probe sees
     assert(single.map(t => (t._1, t._2)).subsetOf(multi.map(t => (t._1, t._2))))
     assert(multi.exists(t => t._2 == 7L) && !single.exists(t => t._2 == 7L))
+
+    // FILTERED search as a stream: the metadata predicate (even vec_id)
+    // applies to the candidate scan inside the micro-batch — queries
+    // probe regardless — and the stream equals the batch filtered probe
+    val pred = $"vec_id" % 2 === 0
+    Streaming.vectorSearchStream(
+      spark, qsrc, idx, s"$dir/tgt3", s"$dir/ckp3", schema, cents, topK = 3,
+      nprobe = 2, candFilter = Some(pred))
+    val filtered = hits(s"$dir/tgt3")
+    assert(filtered.nonEmpty && filtered.forall(_._2 % 2 == 0), filtered)
+    val batchFiltered = graft.similarity.IncrementalIvfIndex
+      .searchTopKFor(index, vecs(training.take(1)), cents, topK = 3,
+        nprobe = 2, candFilter = Some(pred))
+      .select($"query_id", $"vec_id", $"rnk").as[(Long, Long, Int)].collect().toSet
+    assert(filtered == batchFiltered)
+    // pre-filtering recovers qualifying neighbors below the unfiltered
+    // top-3 (post-filtering that result would miss them)
+    assert((filtered.map(_._2) -- multi.map(_._2)).nonEmpty)
   }
 
   test("PQ search stream: scan-local ADC read ≡ batch probe ≡ driver-ranked probe, exactly-once under restart") {
@@ -569,5 +587,27 @@ class StreamingSpec extends SparkSpec {
     val n = spark.read.parquet(tgt).count()
     run()
     assert(spark.read.parquet(tgt).count() == n)
+
+    // FILTERED ADC stream: the metadata predicate rides the code-column
+    // candidate scan; the shortlist and full-vector re-rank inherit it.
+    // Stream ≡ batch filtered probe, predicate honored exactly.
+    val pred = $"vec_id" % 2 === 0
+    Streaming.vectorSearchStreamPQ(
+      spark, qsrc, s"$engDir/ivf_index", s"$dir/tgtf", s"$dir/ckpf", schema,
+      cents, cb, means, topK = 10, shortK = 30, nprobe = 2,
+      candFilter = Some(pred))
+    val filtered = spark.read.parquet(s"$dir/tgtf")
+      .select($"query_id", $"vec_id", $"rnk")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(filtered.nonEmpty && filtered.forall(_._2 % 2 == 0))
+    val batchFiltered = graft.similarity.IncrementalIvfIndex
+      .searchTopKPQFor(index, queries, cents, cb, means,
+        topK = 10, shortK = 30, nprobe = 2, candFilter = Some(pred))
+      .select($"query_id", $"vec_id", $"rnk")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(filtered == batchFiltered)
+    // pre-filtering recovers qualifying neighbors below the unfiltered
+    // top-k (post-filtering batchTruth would miss them)
+    assert((filtered.map(_._2) -- batchTruth.map(_._2)).nonEmpty)
   }
 }
