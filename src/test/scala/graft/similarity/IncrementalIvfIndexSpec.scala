@@ -153,6 +153,24 @@ class IncrementalIvfIndexSpec extends SparkSpec {
     assert(single == Set((0L, 4L), (0L, 1L))) // cluster 0 has only 2 others
     assert(single.subsetOf(multiHits))
     assert(multiHits == Set((0L, 4L), (0L, 1L), (0L, 7L)))
+
+    // FILTERED probe: the metadata predicate (odd vec_id) rides the
+    // SAME pruned scan — PartitionFilters keep both probed clusters,
+    // the predicate lands in the data scan, queries probe regardless,
+    // and results honor the filter exactly (qualifying neighbors below
+    // the unfiltered top-k appear: pre-filtering, not post-)
+    val filt = IncrementalIvfIndex.searchTopKMultiProbe(
+      index, cent, nQueries = 1, topK = 3, nprobe = 2,
+      candFilter = Some($"vec_id" % 2 === 1))
+    filt.collect()
+    val fPlan = filt.queryExecution.executedPlan.toString
+    val fScan = fPlan.linesIterator
+      .filter(_.contains("PartitionFilters")).mkString(" | ")
+    assert(fScan.replaceAll("\\s", "").contains("IN(0,1)"), fScan)
+    assert(fPlan.replaceAll("\\s", "").contains("(vec_id#"), fPlan)
+    val fHits = hitSet(filt)
+    assert(fHits.forall(_._2 % 2 == 1), fHits)
+    assert(fHits == Set((0L, 1L), (0L, 7L), (0L, 3L)), fHits)
   }
 
   test("scan-local multi-probe (kernelTopN) ≡ driver-derived multi-probe ranking") {
