@@ -356,16 +356,34 @@ object Streaming {
     * listing until the threshold trips, then one cluster-shuffle
     * rewrite resets the debt to one file per cluster (plus any
     * `keepFrom`-preserved generations). Returns the compacted row count
-    * when a compaction ran. */
+    * when a compaction ran.
+    *
+    * Each compaction appends one JSON line to the SIDECAR log
+    * `<targetDir>.maintenance.jsonl` (outside the swap-managed dir, so
+    * it survives every rewrite) — the streaming counterpart of the
+    * engine's `max_files_per_partition` run_results field: CI watches
+    * cadence and debt from the artifact instead of re-listing the
+    * store. Idempotent under replay like the sink itself: a replayed
+    * batch re-checks a debt the earlier compaction already reset, so
+    * no duplicate event is written. */
   def compactVectorIndexIfNeeded(
       spark: SparkSession,
       targetDir: String,
       maxFiles: Int,
       tombstones: Option[DataFrame] = None,
-      keepFrom: Long = Long.MaxValue): Option[Long] =
-    if (indexFilesPerCluster(targetDir) > maxFiles)
-      Some(compactVectorIndex(spark, targetDir, tombstones, keepFrom))
-    else None
+      keepFrom: Long = Long.MaxValue): Option[Long] = {
+    val debt = indexFilesPerCluster(targetDir)
+    if (debt > maxFiles) {
+      val n = compactVectorIndex(spark, targetDir, tombstones, keepFrom)
+      val line = s"""{"event":"compact","files_per_cluster":$debt,""" +
+        s""""max_files":$maxFiles,"keep_from":$keepFrom,"rows":$n}""" + "\n"
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(targetDir + ".maintenance.jsonl"), line,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      Some(n)
+    } else None
+  }
 
   /** The READ side of the streaming vector index: arriving QUERY vectors
     * stream against the accumulated cluster-partitioned index

@@ -339,6 +339,19 @@ class StreamingSpec extends SparkSpec {
     // too: fold everything below the newest gen, keep it in place
     assert(Streaming.compactVectorIndex(spark, tgt, keepFrom = 4L) == 5)
     assert(gens() == Set("batch_id=-1", "batch_id=4"), gens())
+
+    // the sidecar maintenance log recorded the in-loop compaction (one
+    // strict-JSON line with the tripped debt) and survived the swap
+    val logLines = java.nio.file.Files
+      .readAllLines(java.nio.file.Paths.get(s"$tgt.maintenance.jsonl"))
+    assert(logLines.size == 1, logLines)
+    val ev = spark.read.option("mode", "FAILFAST")
+      .json(spark.createDataset(Seq(logLines.get(0)))(
+        org.apache.spark.sql.Encoders.STRING)).first()
+    assert(ev.getAs[String]("event") == "compact")
+    assert(ev.getAs[Long]("files_per_cluster") == 3L)
+    assert(ev.getAs[Long]("keep_from") == 3L)
+    assert(ev.getAs[Long]("rows") == 3L)
   }
 
   test("vector search stream: stream-static probe ≡ batch searchTopK, exactly-once under restart") {
