@@ -300,6 +300,18 @@ object Streaming {
     * `batch_id = N ≥ keepFrom`, stays under its own partition, and the
     * replay's dynamic overwrite replaces it idempotently.
     *
+    * Two contract edges, both inherited from the sink's exactly-once
+    * model rather than introduced here: (1) `keepFrom` assumes the
+    * stream has owned `targetDir` since ITS batch 0 — pointing a FRESH
+    * checkpoint at an existing populated dir restarts batch ids at 0,
+    * which already breaks the idempotent-overwrite contract (colliding
+    * batch_id partitions) before keepFrom ever matters; (2) combining
+    * `tombstones` with a finite `keepFrom` deletes reliably only from
+    * the FOLDED generations — a kept generation is by definition one a
+    * replay may rewrite, and the replay re-emits its source rows
+    * without the tombstones. Apply tombstones from the maintenance
+    * path only to committed history (the in-loop wiring passes none).
+    *
     * `tombstones` applies vector DELETES during the rewrite (the
     * [[graft.engine.Engine.compact]] lifecycle) — and unlike the
     * engine-model twin, NO frontier marker is needed: the engine's

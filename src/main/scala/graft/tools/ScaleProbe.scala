@@ -56,7 +56,9 @@ object ScaleProbe {
       "q_ann_bruteforce_topk", "q_ann_sq8_rerank",
       // r14: the r13 scan-local ADC probes + the r13 bench outliers
       "q_ann_ivf_pq_multiprobe_kernel", "q_ann_ivf_pq_residual_multiprobe_kernel",
-      "q_pipeline_curation_funnel", "q_ts_resample_locf")
+      "q_pipeline_curation_funnel", "q_ts_resample_locf",
+      // r14: filtered vector search (predicate-on-candidate-scan forms)
+      "q_ann_filtered_topk", "q_ann_ivf_incremental_filtered")
     val queries = sys.env.get("SPARK_GRAFT_PROBE_QUERIES")
       .map(_.split(",").map(_.trim).toSet)
       .fold(allQueries)(sub => allQueries.filter(sub.contains))
