@@ -922,6 +922,41 @@ object SimilarityQueries {
         TopK, nprobe = NProbe)
     },
 
+    // ---- the STREAMING index lifecycle under the driver's hash gate:
+    // two REAL AvailableNow micro-batch runs of vectorIndexStream
+    // (kernel assignment against frozen centroids, idempotent
+    // (cluster, batch_id) sink, in-loop cadence-gated maintenance via
+    // maintenanceMaxFiles) build the cluster-partitioned layout, then
+    // the standard searchTopK probes it — and the result must
+    // hash-match the SAME one-shot oracle as the engine-built
+    // incremental index, because stream and engine share the
+    // assignment kernel and the layout contract. StreamingSpec pins
+    // the stream's exactly-once/restart semantics; THIS entry makes
+    // the whole lifecycle's output oracle-checked, not just spec'd.
+    Q.sql(
+      "q_ann_ivf_stream_lifecycle",
+      ivfIncrementalOracleSql
+    ) { (s, dir) =>
+      val e = quantized(s, dir).localCheckpoint()
+      val cents = graft.similarity.CentroidAssign.collectCentroids(
+        graft.similarity.IncrementalIvfIndex.centroids(e, Dims))
+      val b = e.agg(min(col("vec_id")), max(col("vec_id"))).first()
+      val mid = (b.getLong(0) + b.getLong(1)) / 2
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_streamivf").toString
+      val src = s"$tmp/src"; val idx = s"$tmp/idx"; val ckp = s"$tmp/ckp"
+      val vecs = e.select(col("vec_id"), col("q"), col("nsq"))
+      val schema = vecs.schema
+      vecs.filter(col("vec_id") <= mid).write.mode("append").parquet(src)
+      graft.streaming.Streaming.vectorIndexStream(
+        s, src, idx, ckp, schema, cents, maintenanceMaxFiles = Some(2))
+      vecs.filter(col("vec_id") > mid).write.mode("append").parquet(src)
+      graft.streaming.Streaming.vectorIndexStream(
+        s, src, idx, ckp, schema, cents, maintenanceMaxFiles = Some(2))
+      graft.similarity.IncrementalIvfIndex.searchTopK(
+        s.read.parquet(idx), NQueries, TopK)
+    },
+
     // ---- FILTERED search over the SAME incrementally-built index:
     // q_ann_ivf_filtered's metadata-predicate semantics wired through
     // the index's partition-pruned read path. The predicate applies to
