@@ -957,6 +957,40 @@ object SimilarityQueries {
         s.read.parquet(idx), NQueries, TopK)
     },
 
+    // ---- the PQ (production-layout) streaming lifecycle under the
+    // same gate: vectorIndexStreamPQ encodes each arriving vector
+    // in-scan (cluster + PQ codes + reconstructed norm against the
+    // frozen codebook) across two real micro-batch runs with in-loop
+    // maintenance, and the ADC probe over the streamed directory must
+    // hash-match the engine-built PQ index's one-shot oracle.
+    Q.sql(
+      "q_ann_ivf_stream_lifecycle_pq",
+      ivfPqIncrementalOracleSql
+    ) { (s, dir) =>
+      val e = quantized(s, dir).localCheckpoint()
+      val PQ = graft.similarity.ProductQuantizer
+      val cents = graft.similarity.CentroidAssign.collectCentroids(
+        graft.similarity.IncrementalIvfIndex.centroids(e, Dims))
+      val cbDf = PQ.entriesDf(
+        e.select(col("vec_id"), col("q"), col("nsq"))).localCheckpoint()
+      val cb = PQ.collectCodebook(cbDf)
+      val b = e.agg(min(col("vec_id")), max(col("vec_id"))).first()
+      val mid = (b.getLong(0) + b.getLong(1)) / 2
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_streamivfpq").toString
+      val src = s"$tmp/src"; val idx = s"$tmp/idx"; val ckp = s"$tmp/ckp"
+      val vecs = e.select(col("vec_id"), col("q"), col("nsq"))
+      val schema = vecs.schema
+      vecs.filter(col("vec_id") <= mid).write.mode("append").parquet(src)
+      graft.streaming.Streaming.vectorIndexStreamPQ(
+        s, src, idx, ckp, schema, cents, cb, maintenanceMaxFiles = Some(2))
+      vecs.filter(col("vec_id") > mid).write.mode("append").parquet(src)
+      graft.streaming.Streaming.vectorIndexStreamPQ(
+        s, src, idx, ckp, schema, cents, cb, maintenanceMaxFiles = Some(2))
+      graft.similarity.IncrementalIvfIndex.searchTopKPQ(
+        s.read.parquet(idx), cbDf, NQueries, TopK, shortK = TopK * 3)
+    },
+
     // ---- FILTERED search over the SAME incrementally-built index:
     // q_ann_ivf_filtered's metadata-predicate semantics wired through
     // the index's partition-pruned read path. The predicate applies to
