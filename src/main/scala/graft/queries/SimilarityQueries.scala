@@ -957,6 +957,56 @@ object SimilarityQueries {
         s.read.parquet(idx), NQueries, TopK)
     },
 
+    // ---- index BALANCE diagnostics: per-cluster row counts and id
+    // bounds over the incrementally-built index — the operational
+    // query an IVF deployment watches, because cluster skew IS probe
+    // skew (a probe reads its cluster's partition: the hottest cluster
+    // bounds tail latency, and a degenerate quantizer shows up here
+    // before it shows up in recall). Pure metadata aggregation over
+    // the cluster-partitioned layout: one partial-agg scan, no joins.
+    Q.sql(
+      "q_ann_ivf_index_stats", {
+        val centroidSums = (1 to Dims).map(i => s"sum(q[$i])").mkString(", ")
+        s"""WITH $quantizedSql,
+           |cent AS (
+           |  SELECT label, [$centroidSums] AS c,
+           |         list_sum(list_transform([$centroidSums], x -> x * x)) AS ncsq
+           |  FROM e GROUP BY label),
+           |assign AS (
+           |  SELECT vec_id, cluster FROM (
+           |    SELECT e.vec_id, cent.label AS cluster,
+           |           row_number() OVER (PARTITION BY e.vec_id
+           |             ORDER BY list_sum(list_transform(generate_series(1, $Dims),
+           |                        i -> e.q[i] * cent.c[i]))
+           |                      / sqrt(CAST(e.nsq AS DOUBLE) * CAST(cent.ncsq AS DOUBLE)) DESC,
+           |                      cent.label) AS rnk
+           |    FROM e CROSS JOIN cent) t WHERE rnk = 1)
+           |SELECT cluster, count(*) AS n_vectors,
+           |       min(vec_id) AS min_vec_id, max(vec_id) AS max_vec_id
+           |FROM assign GROUP BY cluster""".stripMargin
+      }
+    ) { (s, dir) =>
+      val e = quantized(s, dir)
+      val b = e.agg(min(col("vec_id")), max(col("vec_id"))).first()
+      val mid = (b.getLong(0) + b.getLong(1)) / 2
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_incivfstats").toString
+      def build(batch: DataFrame): Unit = {
+        val rpt = new graft.engine.Engine(s, wh,
+          Map("vectors" -> batch, "vectors_training" -> e),
+          graft.similarity.IncrementalIvfIndex.models(
+            "vectors", "vectors_training", Dims)).build()
+        require(rpt.ok, rpt.results.mkString("; "))
+      }
+      build(e.filter(col("vec_id") <= mid))
+      build(e)
+      s.read.parquet(s"$wh/ivf_index")
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_vectors"),
+          min(col("vec_id")).as("min_vec_id"),
+          max(col("vec_id")).as("max_vec_id"))
+    },
+
     // ---- the PQ (production-layout) streaming lifecycle under the
     // same gate: vectorIndexStreamPQ encodes each arriving vector
     // in-scan (cluster + PQ codes + reconstructed norm against the
