@@ -172,6 +172,29 @@ class EngineSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/log").count() == 2)
   }
 
+  test("compact heals a torn swap: .old as the only generation is recovered, not destroyed") {
+    val dir = tmpDir("engtorn")
+    var batch = Seq((1L, Timestamp.valueOf("2024-01-01 00:00:00"), "a"),
+      (2L, Timestamp.valueOf("2024-01-02 00:00:00"), "b"))
+    val m = Model("log", Seq(),
+      Materialization.IncrementalAppend("ingested_at", Seq("k")))((_, _) =>
+      batch.toDF("id", "ingested_at", "k"))
+    val e = new Engine(spark, dir, Map.empty, Seq(m))
+    assert(e.build().ok)
+    // simulate a crash BETWEEN compact's rename-aside and
+    // rename-into-place: the model dir survives only as .old
+    val model = new java.io.File(s"$dir/log")
+    assert(model.renameTo(new java.io.File(s"$dir/log.old")))
+    // the next compaction recovers the generation before reading it —
+    // full content intact, debt reset, .old gone
+    assert(e.compact("log") == 2)
+    assert(spark.read.parquet(s"$dir/log").count() == 2)
+    assert(!new java.io.File(s"$dir/log.old").exists)
+    // and the incremental frontier survived recovery: same source
+    // appends nothing
+    assert(e.build()("log").rows == 0)
+  }
+
   test("compact: content-identical rewrite, 1 file/partition, timestamp frontier survives deletion") {
     val dir = tmpDir("engcmp")
     // three builds into a hive-partitioned incremental model → three
