@@ -64,6 +64,45 @@ object SqlSurfaceQueries {
         .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_buyers"))
     },
 
+    // ---- MERGEABLE sketch materialization — the incremental-analytics
+    // pattern exact distinct counts cannot follow at 100 TB: a
+    // distinct-over-history must rescan history every build, while a
+    // stored Datasketches HLL sketch per (day, batch) is appended
+    // delta-only (the engine's high-water-mark idiom) and unioned at
+    // query time — register-max merge, so the union of per-batch
+    // sketches is BIT-IDENTICAL to a one-shot sketch over the full
+    // data (pinned in SketchSpec, alongside the ≤5% error bound vs the
+    // exact count). Rows-only: sketch estimates are engine-specific by
+    // construction, like the other two sketch entries.
+    Q.rowsOnly("q_uv_sketch_incremental") { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), to_date(col("ts")).as("day"), col("user_id"))
+      val b = ev.agg(min(col("event_id")), max(col("event_id"))).first()
+      val mid = (b.getLong(0) + b.getLong(1)) / 2
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_uvsketch").toString
+      def build(batch: org.apache.spark.sql.DataFrame): Unit = {
+        val rpt = new graft.engine.Engine(s, wh,
+          Map("events_src" -> batch), Seq(
+            graft.engine.Model.incremental(
+              "uv_sketch", Seq("events_src"),
+              graft.engine.Materialization.IncrementalAppend("hwm_event_id")) {
+              (_, r, prior) =>
+                val hwm = graft.engine.Incremental.hwm(prior, "hwm_event_id")
+                r("events_src").filter(col("event_id") > hwm)
+                  .groupBy(col("day"))
+                  .agg(hll_sketch_agg(col("user_id")).as("sketch"),
+                    max(col("event_id")).as("hwm_event_id"))
+            })).build()
+        require(rpt.ok, rpt.results.mkString("; "))
+      }
+      build(ev.filter(col("event_id") <= mid))
+      build(ev)
+      s.read.parquet(s"$wh/uv_sketch")
+        .groupBy(col("day"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("uv"))
+    },
+
     // ---- quantile sketch (rows-only — sketch estimates are
     // engine-specific by construction). At 100 TB the exact percentile
     // is a full sort per group; the sketch is one mergeable pass.

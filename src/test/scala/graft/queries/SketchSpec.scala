@@ -23,6 +23,30 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("incremental HLL UV: unioned per-batch sketches ≡ one-shot sketch, within 5% of exact") {
+    // the mergeable-sketch materialization's two contracts: (1) HLL
+    // merge is register-max, so the union of per-batch sketches gives
+    // EXACTLY the one-shot sketch's estimate — incremental accumulation
+    // loses nothing vs a full rescan; (2) the estimate is within the
+    // sketch's error bound of the exact distinct count
+    val got = graft.SparkEntry.queries("q_uv_sketch_incremental")(spark, dir)
+      .select($"day".cast("string"), $"uv").as[(String, Long)].collect().toMap
+    assert(got.nonEmpty)
+    val ev = graft.Tables.events(spark, dir)
+      .select(to_date($"ts").as("day"), $"user_id")
+    val oneShot = ev.groupBy($"day")
+      .agg(hll_sketch_estimate(hll_sketch_agg($"user_id")).as("uv"))
+      .select($"day".cast("string"), $"uv").as[(String, Long)].collect().toMap
+    assert(got == oneShot, s"unioned=$got oneShot=$oneShot")
+    val exact = ev.groupBy($"day")
+      .agg(countDistinct($"user_id").as("exact"))
+      .select($"day".cast("string"), $"exact").as[(String, Long)].collect().toMap
+    got.foreach { case (day, uv) =>
+      val e = exact(day)
+      assert(math.abs(uv - e).toDouble / e <= 0.05, s"$day uv=$uv exact=$e")
+    }
+  }
+
   test("approx_percentile within 2% of exact per quartile at sf0.001") {
     // exact side exploded to the same scalar (flag, pct, value) shape the
     // query now emits (array cells are unsortable by the rows-only harness)
