@@ -272,6 +272,32 @@ object OlapExtrasQueries {
           max(k).cast("int").as("max_k"))
     },
 
+    // ---- VARIANT semi-structured access (Spark 4's typed answer to
+    // string JSON paths): `parse_json` decodes the document ONCE into
+    // the binary VARIANT encoding, and every later `variant_get` is a
+    // typed field access on that encoding — at 100 TB the difference
+    // between re-parsing text per extracted path (q_json_extract's
+    // shape) and one parse feeding N typed reads + predicates. Oracle:
+    // the same aggregates via DuckDB's JSON extraction — the VALUES
+    // must agree even though the engines' encodings differ.
+    Q.sql(
+      "q_variant_extract",
+      """SELECT event_type,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+        |       CAST(sum(CASE WHEN CAST(json_extract(props, '$.k') AS INT) > 50
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_hot
+        |FROM events GROUP BY event_type""".stripMargin
+    ) { (s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          variant_get(parse_json(col("props")), "$.k", "int").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          sum(when(col("k") > 50, 1L).otherwise(0L)).as("n_hot"))
+    },
+
     // ---- remaining window shapes: ntile quartiles, first/last value
     Q.sql(
       "q_win_ntile_first_last",
