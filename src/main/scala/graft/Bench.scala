@@ -51,12 +51,13 @@ object Bench {
   def toJson(rs: Seq[(String, Double)]): String =
     rs.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}")
 
-  /** One bench output line. `ph` is a parameter because the headline
-    * line is byte-budgeted (empty object there); the full phases map
-    * appears only on the full line / target/bench.json. */
+  /** One bench output line. `ph` (phases) and `sh` (per-query
+    * shuffle-write bytes) are parameters because the headline line is
+    * byte-budgeted (empty objects there); the full maps appear only on
+    * the full line / target/bench.json. */
   def line(total: Double, repeats: Int, singleShot: Double,
-      qs: String, ph: String, errs: String, sfDir: String): String =
-    f"""{"metric":"total","value":$total%.3f,"unit":"sec","repeats":$repeats,"single_shot_total":$singleShot%.3f,"queries":$qs,"phases":$ph,"errors":$errs,"sf":"$sfDir"}"""
+      qs: String, ph: String, sh: String, errs: String, sfDir: String): String =
+    f"""{"metric":"total","value":$total%.3f,"unit":"sec","repeats":$repeats,"single_shot_total":$singleShot%.3f,"queries":$qs,"phases":$ph,"shuffle_bytes":$sh,"errors":$errs,"sf":"$sfDir"}"""
 
   /** Greedy slowest-first packing of per-query results into the
     * headline budget (each entry costs name + ~12 bytes of punctuation
@@ -92,29 +93,45 @@ object Bench {
     queries.foreach { case (_, fn) =>
       try consume(fn(spark, warmDir)) catch { case _: Throwable => () }
     }
+    // per-query shuffle-WRITE bytes (first timed run tagged by job
+    // group): the plan-shape regression signal wall time can't give —
+    // an accidental extra Exchange shows here even under clock noise
+    val shuffle = new graft.engine.ShuffleBytesListener
+    spark.sparkContext.addSparkListener(shuffle)
     val Repeats = 3
     // (build_s, query_s): construction (eager engine builds for the
     // incremental entries, plan-only otherwise) vs the timed action
-    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Double) = {
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        group: Option[String]): (Double, Double) = {
       val t0 = System.nanoTime()
       try {
         val df = fn(spark, sfDir)
         val t1 = System.nanoTime()
-        consume(df)
+        group.foreach(g => spark.sparkContext.setJobGroup(g, g))
+        try consume(df)
+        finally group.foreach(_ => spark.sparkContext.clearJobGroup())
         ((t1 - t0) / 1e9, (System.nanoTime() - t1) / 1e9)
       } catch { case _: Throwable => (-1.0, -1.0) }
     }
     // (median, first-run, median run's phase split) per query; a failed
-    // run short-circuits to the sentinel for both series
+    // run short-circuits to the sentinel for both series. Only the
+    // FIRST timed run is shuffle-tagged: exchange payloads are
+    // plan-determined (repeat runs would just multiply the total).
     val timed = queries.map { case (name, fn) =>
-      val runs = Iterator.continually(once(fn))
-        .take(Repeats).takeWhile(_._1 >= 0).toSeq
+      val runs = (0 until Repeats).iterator
+        .map(i => once(fn, if (i == 0) Some(s"graft.bench.$name") else None))
+        .takeWhile(_._1 >= 0).toSeq
       if (runs.size < Repeats) name -> (-1.0, -1.0, (-1.0, -1.0))
       else {
         val med = runs.sortBy { case (b, q) => b + q }.apply(Repeats / 2)
         name -> (med._1 + med._2, runs.head._1 + runs.head._2, med)
       }
     }
+    org.apache.spark.graftaccess.SparkListenerAccess.drain(spark.sparkContext)
+    val shuffleJson = timed.collect {
+      case (k, (med, _, _)) if med >= 0 =>
+        "\"" + k + s"""":${shuffle.totalFor(s"graft.bench.$k")}"""
+    }.mkString("{", ",", "}")
     val results = timed.map { case (k, (med, _, _)) => k -> med }
     val failed = results.collect { case (k, v) if v < 0 => k }
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -130,7 +147,7 @@ object Bench {
           if med >= 0 && (k.contains("_incremental") || b >= 0.2) =>
         "\"" + k + f"""":{"build_s":$b%.3f,"query_s":$q%.3f}"""
     }.mkString("{", ",", "}")
-    val full = line(total, Repeats, singleShot, toJson(results), phases, errs, sfDir)
+    val full = line(total, Repeats, singleShot, toJson(results), phases, shuffleJson, errs, sfDir)
     // Full per-query map → file (survives any log truncation).
     try {
       val out = java.nio.file.Paths.get("target", "bench.json")
@@ -144,7 +161,7 @@ object Bench {
     // total (backup), headline line last (the one the tail parser sees).
     println(full)
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec"}""")
-    println(line(total, Repeats, singleShot, toJson(headlinePack(results)), "{}", errs, sfDir))
+    println(line(total, Repeats, singleShot, toJson(headlinePack(results)), "{}", "{}", errs, sfDir))
     spark.stop()
   }
 }

@@ -20,8 +20,14 @@ import java.util.concurrent.atomic.AtomicLong
   * drains the bus (`SparkListenerAccess.drain`) before reading a
   * node's total, so the number in [[NodeResult.shuffleBytes]] is final,
   * not racy.
+  *
+  * Also consumed by [[graft.Bench]] (hence `private[graft]`): each
+  * query's first timed run is tagged so bench.json carries per-query
+  * shuffle-write bytes — the plan-shape regression signal wall time
+  * can't give (an accidental extra Exchange shows up here even when
+  * the clock noise hides it).
   */
-private[engine] final class ShuffleBytesListener extends SparkListener {
+private[graft] final class ShuffleBytesListener extends SparkListener {
   private val stageToGroup = new ConcurrentHashMap[Int, String]()
   private val bytes = new ConcurrentHashMap[String, AtomicLong]()
 

@@ -15,6 +15,7 @@ class BenchLineSpec extends AnyFunSuite {
       singleShot = results.map(_._2).sum,
       qs = Bench.toJson(Bench.headlinePack(results)),
       ph = "{}",
+      sh = "{}",
       errs = "[]",
       sfDir = "/root/testdata/sf0.1").length
 
