@@ -358,6 +358,37 @@ final class Engine(
       Some(compact(name, tombstones, keyCol))
     else None
 
+  /** RETENTION for an SCD2 snapshot's closed history — the lifecycle
+    * op the append-only `closed/` slice needs: history grows forever by
+    * design (every superseded version appends one immutable row), and
+    * at 100 TB compliance/retention policies bound how far back closed
+    * versions may be kept. Drops closed rows whose `dbt_valid_to` is
+    * strictly BEFORE `cutoff` — rows that stopped being current before
+    * the horizon; the open slice (live truth) and any closed row still
+    * valid into the horizon are untouched, so every as-of query at or
+    * after `cutoff` still answers exactly as before (as-of queries past
+    * the horizon are the semantics being retired). One pruned rewrite
+    * of `closed/` via the crash-safe rename-aside swap; returns the
+    * retained closed-row count. Snapshot builds remain delta-only
+    * afterwards: the merge never reads `closed/`, so retention and
+    * ingestion compose without coordination. */
+  def expireSnapshotHistory(name: String, cutoff: java.sql.Timestamp): Long = {
+    val m = byName(name)
+    require(m.materialization.isInstanceOf[Materialization.Scd2Snapshot],
+      s"expireSnapshotHistory: ${m.name} is not an Scd2Snapshot")
+    val dir = closedPath(name)
+    if (!Files.exists(Paths.get(dir))) return 0L
+    DirSwap.recover(dir)
+    val kept = spark.read.parquet(dir)
+      .filter(col(Snapshot.ValidTo) >= lit(cutoff))
+    val n = kept.count()
+    val tmp = dir + ".retain"
+    kept.write.mode("overwrite").parquet(tmp)
+    DirSwap.replace(tmp, dir)
+    if (viewsRegistered) registerViews()
+    n
+  }
+
   /** Run `write` on `df` and return the row count the write actually
     * produced, harvested from an observed metric ON the write plan itself
     * — dbt's "rows affected", at zero extra cost. The alternative

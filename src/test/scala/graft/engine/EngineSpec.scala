@@ -541,6 +541,30 @@ class EngineSpec extends SparkSpec {
       .as[(String, String, Timestamp, Option[Timestamp])].collect().sortBy(_.toString).toSeq
     assert(canon(e.ref("snap")) == canon(full))
     assert(Snapshot.current(e.ref("snap")).count() == 3)
+
+    // RETENTION: closed history at this point is a@h1 (valid_to=ts2)
+    // and b@h1 (valid_to=ts3). Expiring before ts(3) drops only the
+    // version that stopped being current before the horizon (a@h1);
+    // open truth and the in-horizon closed row are untouched, and
+    // as-of queries at/after the horizon still answer identically.
+    assert(e.expireSnapshotHistory("snap", ts(3)) == 1)
+    val retained = e.ref("snap")
+    assert(retained.filter($"dbt_valid_to".isNull).count() == 3) // open intact
+    assert(retained.filter($"dbt_valid_to".isNotNull)
+      .select($"account_id", $"record_hash").as[(String, String)]
+      .collect().toSet == Set(("b", "h1")))
+    assert(Snapshot.current(retained).count() == 3)
+    // ingestion composes with retention (merge never reads closed/):
+    // the next batch still writes delta-only on top of the pruned slice
+    truth = Seq(("a", "h3"), ("b", "h2"), ("c", "h1")).toDF("account_id", "record_hash")
+    assert(e.build(ts(4))("snap").rows == 4)
+    assert(Snapshot.current(e.ref("snap")).count() == 3)
+    assert(e.ref("snap").filter($"dbt_valid_to".isNotNull).count() == 2)
+    // non-snapshot models reject the op
+    intercept[IllegalArgumentException](
+      eng(tmpDir("engret"), Seq(Model("t", Seq("raw_orders"),
+        Materialization.Table)((_, r) => r("raw_orders"))))
+        .expireSnapshotHistory("t", ts(1)))
   }
 
   test("materialization row counts come from write metrics — no post-write re-scan job") {
