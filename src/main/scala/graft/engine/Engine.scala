@@ -256,29 +256,61 @@ final class Engine(
   def compact(
       name: String,
       tombstones: Option[DataFrame] = None,
-      keyCol: Option[String] = None): Long = {
+      keyCol: Option[String] = None): Long =
+    rewriteAppendOnly(name) { (cur, wm) =>
+      // Guard the documented footgun: defaulting the tombstone key to
+      // the watermark is only sound when the watermark is a unique row
+      // id. A time-typed watermark (timestamp/date) is non-unique by
+      // nature — one tombstone value would silently delete EVERY row
+      // sharing it — so tombstones against such a model require an
+      // explicit keyCol.
+      if (tombstones.nonEmpty && keyCol.isEmpty) {
+        import org.apache.spark.sql.types.{DateType, TimestampType, TimestampNTZType}
+        val wmType = cur.schema(wm).dataType
+        require(!Seq(DateType, TimestampType, TimestampNTZType).contains(wmType),
+          s"compact($name): tombstones need an explicit keyCol — the watermark " +
+            s"'$wm' is $wmType-typed (non-unique), so keying deletes on it would " +
+            "drop every row sharing a tombstoned value")
+      }
+      val key = keyCol.getOrElse(wm)
+      data => tombstones.fold(data) { t =>
+        data.join(broadcast(t.select(col(key)).distinct()), Seq(key), "left_anti")
+      }
+    }
+
+  /** RETENTION for an IncrementalAppend model — the event-log TTL the
+    * append-only layout needs at 100 TB (compliance horizons; cost
+    * bounded to live data): drops data rows whose WATERMARK value is
+    * strictly before `cutoff` in the same content-identical
+    * one-file-per-partition rewrite as [[compact]] (markers folded,
+    * crash-safe swap). The scan FRONTIER survives even when every row
+    * expires — the high-water mark is restated as a marker row exactly
+    * as under tombstone deletion — so later builds stay delta-only and
+    * never re-ingest (and thereby resurrect) expired history. The
+    * [[graft.engine.Engine.expireSnapshotHistory]] twin for event logs. */
+  def expireBefore(name: String, cutoff: Any): Long =
+    rewriteAppendOnly(name) { (_, wm) => data =>
+      data.filter(col(wm) >= lit(cutoff))
+    }
+
+  /** Shared rewrite core for the append-only maintenance ops
+    * ([[compact]] / [[expireBefore]]): read the model, split marker
+    * rows out, apply `drop`'s row filter, restate the frontier as a
+    * marker when the kept rows no longer carry it, and swap in the
+    * one-file-per-partition rewrite. `drop` sees the full current frame
+    * first (for schema-dependent validation) and returns the row
+    * filter. */
+  private def rewriteAppendOnly(name: String)(
+      drop: (DataFrame, String) => DataFrame => DataFrame): Long = {
     val m = byName(name)
     val (wm, pcols) = m.materialization match {
       case Materialization.IncrementalAppend(w, p) => (w, p)
       case other => throw new IllegalArgumentException(
         s"compact: ${m.name} is ${other.getClass.getSimpleName}, not IncrementalAppend")
     }
-    val key = keyCol.getOrElse(wm)
     DirSwap.recover(path(name)) // heal a swap torn mid-rename before reading
     val cur = spark.read.parquet(path(name))
-    // Guard the documented footgun: defaulting the tombstone key to the
-    // watermark is only sound when the watermark is a unique row id. A
-    // time-typed watermark (timestamp/date) is non-unique by nature —
-    // one tombstone value would silently delete EVERY row sharing it —
-    // so tombstones against such a model require an explicit keyCol.
-    if (tombstones.nonEmpty && keyCol.isEmpty) {
-      import org.apache.spark.sql.types.{DateType, TimestampType, TimestampNTZType}
-      val wmType = cur.schema(wm).dataType
-      require(!Seq(DateType, TimestampType, TimestampNTZType).contains(wmType),
-        s"compact($name): tombstones need an explicit keyCol — the watermark " +
-          s"'$wm' is $wmType-typed (non-unique), so keying deletes on it would " +
-          "drop every row sharing a tombstoned value")
-    }
+    val dropFn = drop(cur, wm)
     // frontier over EVERYTHING, marker rows included — a prior
     // compaction's marker may itself hold the high-water mark
     val hwmRow = cur.agg(max(col(wm))).first()
@@ -291,9 +323,7 @@ final class Engine(
     val markerPred = nonWm.map(col(_).isNull)
       .reduceOption(_ && _).getOrElse(lit(false))
     val data = cur.filter(!markerPred)
-    val kept = tombstones.fold(data) { t =>
-      data.join(broadcast(t.select(col(key)).distinct()), Seq(key), "left_anti")
-    }
+    val kept = dropFn(data)
     // one pass: the post-delete frontier (decides the marker) + row count
     val stat = kept.agg(max(col(wm)), count(lit(1))).first()
     val newHwm: Any = if (stat.isNullAt(0)) null else stat.get(0)

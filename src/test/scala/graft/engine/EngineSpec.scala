@@ -323,6 +323,46 @@ class EngineSpec extends SparkSpec {
     assert(e.compactIfNeeded("log", maxFiles = 2).isEmpty)
   }
 
+  test("expireBefore: watermark-horizon TTL drops pre-cutoff rows; frontier survives total expiry") {
+    val dir = tmpDir("engexp")
+    var batch = Seq.empty[(Long, Timestamp, String)]
+    val m = Model("log", Seq(),
+      Materialization.IncrementalAppend("ingested_at", Seq("k")))((_, _) =>
+      batch.toDF("id", "ingested_at", "k"))
+    val e = new Engine(spark, dir, Map.empty, Seq(m))
+    def send(rows: (Long, String, String)*): Unit = {
+      batch = batch ++ rows.map { case (id, ts, k) =>
+        (id, Timestamp.valueOf(ts), k)
+      }
+      assert(e.build().ok)
+    }
+    send((1L, "2024-01-01 00:00:00", "a"), (2L, "2024-01-02 00:00:00", "b"))
+    send((3L, "2024-01-03 00:00:00", "a"))
+    // horizon at Jan 2: row 1 expires, rows 2-3 retained; one file per
+    // partition after the rewrite
+    assert(e.expireBefore("log", Timestamp.valueOf("2024-01-02 00:00:00")) == 2)
+    val kept = spark.read.parquet(s"$dir/log")
+    assert(kept.filter($"id".isNotNull).select($"id").as[Long]
+      .collect().toSet == Set(2L, 3L))
+    // retained frontier row still carries the mark: no marker needed,
+    // and re-sending history appends nothing
+    assert(kept.filter($"id".isNull).count() == 0)
+    assert(e.build()("log").rows == 0)
+    // TOTAL expiry: every data row predates the horizon — the frontier
+    // must survive as a marker so the same source still re-ingests
+    // nothing (expired history stays expired)
+    assert(e.expireBefore("log", Timestamp.valueOf("2025-01-01 00:00:00")) == 0)
+    val empty = spark.read.parquet(s"$dir/log")
+    assert(empty.filter($"id".isNotNull).count() == 0)
+    assert(empty.agg(max($"ingested_at")).first().getTimestamp(0)
+      == Timestamp.valueOf("2024-01-03 00:00:00")) // the restated mark
+    assert(e.build()("log").rows == 0)
+    // new data past the mark still lands delta-only
+    send((4L, "2024-01-04 00:00:00", "b"))
+    assert(spark.read.parquet(s"$dir/log").filter($"id".isNotNull)
+      .select($"id").as[Long].collect().toSet == Set(4L))
+  }
+
   test("maxFilesPerPartition counts loose files alongside partition dirs (mixed layout)") {
     val dir = tmpDir("engmix")
     var batch = Seq((1L, Timestamp.valueOf("2024-01-01 00:00:00"), "a"))
