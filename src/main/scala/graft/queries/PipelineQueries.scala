@@ -370,6 +370,51 @@ object PipelineQueries {
         "doc_id", "text", NGram)
     },
 
+    // ---- SEMANTIC decontamination: the embedding-similarity
+    // complement of the n-gram protocol above — paraphrased or
+    // format-shifted benchmark leakage shares no surface n-grams but
+    // sits close in embedding space, so modern pipelines ALSO flag
+    // training items whose embedding cosine against any eval-set
+    // embedding clears a threshold. Eval side broadcast (benchmarks
+    // are MBs), corpus side scan-local through the codegen'd integer
+    // dot; the threshold compare is integer-exact (dot²·100 ≥ 9·|c|²·|e|²
+    // ⇔ cos ≥ 0.3 for dot > 0 — the q_dedup_embedding_cosine idiom),
+    // so both engines flag identical rows. Output = flagged doc + how
+    // many eval items it collided with (the triage signal).
+    Q.sql(
+      "q_pipeline_decontaminate_semantic",
+      s"""WITH e AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding, x -> CAST(round(x * 100) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |n AS (SELECT vec_id, q,
+         |             list_sum(list_transform(q, x -> x * x)) AS nsq FROM e),
+         |pairs AS (
+         |  SELECT c.vec_id AS vec_id,
+         |         list_sum(list_transform(generate_series(1, len(c.q)),
+         |                  i -> c.q[i] * ev.q[i])) AS dot,
+         |         c.nsq AS nc, ev.nsq AS ne
+         |  FROM n c CROSS JOIN n ev
+         |  WHERE ev.vec_id % 50 = 0 AND c.vec_id % 50 <> 0)
+         |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_eval_hits
+         |FROM pairs WHERE dot > 0 AND dot * dot * 100 >= 9 * nc * ne
+         |GROUP BY vec_id""".stripMargin
+    ) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val e = Tables.embeddings(s, dir).select(
+        col("vec_id"), DedupQueries.quantize(col("embedding")).as("q"))
+        .withColumn("nsq", expr("dot_i64(q, q)"))
+      val ev = e.filter(col("vec_id") % 50 === 0)
+        .select(col("q").as("eq"), col("nsq").as("ne"))
+      e.filter(col("vec_id") % 50 =!= 0)
+        .crossJoin(broadcast(ev))
+        .withColumn("dot", expr("dot_i64(q, eq)"))
+        .filter(col("dot") > 0 &&
+          col("dot") * col("dot") * 100 >= col("nsq") * col("ne") * 9)
+        .groupBy(col("vec_id"))
+        .agg(count(lit(1)).as("n_eval_hits"))
+    },
+
     // ---- token-budget shard packing (global offsets via the two-phase
     // prefix sum; the oracle's single ORDER BY window is the semantic
     // spec the distributed form must reproduce exactly)
