@@ -17,6 +17,16 @@ class PlanSpec extends SparkSpec {
     df.queryExecution.executedPlan.toString
   }
 
+  test("semantic decontamination scans against a broadcast eval side (no corpus shuffle)") {
+    val p = plan("q_pipeline_decontaminate_semantic")
+    // eval embeddings broadcast under the corpus scan: the cross join
+    // plans as BroadcastNestedLoopJoin; the only exchange is the final
+    // per-doc aggregation — a sort-merge join would mean the CORPUS got
+    // shuffled to meet the MB-sized eval set, backwards at 100 TB
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("filters and projections reach the parquet scan") {
     val p = plan("q_filter_project")
     assert(p.contains("PushedFilters: ["), p)
