@@ -304,7 +304,7 @@ final class Engine(
       drop: (DataFrame, String) => DataFrame => DataFrame): Long = {
     val m = byName(name)
     val (wm, pcols) = m.materialization match {
-      case Materialization.IncrementalAppend(w, p) => (w, p)
+      case Materialization.IncrementalAppend(w, p, _) => (w, p)
       case other => throw new IllegalArgumentException(
         s"compact: ${m.name} is ${other.getClass.getSimpleName}, not IncrementalAppend")
     }
@@ -459,7 +459,7 @@ final class Engine(
           _.write.bucketBy(n, key).sortBy(key)
             .option("path", path(m.name)).mode("overwrite")
             .saveAsTable(bucketTable(m.name)))
-      case Materialization.IncrementalAppend(wm, pcols) =>
+      case Materialization.IncrementalAppend(wm, pcols, policy) =>
         def write(d: DataFrame, mode: String): Long = writeCounted(d, { x =>
           val w = x.write.mode(mode)
           (if (pcols.nonEmpty) w.partitionBy(pcols: _*) else w)
@@ -471,7 +471,14 @@ final class Engine(
           val prev = spark.read.parquet(path(m.name)).agg(max(col(wm))).first()
           val delta =
             if (prev.isNullAt(0)) df else df.filter(col(wm) > lit(prev.get(0)))
-          write(delta, "append")
+          val n = write(delta, "append")
+          // engine-owned compaction cadence (the streaming loops'
+          // maintenanceMaxFiles twin): listing-only until the debt
+          // threshold trips; rows stays the APPENDED count (dbt's
+          // rows-affected), and execNode reads the POST-maintenance
+          // debt into run_results
+          policy.foreach(mf => compactIfNeeded(m.name, mf))
+          n
         }
       case Materialization.DeleteInsert(pcol) =>
         // df is expected to contain ONLY the restatement window's rows

@@ -74,10 +74,20 @@ object Materialization {
     * column. Models whose rows can legitimately be all-null there
     * should add a constant discriminator column rather than rely on
     * this shape.
+    *
+    * `compactAfterFiles` (optional) puts compaction cadence under the
+    * ENGINE's control (the batch twin of the streaming loops'
+    * `maintenanceMaxFiles`): after each build's append, the engine runs
+    * [[Engine.compactIfNeeded]] with this threshold — a metadata-only
+    * listing until the files-per-partition debt trips, then one
+    * content-identical rewrite. `run_results.json`'s
+    * `max_files_per_partition` then reports the post-maintenance debt,
+    * so CI sees the policy holding.
     */
   final case class IncrementalAppend(
       watermarkCol: String,
-      partitionCols: Seq[String] = Nil) extends Materialization
+      partitionCols: Seq[String] = Nil,
+      compactAfterFiles: Option[Int] = None) extends Materialization
 
   /** Incremental delete+insert over a partitioned table: recompute only the
     * partitions inside the restatement window and overwrite exactly those

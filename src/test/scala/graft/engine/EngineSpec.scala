@@ -323,6 +323,34 @@ class EngineSpec extends SparkSpec {
     assert(e.compactIfNeeded("log", maxFiles = 2).isEmpty)
   }
 
+  test("compactAfterFiles: engine-owned compaction cadence holds across builds") {
+    val dir = tmpDir("engauto")
+    var batch = Seq.empty[(Long, Timestamp, String)]
+    val m = Model("log", Seq(),
+      Materialization.IncrementalAppend("ingested_at", Seq("k"),
+        compactAfterFiles = Some(2)))((_, _) =>
+      batch.toDF("id", "ingested_at", "k"))
+    val e = new Engine(spark, dir, Map.empty, Seq(m))
+    def send(day: Int): Unit = {
+      batch = batch :+ ((day.toLong,
+        Timestamp.valueOf(f"2024-01-0$day%d 00:00:00"), "a"))
+      val rpt = e.build()
+      assert(rpt.ok)
+      // rows stays the APPENDED count (dbt rows-affected), never the
+      // compaction's rewrite count
+      assert(rpt("log").rows == 1, rpt("log").rows)
+      // run_results carries the POST-maintenance debt: the policy holds
+      assert(rpt("log").maxFilesPerPartition <= 3, rpt("log").maxFilesPerPartition)
+    }
+    (1 to 5).foreach(send)
+    // 5 builds with threshold 2: debt never exceeded 3 (checked per
+    // build above) and the content is the full history, delta-only
+    assert(e.maxFilesPerPartition("log") <= 3)
+    assert(spark.read.parquet(s"$dir/log").filter($"id".isNotNull)
+      .select($"id").as[Long].collect().toSet == (1L to 5L).toSet)
+    assert(e.build()("log").rows == 0) // frontier intact after maintenance
+  }
+
   test("expireBefore: watermark-horizon TTL drops pre-cutoff rows; frontier survives total expiry") {
     val dir = tmpDir("engexp")
     var batch = Seq.empty[(Long, Timestamp, String)]
