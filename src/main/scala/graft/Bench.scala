@@ -62,12 +62,31 @@ object Bench {
   /** Greedy slowest-first packing of per-query results into the
     * headline budget (each entry costs name + ~12 bytes of punctuation
     * and fixed-width value), returned name-sorted for stable diffs. */
-  def headlinePack(results: Seq[(String, Double)]): Seq[(String, Double)] = {
+  def headlinePack(results: Seq[(String, Double)],
+      budget: Int = HeadlineBudget): Seq[(String, Double)] = {
     var used = 0
     results.sortBy { case (_, v) => -v }.takeWhile { case (k, _) =>
-      used += k.length + 12; used <= HeadlineBudget
+      used += k.length + 12; used <= budget
     }.sortBy(_._1)
   }
+
+  /** Headline form of the failed-query list: a mass failure (e.g. a
+    * missing SF dir failing most of the ~150-query board) would make
+    * the raw errors array ALONE blow the driver's stdout tail —
+    * reproducing the r12 lost-signal mode exactly when the error list
+    * IS the signal. The headline keeps the first few names plus a
+    * count; the full list stays on the full line / target/bench.json.
+    * The array's byte cost is charged against [[HeadlineBudget]] before
+    * query packing (see main), so names + errors fit TOGETHER. */
+  def headlineErrs(failed: Seq[String], maxNames: Int = 5): String =
+    if (failed.isEmpty) "[]"
+    else {
+      val shown = failed.take(maxNames)
+      val extra = failed.size - shown.size
+      (shown.map("\"" + _ + "\"") ++
+        (if (extra > 0) Seq(s""""+$extra more"""") else Nil))
+        .mkString("[", ",", "]")
+    }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -161,7 +180,10 @@ object Bench {
     // total (backup), headline line last (the one the tail parser sees).
     println(full)
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec"}""")
-    println(line(total, Repeats, singleShot, toJson(headlinePack(results)), "{}", "{}", errs, sfDir))
+    val errsH = headlineErrs(failed)
+    println(line(total, Repeats, singleShot,
+      toJson(headlinePack(results, HeadlineBudget - errsH.length)),
+      "{}", "{}", errsH, sfDir))
     spark.stop()
   }
 }

@@ -29,6 +29,24 @@ package graft.engine
   */
 object DirSwap {
 
+  /** Per-target monitor serializing [[recover]] against [[replace]]
+    * WITHIN this JVM: a reader's per-batch `recover` racing a
+    * concurrent maintenance `replace` could otherwise land between the
+    * writer's rename-aside and rename-into-place, see (target missing,
+    * `.old` present), "heal" the in-progress swap by restoring `.old`,
+    * and fail the writer's commit rename. Local mode (and any
+    * single-driver deployment, where all maintenance and foreachBatch
+    * threads share the JVM) is fully covered by the monitor; a
+    * CROSS-process racer is additionally absorbed by [[replace]]'s
+    * commit retry below. On a real cluster the durable analogue is a
+    * table format's atomic metadata swap, not directory renames. */
+  private val monitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]
+  private def monitorFor(target: String): Object =
+    monitors.computeIfAbsent(
+      new java.io.File(target).getAbsoluteFile.toPath.normalize.toString,
+      _ => new Object)
+
   private def deleteRec(f: java.io.File): Unit = {
     if (f.isDirectory) f.listFiles.foreach(deleteRec)
     f.delete(); ()
@@ -39,7 +57,7 @@ object DirSwap {
     * ONLY generation — rename it back into place. Returns true when a
     * recovery happened. Call before reading or writing a swap-managed
     * directory; no-op (false) in every healthy state. */
-  def recover(target: String): Boolean = {
+  def recover(target: String): Boolean = monitorFor(target).synchronized {
     val dir = new java.io.File(target)
     val old = new java.io.File(target + ".old")
     if (!dir.exists && old.exists) {
@@ -49,14 +67,25 @@ object DirSwap {
   }
 
   /** Replace `target` with the committed contents of `tmp`. */
-  def replace(tmp: String, target: String): Unit = {
+  def replace(tmp: String, target: String): Unit = monitorFor(target).synchronized {
     recover(target) // a torn prior swap's .old is the live generation
     val dir = new java.io.File(target)
     val old = new java.io.File(target + ".old")
     if (old.exists) deleteRec(old) // post-recovery, provably obsolete
     if (dir.exists)
       require(dir.renameTo(old), s"swap failed moving $target aside")
-    require(new java.io.File(tmp).renameTo(dir), s"swap failed for $target")
+    if (!new java.io.File(tmp).renameTo(dir)) {
+      // a CROSS-process reader (the monitor can't reach it) may have
+      // raced recover() inside our swap window and restored `.old` into
+      // place — the restored copy is the generation we just moved aside,
+      // provably obsolete once tmp commits: re-aside it and retry the
+      // commit rename once.
+      if (dir.exists) {
+        if (old.exists) deleteRec(old)
+        require(dir.renameTo(old), s"swap failed re-asiding $target")
+      }
+      require(new java.io.File(tmp).renameTo(dir), s"swap failed for $target")
+    }
     if (old.exists) deleteRec(old)
   }
 }

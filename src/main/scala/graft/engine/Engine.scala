@@ -87,6 +87,14 @@ final class Engine(
   private def isBucketed(name: String): Boolean = byName.get(name).exists(
     _.materialization.isInstanceOf[Materialization.BucketedTable])
   private def exists(name: String): Boolean = {
+    // Recover-before-touch: a compact/expireBefore swap torn between its
+    // two renames leaves (dir missing, .old = the only generation). An
+    // unhealed exists() would answer FALSE, the next build would take
+    // the first-write overwrite branch — resurrecting tombstone-deleted
+    // and expired rows and losing the restated frontier marker — and the
+    // recreated target would make the NEXT swap's .old cleanup destroy
+    // the surviving generation. Heal first; no-op in healthy states.
+    DirSwap.recover(path(name))
     // A root _SUCCESS marker means the last full write committed.
     // Dynamic-partition-overwrite writes create no root marker, so
     // committed `part-*` data files also count — but a directory torn by
@@ -148,11 +156,25 @@ final class Engine(
     * partition would dwarf every batch's delta). */
   private def openPath(name: String): String = s"${path(name)}/open"
   private def closedPath(name: String): String = s"${path(name)}/closed"
-  private def snapExists(name: String): Boolean =
+  private def snapExists(name: String): Boolean = {
+    // open/ is swap-managed (writeSwap); heal a torn swap before the
+    // marker check — see exists() for the hazard chain
+    DirSwap.recover(openPath(name))
     Files.exists(Paths.get(openPath(name), "_SUCCESS"))
+  }
   private def isSnapshot(name: String): Boolean = byName.get(name).exists(
     _.materialization.isInstanceOf[Materialization.Scd2Snapshot])
   private def readSnapshot(name: String): DataFrame = {
+    // closed/ became swap-managed when expireSnapshotHistory shipped: a
+    // crash between ITS two renames leaves only closed.old. Unhealed,
+    // this read silently answers as-of queries with the entire closed
+    // history missing — and worse, the next snapshot build would
+    // recreate closed/ from just its own batch's rows, after which the
+    // next expire's .old cleanup destroys the real history forever
+    // (closed history is accumulated state, NOT rebuildable from
+    // sources). Same contract for open/ (writeSwap-managed).
+    DirSwap.recover(openPath(name))
+    DirSwap.recover(closedPath(name))
     val open = spark.read.parquet(openPath(name))
     if (Files.exists(Paths.get(closedPath(name))))
       open.unionByName(spark.read.parquet(closedPath(name)))
@@ -194,7 +216,11 @@ final class Engine(
         if (spark.catalog.tableExists(bucketTable(name)))
           spark.table(bucketTable(name))
         else spark.read.parquet(path(name))
-      case Some(_) => spark.read.parquet(path(name))
+      case Some(_) =>
+        // model dirs are swap-managed (compact/expireBefore); heal a
+        // torn swap before pinning the file listing — see exists()
+        DirSwap.recover(path(name))
+        spark.read.parquet(path(name))
       case None => throw new UnknownRefException(name)
     }
 
@@ -407,8 +433,11 @@ final class Engine(
     require(m.materialization.isInstanceOf[Materialization.Scd2Snapshot],
       s"expireSnapshotHistory: ${m.name} is not an Scd2Snapshot")
     val dir = closedPath(name)
-    if (!Files.exists(Paths.get(dir))) return 0L
+    // recover BEFORE the existence check: in the torn state (dir
+    // missing, .old the only generation) the unhealed check would
+    // answer "no history" and skip the heal entirely
     DirSwap.recover(dir)
+    if (!Files.exists(Paths.get(dir))) return 0L
     val kept = spark.read.parquet(dir)
       .filter(col(Snapshot.ValidTo) >= lit(cutoff))
     val n = kept.count()
@@ -506,6 +535,12 @@ final class Engine(
           // Append-only closed history + swapped open slice: the batch
           // reads ONLY the open rows and writes O(open + changed) rows —
           // immutable closed history is neither read nor rewritten.
+          // recover-before-write: appending to a closedPath torn by a
+          // crashed expireSnapshotHistory swap would recreate closed/
+          // with only this batch's rows and orphan the full history in
+          // .old for the next swap's cleanup to destroy (readSnapshot
+          // has the read-side twin of this contract)
+          DirSwap.recover(closedPath(m.name))
           val prior = spark.read.parquet(openPath(m.name))
           val (openOut, newlyClosed) = Snapshot.mergeDelta(
             spark, Some(prior), df, key, checkCols, batchTs)

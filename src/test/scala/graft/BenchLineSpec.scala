@@ -39,6 +39,31 @@ class BenchLineSpec extends AnyFunSuite {
     assert(packed.contains(results.maxBy(_._2)._1))
   }
 
+  test("mass failure: headline errors are truncated and budgeted with the queries") {
+    // r12's lost-signal mode, error-list edition: a missing SF dir
+    // fails most of the board, and the raw errors array ALONE would
+    // blow the driver tail exactly when the error list IS the signal
+    val failed = (1 to 150).map(i =>
+      f"q_long_query_name_that_fails_everywhere_everywhere_$i%03d")
+    val errsH = Bench.headlineErrs(failed)
+    assert(errsH.length < 350, s"headline errs ${errsH.length} chars")
+    assert(errsH.contains("\"+145 more\""), errsH)
+    // errs are CHARGED against the budget before query packing, so the
+    // whole headline line still fits even with survivors to report
+    val survivors = (1 to 50).map(i => f"q_survivor_$i%03d" -> i * 1.0)
+    val len = Bench.line(
+      total = survivors.map(_._2).sum, repeats = 3,
+      singleShot = survivors.map(_._2).sum,
+      qs = Bench.toJson(
+        Bench.headlinePack(survivors, Bench.HeadlineBudget - errsH.length)),
+      ph = "{}", sh = "{}", errs = errsH,
+      sfDir = "/root/testdata/sf0.1").length
+    assert(len < 2000, s"headline $len chars would blow the driver tail")
+    // few failures pass through verbatim — names are the signal
+    assert(Bench.headlineErrs(Seq("q_a", "q_b")) == """["q_a","q_b"]""")
+    assert(Bench.headlineErrs(Nil) == "[]")
+  }
+
   test("failure sentinels pack AFTER real timings (slowest-first keeps signal)") {
     // a -1.0 sentinel must never displace a real slow query from the
     // budget: slowest-first ordering puts sentinels at the very end

@@ -47,6 +47,35 @@ class DirSwapSpec extends AnyFunSuite {
     // recreation and destroyed by the next replace's cleanup.
   }
 
+  test("concurrent reader recover never wedges a racing replace") {
+    // the streaming topology: a search stream's per-batch recover()
+    // racing a maintenance compaction's replace(). Unserialized, the
+    // reader can land inside the swap window (target missing, .old
+    // present), "heal" the in-progress swap by restoring .old, and
+    // fail the writer's commit rename — wedging the index stream in
+    // fail/retry. The shared per-target monitor (plus replace's
+    // cross-process commit retry) must keep every replace committing.
+    val root = java.nio.file.Files.createTempDirectory("dirswap").toString
+    val target = s"$root/t"
+    mk(target, "gen0")
+    val N = 300
+    @volatile var stop = false
+    @volatile var readerErr: Option[Throwable] = None
+    val reader = new Thread(() => try {
+      while (!stop) DirSwap.recover(target)
+    } catch { case t: Throwable => readerErr = Some(t) })
+    reader.start()
+    try {
+      (1 to N).foreach { i =>
+        mk(s"$root/staging$i", s"gen$i")
+        DirSwap.replace(s"$root/staging$i", target) // must never throw
+      }
+    } finally { stop = true; reader.join() }
+    assert(readerErr.isEmpty, readerErr.toString)
+    assert(has(target, s"gen$N"))
+    assert(!new java.io.File(s"$target.old").exists)
+  }
+
   test("replace: normal swap commits staging and clears the aside copy") {
     val root = java.nio.file.Files.createTempDirectory("dirswap").toString
     val target = s"$root/t"

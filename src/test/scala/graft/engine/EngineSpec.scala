@@ -800,4 +800,70 @@ class EngineSpec extends SparkSpec {
       assert(e.ref("joined").count() == n)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("torn compact swap before a BUILD heals instead of resurrecting deleted rows") {
+    // the build()-side twin of the compact-side recovery test: a crash
+    // between compact's rename-aside and rename-into-place leaves the
+    // model dir only as .old; an unhealed exists() would answer false
+    // and the next build would take the first-write overwrite branch —
+    // resurrecting tombstone-deleted rows, losing the restated frontier
+    // marker, and leaving .old for the NEXT swap's cleanup to destroy
+    val dir = tmpDir("engtornbuild")
+    val src = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "k")
+    val m = Model("log", Seq("src"), Materialization.IncrementalAppend("id"))(
+      (_, r) => r("src"))
+    val e = new Engine(spark, dir, Map("src" -> src), Seq(m))
+    assert(e.build()("log").rows == 3)
+    // delete the FRONTIER row (id=3): compact restates it as a marker
+    assert(e.compact("log", tombstones = Some(Seq(3L).toDF("id"))) == 2)
+    // crash between compact's two renames: .old is the only generation
+    val model = new java.io.File(s"$dir/log")
+    assert(model.renameTo(new java.io.File(s"$dir/log.old")))
+    // next build must heal first, see the intact frontier (marker at 3),
+    // and append NOTHING — not rebuild from sources
+    assert(e.build()("log").rows == 0)
+    val rows = e.ref("log")
+    assert(rows.filter($"k".isNotNull).select($"id").as[Long].collect().toSet
+      == Set(1L, 2L)) // the tombstoned row stayed deleted
+    assert(rows.filter($"k".isNull).select($"id").as[Long].collect().toSeq
+      == Seq(3L)) // the restated frontier marker survived recovery
+    assert(!new java.io.File(s"$dir/log.old").exists)
+  }
+
+  test("torn expireSnapshotHistory swap: ref and the next snapshot build heal closed/, not orphan it") {
+    val dir = tmpDir("engtornsnap")
+    var cur = Seq((1L, "a"), (2L, "x")).toDF("id", "status")
+    val snap = Model("snap", Seq(),
+      Materialization.Scd2Snapshot("id", Seq("status")))((_, _) => cur)
+    val e = new Engine(spark, dir, Map.empty, Seq(snap))
+    assert(e.build(Timestamp.valueOf("2024-01-01 00:00:00")).ok)
+    cur = Seq((1L, "b"), (2L, "x")).toDF("id", "status")
+    assert(e.build(Timestamp.valueOf("2024-02-01 00:00:00")).ok)
+    // closed/ now holds the superseded 'a' version — history that,
+    // unlike engine models, is NOT rebuildable from sources
+    val closed = new java.io.File(s"$dir/snap/closed")
+    assert(closed.exists)
+    // crash between expireSnapshotHistory's rename-aside and
+    // rename-into-place: closed/ survives only as closed.old
+    assert(closed.renameTo(new java.io.File(s"$dir/snap/closed.old")))
+    // read side: ref() heals before reading — full history visible, not
+    // a silent open-slice-only answer
+    assert(e.ref("snap").select($"status").as[String].collect().toSet
+      == Set("a", "b", "x"))
+    assert(closed.exists && !new java.io.File(s"$dir/snap/closed.old").exists)
+    // write side: re-tear, then run the next snapshot batch — the
+    // closed append must recover first, so the prior history AND the
+    // newly closed 'b' row coexist with no .old left to orphan
+    assert(closed.renameTo(new java.io.File(s"$dir/snap/closed.old")))
+    cur = Seq((1L, "c"), (2L, "x")).toDF("id", "status")
+    assert(e.build(Timestamp.valueOf("2024-03-01 00:00:00")).ok)
+    assert(e.ref("snap").select($"status").as[String].collect().toSet
+      == Set("a", "b", "c", "x"))
+    assert(!new java.io.File(s"$dir/snap/closed.old").exists)
+    // and a later expire's cleanup finds nothing to destroy: a
+    // no-op horizon retains both closed versions and every row survives
+    assert(e.expireSnapshotHistory("snap",
+      Timestamp.valueOf("2023-01-01 00:00:00")) == 2)
+    assert(e.ref("snap").count() == 4)
+  }
 }
