@@ -42,6 +42,19 @@ object SimilarityQueries {
   // strings interpolate these during qs's initialization)
   private val DeleteMod = 7
   private val DeleteRem = 3
+  // hybrid RRF fusion (q_hybrid_search_rrf): one query document (doc_id
+  // ≡ vec_id — the testdata aligns the two tables 1:1), top-N per
+  // modality list, fused top-k, and the standard RRF smoothing k=60
+  private val HybridQueryDoc = 0
+  private val HybridListN = 50
+  private val HybridTopK = 20
+  private val RrfK = 60
+  // MMR diversified re-rank (q_ann_mmr_rerank): shortlist size, picks,
+  // and the relevance/diversity trade λ. (1 − λ) is computed at RUNTIME
+  // on both sides from the same parsed literal (the BM25K1 idiom).
+  private val MmrShortN = 30
+  private val MmrPicks = 10
+  private val MmrLambda = 0.7
 
   /** Signed-random-projection planes for the LSH variant: P hyperplanes
     * of small ints, generated ONCE from a fixed seed and inlined
@@ -130,6 +143,188 @@ object SimilarityQueries {
       topKReduce(pairs, TopK)
     },
 
+    // ---- hybrid retrieval: reciprocal-rank fusion (Cormack et al.) of
+    // a LEXICAL candidate list and a VECTOR candidate list for the same
+    // query document — the standard RAG first-stage fusion (keyword
+    // recall catches what the embedding misses and vice versa; RRF
+    // needs no score calibration between the two modalities, only
+    // ranks). Lexical rank = shared-distinct-term count with the query
+    // doc (integer-exact; ties by doc_id); vector rank = exact
+    // quantized cosine (deterministic ordering — see the file header);
+    // rrf = Σ 1/(k + rank) over the lists the doc appears in, k=60.
+    // Plan shape: both rank lists are global top-N via orderBy+limit
+    // (TakeOrderedAndProject — map-side partial top-k, never a
+    // single-partition window over the corpus); the rnk windows run
+    // AFTER the limit over N rows; the fusion joins two N-row frames.
+    Q.sql(
+      "q_hybrid_search_rrf",
+      s"""WITH $quantizedSql,
+         |toks AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         |qterms AS (SELECT DISTINCT term FROM toks WHERE doc_id = $HybridQueryDoc),
+         |lex AS (
+         |  SELECT doc_id, count(DISTINCT term) AS overlap FROM toks
+         |  WHERE doc_id <> $HybridQueryDoc
+         |    AND term IN (SELECT term FROM qterms)
+         |  GROUP BY 1),
+         |lextop AS (
+         |  SELECT doc_id, overlap FROM lex
+         |  ORDER BY overlap DESC, doc_id LIMIT $HybridListN),
+         |lexr AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY overlap DESC, doc_id) AS r_lex
+         |  FROM lextop),
+         |qv AS (SELECT q, nsq FROM e WHERE vec_id = $HybridQueryDoc),
+         |vec AS (
+         |  SELECT c.vec_id AS doc_id,
+         |         list_sum(list_transform(generate_series(1, $Dims),
+         |                  i -> qv.q[i] * c.q[i])) AS dot,
+         |         qv.nsq AS nq, c.nsq AS nc
+         |  FROM e c, qv WHERE c.vec_id <> $HybridQueryDoc),
+         |vectop AS (
+         |  SELECT doc_id, dot / sqrt(CAST(nq AS DOUBLE) * CAST(nc AS DOUBLE)) AS cos
+         |  FROM vec ORDER BY cos DESC, doc_id LIMIT $HybridListN),
+         |vecr AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS r_vec
+         |  FROM vectop),
+         |fused AS (
+         |  SELECT doc_id, r_lex, r_vec,
+         |         coalesce(1.0 / ($RrfK + r_lex), 0) +
+         |         coalesce(1.0 / ($RrfK + r_vec), 0) AS rrf
+         |  FROM lexr FULL JOIN vecr USING (doc_id))
+         |SELECT doc_id, CAST(r_lex AS INT) AS r_lex, CAST(r_vec AS INT) AS r_vec,
+         |       round(rrf, 6) AS rrf
+         |FROM fused ORDER BY rrf DESC, doc_id LIMIT $HybridTopK""".stripMargin
+    ) { (s, dir) =>
+      val docs = graft.Tables.documents(s, dir)
+      val toks = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("term"))
+      val qterms = toks.filter(col("doc_id") === HybridQueryDoc)
+        .select(col("term")).distinct()
+      val lexTop = toks.filter(col("doc_id") =!= HybridQueryDoc)
+        .join(broadcast(qterms), Seq("term"))
+        .groupBy(col("doc_id")).agg(countDistinct(col("term")).as("overlap"))
+        .orderBy(col("overlap").desc, col("doc_id")).limit(HybridListN)
+      val lexr = lexTop.select(col("doc_id"),
+        row_number().over(Window.orderBy(col("overlap").desc, col("doc_id")))
+          .cast("int").as("r_lex"))
+      val e = quantized(s, dir)
+      val qv = e.filter(col("vec_id") === HybridQueryDoc)
+        .select(col("q").as("qq"), col("nsq").as("nq"))
+      val vecTop = e.filter(col("vec_id") =!= HybridQueryDoc)
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id").as("doc_id"),
+          cosine(dot("qq", "q"), col("nq"), col("nsq")).as("cos"))
+        .orderBy(col("cos").desc, col("doc_id")).limit(HybridListN)
+      val vecr = vecTop.select(col("doc_id"),
+        row_number().over(Window.orderBy(col("cos").desc, col("doc_id")))
+          .cast("int").as("r_vec"))
+      lexr.join(vecr, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), col("r_lex"), col("r_vec"),
+          (coalesce(lit(1.0) / (lit(RrfK) + col("r_lex")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(RrfK) + col("r_vec")), lit(0.0))).as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id")).limit(HybridTopK)
+        .select(col("doc_id"), col("r_lex"), col("r_vec"),
+          round(col("rrf"), 6).as("rrf"))
+    },
+
+    // ---- MMR diversified re-rank (Carbonell & Goldstein): greedily
+    // pick k results maximizing λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s)
+    // over a relevance shortlist — the standard diversity re-rank for
+    // retrieval AND for diversity-aware training-data sampling (pick
+    // representative, non-redundant documents). MMR is DEFINED on a
+    // shortlist: the distributed work is shortlist construction (exact
+    // quantized cosine, TakeOrdered) and the N² pairwise sims; the
+    // greedy loop is O(k·N) over ≤ N=30 rows and runs driver-side by
+    // contract (the multi-probe driver-ranking idiom — at 100 TB the
+    // shortlist is still k-bounded per query). Oracle: the greedy is
+    // UNROLLED into k CTE stages (argmax-with-exclusion per stage), so
+    // DuckDB replays the identical selection; every double on both
+    // sides derives from the same integer dots and the same runtime-
+    // parsed λ literals, so scores and tie-order bit-match.
+    Q.sql(
+      "q_ann_mmr_rerank", {
+        val stages = (2 to MmrPicks).map { k =>
+          s"""sc$k AS (
+             |  SELECT c.doc_id, $MmrLambda * c.rel - (1 - $MmrLambda) * max(p.sim) AS sc
+             |  FROM cand c JOIN pairs p ON p.a = c.doc_id
+             |       AND p.b IN (SELECT doc_id FROM sel${k - 1})
+             |  WHERE c.doc_id NOT IN (SELECT doc_id FROM sel${k - 1})
+             |  GROUP BY c.doc_id, c.rel),
+             |s$k AS MATERIALIZED (SELECT doc_id, sc, $k AS rnk FROM sc$k
+             |        ORDER BY sc DESC, doc_id LIMIT 1),
+             |sel$k AS MATERIALIZED (SELECT doc_id FROM sel${k - 1}
+             |          UNION ALL SELECT doc_id FROM s$k)""".stripMargin
+        }.mkString(",\n")
+        val unionAll = (1 to MmrPicks).map(k => s"SELECT * FROM s$k")
+          .mkString("\n UNION ALL ")
+        // shared/chained CTEs are MATERIALIZED: the k unrolled greedy
+        // stages reference cand/pairs/sel repeatedly, and DuckDB's
+        // default inline-CTE planning would re-execute (and re-open the
+        // parquet behind) each reference exponentially down the chain
+        s"""WITH $quantizedSql,
+           |qv AS (SELECT q, nsq FROM e WHERE vec_id = $HybridQueryDoc),
+           |cand AS MATERIALIZED (
+           |  SELECT c.vec_id AS doc_id, c.q AS q, c.nsq AS nsq,
+           |         list_sum(list_transform(generate_series(1, $Dims),
+           |                  i -> qv.q[i] * c.q[i]))
+           |           / sqrt(CAST(qv.nsq AS DOUBLE) * CAST(c.nsq AS DOUBLE)) AS rel
+           |  FROM e c, qv WHERE c.vec_id <> $HybridQueryDoc
+           |  ORDER BY rel DESC, c.vec_id LIMIT $MmrShortN),
+           |pairs AS MATERIALIZED (
+           |  SELECT x.doc_id AS a, y.doc_id AS b,
+           |         list_sum(list_transform(generate_series(1, $Dims),
+           |                  i -> x.q[i] * y.q[i]))
+           |           / sqrt(CAST(x.nsq AS DOUBLE) * CAST(y.nsq AS DOUBLE)) AS sim
+           |  FROM cand x JOIN cand y ON x.doc_id <> y.doc_id),
+           |s1 AS MATERIALIZED (SELECT doc_id, $MmrLambda * rel AS sc, 1 AS rnk FROM cand
+           |       ORDER BY sc DESC, doc_id LIMIT 1),
+           |sel1 AS MATERIALIZED (SELECT doc_id FROM s1),
+           |$stages
+           |SELECT CAST(rnk AS INT) AS rnk, doc_id, round(sc, 4) AS mmr_score
+           |FROM ($unionAll)""".stripMargin
+      }
+    ) { (s, dir) =>
+      val e = quantized(s, dir).localCheckpoint()
+      val qv = e.filter(col("vec_id") === HybridQueryDoc)
+        .select(col("q").as("qq"), col("nsq").as("nq"))
+      val shortlist = e.filter(col("vec_id") =!= HybridQueryDoc)
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id"), col("q"), col("nsq"),
+          cosine(dot("qq", "q"), col("nq"), col("nsq")).as("rel"))
+        .orderBy(col("rel").desc, col("vec_id")).limit(MmrShortN)
+        .localCheckpoint() // two consumers (rel collect + pairwise self-join)
+      val pa = shortlist.select(col("vec_id").as("a"), col("q").as("qa"),
+        col("nsq").as("na"))
+      val pb = shortlist.select(col("vec_id").as("b"), col("q").as("qb"),
+        col("nsq").as("nb"))
+      val pairs = pa.join(broadcast(pb), col("a") =!= col("b"))
+        .select(col("a"), col("b"),
+          cosine(dot("qa", "qb"), col("na"), col("nb")).as("sim"))
+      // bounded-by-contract driver greedy: ≤ N rel rows + N² sims
+      val rel = shortlist.select(col("vec_id"), col("rel")).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1))
+      val simMap = pairs.collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val lam = MmrLambda
+      val oneMinus = 1 - MmrLambda // runtime-computed, like the SQL's (1 - λ)
+      var remaining = rel.toVector
+      val picked = Vector.newBuilder[(Int, Long, Double)]
+      var chosen = Vector.empty[Long]
+      for (step <- 1 to MmrPicks) {
+        val scored = remaining.map { case (id, r) =>
+          val pen = if (chosen.isEmpty) 0.0
+            else chosen.map(sid => simMap((id, sid))).max
+          (id, lam * r - oneMinus * pen)
+        }
+        val (bestId, bestSc) = scored.minBy { case (id, sc) => (-sc, id) }
+        picked += ((step, bestId, bestSc))
+        chosen :+= bestId
+        remaining = remaining.filterNot(_._1 == bestId)
+      }
+      s.createDataFrame(picked.result()).toDF("rnk", "doc_id", "mmr_score")
+        .select(col("rnk"), col("doc_id"), round(col("mmr_score"), 4).as("mmr_score"))
+    },
+
     // ---- IVF: integer centroids per label, probe nearest cluster only
     Q.sql(
       "q_ann_ivf_topk", {
@@ -187,6 +382,169 @@ object SimilarityQueries {
         .select(col("query_id"), col("vec_id"),
           dot("qq", "q").as("dot"), col("nq"), col("nsq").as("nc"))
       topKReduce(pairs, TopK)
+    },
+
+    // ---- index-quality evaluation: recall@k of the single-probe IVF
+    // result against the exact brute-force truth, per query — the
+    // metric every production vector platform reports continuously
+    // (recall regressions mean the index needs retraining / more
+    // probes, and the recall/nprobe curve is what sizes nprobe). Runs
+    // the two retrieval plans side by side and joins their k-sets; at
+    // 100 TB the truth side is computed over a SAMPLE of queries at
+    // eval cadence, not per request — the query shape is identical.
+    // Integer-exact: hit counts are ints, recall = n_hit/k rounded.
+    Q.sql(
+      "q_ann_recall_eval", {
+        val centroidSums = (1 to Dims).map(i => s"sum(q[$i])").mkString(", ")
+        s"""WITH $quantizedSql,
+           |qs AS (SELECT * FROM e WHERE vec_id < $NQueries),
+           |bfp AS (
+           |  SELECT qs.vec_id AS query_id, c.vec_id AS vec_id,
+           |         list_sum(list_transform(generate_series(1, $Dims),
+           |                  i -> qs.q[i] * c.q[i])) AS dot,
+           |         qs.nsq AS nq, c.nsq AS nc
+           |  FROM qs JOIN e c ON c.vec_id <> qs.vec_id),
+           |bf AS (
+           |  SELECT query_id, vec_id FROM (
+           |    SELECT query_id, vec_id,
+           |           row_number() OVER (PARTITION BY query_id
+           |             ORDER BY dot / sqrt(CAST(nq AS DOUBLE) * CAST(nc AS DOUBLE)) DESC,
+           |                      vec_id) AS rnk
+           |    FROM bfp) t WHERE rnk <= $TopK),
+           |cent AS (
+           |  SELECT label, [$centroidSums] AS c,
+           |         list_sum(list_transform([$centroidSums], x -> x * x)) AS ncsq
+           |  FROM e GROUP BY label),
+           |assign AS (
+           |  SELECT query_id, label FROM (
+           |    SELECT qs.vec_id AS query_id, cent.label,
+           |           row_number() OVER (PARTITION BY qs.vec_id
+           |             ORDER BY list_sum(list_transform(generate_series(1, $Dims),
+           |                        i -> qs.q[i] * cent.c[i]))
+           |                      / sqrt(CAST(qs.nsq AS DOUBLE) * CAST(cent.ncsq AS DOUBLE)) DESC,
+           |                      cent.label) AS rnk
+           |    FROM qs CROSS JOIN cent) t WHERE rnk = 1),
+           |ivfp AS (
+           |  SELECT qs.vec_id AS query_id, c.vec_id AS vec_id,
+           |         list_sum(list_transform(generate_series(1, $Dims),
+           |                  i -> qs.q[i] * c.q[i])) AS dot,
+           |         qs.nsq AS nq, c.nsq AS nc
+           |  FROM qs JOIN assign a ON qs.vec_id = a.query_id
+           |          JOIN e c ON c.label = a.label AND c.vec_id <> qs.vec_id),
+           |ivf AS (
+           |  SELECT query_id, vec_id FROM (
+           |    SELECT query_id, vec_id,
+           |           row_number() OVER (PARTITION BY query_id
+           |             ORDER BY dot / sqrt(CAST(nq AS DOUBLE) * CAST(nc AS DOUBLE)) DESC,
+           |                      vec_id) AS rnk
+           |    FROM ivfp) t WHERE rnk <= $TopK),
+           |hits AS (
+           |  SELECT query_id, count(*) AS n_hit
+           |  FROM bf JOIN ivf USING (query_id, vec_id) GROUP BY 1)
+           |SELECT q.query_id, CAST($TopK AS INT) AS k,
+           |       CAST(coalesce(h.n_hit, 0) AS INT) AS n_hit,
+           |       round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / $TopK, 4) AS recall_at_k
+           |FROM (SELECT DISTINCT query_id FROM bf) q
+           |LEFT JOIN hits h USING (query_id)""".stripMargin
+      }
+    ) { (s, dir) =>
+      val e = quantized(s, dir).localCheckpoint()
+      val qsq = e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("q").as("qq"), col("nsq").as("nq"))
+      // exact truth: brute-force top-k (the q_ann_bruteforce_topk plan)
+      val bfPairs = e.join(broadcast(qsq), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          dot("qq", "q").as("dot"), col("nq"), col("nsq").as("nc"))
+      val bf = topKReduce(bfPairs, TopK).select(col("query_id"), col("vec_id"))
+      // candidate: single-probe IVF top-k (the q_ann_ivf_topk plan)
+      val cent = e.groupBy(col("label"))
+        .agg(array((1 to Dims).map(i => sum(element_at(col("q"), i))): _*).as("c"))
+        .withColumn("ncsq", expr("dot_i64(c, c)"))
+      val wAssign = Window.partitionBy(col("query_id"))
+        .orderBy(cosine(dot("qq", "c"), col("nq"), col("ncsq")).desc, col("label"))
+      val assign = qsq.crossJoin(broadcast(cent))
+        .withColumn("rnk", row_number().over(wAssign))
+        .filter(col("rnk") === 1)
+        .select(col("query_id"), col("qq"), col("nq"), col("label"))
+      val ivfPairs = e.as("c").join(broadcast(assign.as("a")),
+          col("c.label") === col("a.label") && col("c.vec_id") =!= col("a.query_id"))
+        .select(col("query_id"), col("vec_id"),
+          dot("qq", "q").as("dot"), col("nq"), col("nsq").as("nc"))
+      val ivf = topKReduce(ivfPairs, TopK).select(col("query_id"), col("vec_id"))
+      val hits = bf.join(ivf, Seq("query_id", "vec_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+      bf.select(col("query_id")).distinct()
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), lit(TopK).cast("int").as("k"),
+          coalesce(col("n_hit"), lit(0L)).cast("int").as("n_hit"),
+          round(coalesce(col("n_hit"), lit(0L)).cast("double") / TopK, 4)
+            .as("recall_at_k"))
+    },
+
+    // ---- index retraining: one deterministic Lloyd assignment step —
+    // the action the recall_eval metric triggers (recall degrades as
+    // the corpus drifts from the partition the index was trained on;
+    // periodic retraining reassigns vectors to their true nearest
+    // centroid). Assignment is the scan-local CentroidAssign kernel
+    // (zero exchanges, broadcast centroids — the same hot loop semantic
+    // dedup and the incremental IVF index run); the k-means guarantee
+    // (each vector moves only to a STRICTLY closer centroid, so the
+    // objective Σ cos(v, c_assign) can only improve) is spec-pinned in
+    // SimilaritySpec. Output is the integer-exact migration matrix the
+    // operator would publish: per cluster, population before/after and
+    // how many members stayed — the drift diagnostic that decides
+    // whether to swap the retrained layout in. At 100 TB this is one
+    // scan + one k-row aggregate per iteration; the cluster-partitioned
+    // rewrite after convergence is the existing compact/DirSwap path.
+    Q.sql(
+      "q_ann_ivf_retrain", {
+        val centroidSums = (1 to Dims).map(i => s"sum(q[$i])").mkString(", ")
+        s"""WITH $quantizedSql,
+           |cent AS (
+           |  SELECT label, [$centroidSums] AS c,
+           |         list_sum(list_transform([$centroidSums], x -> x * x)) AS ncsq
+           |  FROM e GROUP BY label),
+           |assign AS (
+           |  SELECT vec_id, old_label, new_label FROM (
+           |    SELECT e.vec_id, e.label AS old_label, cent.label AS new_label,
+           |           row_number() OVER (PARTITION BY e.vec_id
+           |             ORDER BY list_sum(list_transform(generate_series(1, $Dims),
+           |                        i -> e.q[i] * cent.c[i]))
+           |                      / sqrt(CAST(e.nsq AS DOUBLE) * CAST(cent.ncsq AS DOUBLE)) DESC,
+           |                      cent.label) AS rnk
+           |    FROM e CROSS JOIN cent) t WHERE rnk = 1),
+           |pre AS (SELECT label, count(*) AS n_before FROM e GROUP BY 1),
+           |post AS (
+           |  SELECT new_label AS label, count(*) AS n_after,
+           |         sum(CASE WHEN old_label = new_label THEN 1 ELSE 0 END) AS n_stay
+           |  FROM assign GROUP BY 1)
+           |SELECT label,
+           |       CAST(coalesce(n_before, 0) AS INT) AS n_before,
+           |       CAST(coalesce(n_after, 0) AS INT) AS n_after,
+           |       CAST(coalesce(n_stay, 0) AS INT) AS n_stay
+           |FROM pre FULL JOIN post USING (label)""".stripMargin
+      }
+    ) { (s, dir) =>
+      val e = quantized(s, dir).localCheckpoint()
+      val cent = e.groupBy(col("label"))
+        .agg(array((1 to Dims).map(i => sum(element_at(col("q"), i))): _*).as("c"))
+        .withColumn("ncsq", expr("dot_i64(c, c)"))
+      val cents = graft.similarity.CentroidAssign.collectCentroids(cent)
+      val assigned = graft.similarity.CentroidAssign
+        .kernel(e.select(col("vec_id"), col("q"), col("nsq")), cents)
+        .select(col("vec_id"), col("cluster").as("new_label"))
+      val moves = e.select(col("vec_id"), col("label").as("old_label"))
+        .join(assigned, Seq("vec_id"))
+      val pre = e.groupBy(col("label")).agg(count(lit(1)).as("n_before"))
+      val post = moves.groupBy(col("new_label").as("label"))
+        .agg(count(lit(1)).as("n_after"),
+          sum(when(col("old_label") === col("new_label"), 1L).otherwise(0L))
+            .as("n_stay"))
+      pre.join(post, Seq("label"), "full_outer")
+        .select(col("label"),
+          coalesce(col("n_before"), lit(0L)).cast("int").as("n_before"),
+          coalesce(col("n_after"), lit(0L)).cast("int").as("n_after"),
+          coalesce(col("n_stay"), lit(0L)).cast("int").as("n_stay"))
     },
 
     // ---- multi-probe IVF (nprobe = 2): single-probe IVF recall is

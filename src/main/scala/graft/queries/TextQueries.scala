@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -22,6 +23,20 @@ object TextQueries {
     "de" -> Seq("der", "und", "das"),
     "fr" -> Seq("le", "la", "et"),
     "es" -> Seq("el", "los", "y"))
+
+  /** BM25 parameters (standard Okapi defaults) + the fixed query-term
+    * set / result size for q_text_bm25_topk. k1+1 is computed at
+    * RUNTIME on both sides (`(1.2 + 1)` in the SQL, `lit(1.2)+lit(1.0)`
+    * in the plan) so the two engines add the same parsed doubles rather
+    * than comparing against a pre-folded Scala literal. */
+  private[queries] val BM25Terms = Seq("spark", "merge", "window")
+  private[queries] val BM25K1 = 1.2
+  private[queries] val BM25B = 0.75
+  private[queries] val BM25TopK = 20
+
+  /** BPE pair-statistics top-k and bigram-LM worst-document list size. */
+  private[queries] val BpeTopK = 30
+  private[queries] val LmTopN = 50
 
   /** PII patterns, written in the dialect subset RE2 (DuckDB) and
     * java.util.regex (Spark) interpret identically. */
@@ -358,6 +373,165 @@ object TextQueries {
               regexp_replace(col("t"), EmailPat, "<EMAIL>"),
               IpPat, "<IP>"),
             PhonePat, "<PHONE>")).as("red_md5"))
+    },
+
+    // ---- BM25 lexical relevance (Robertson/Spärck Jones; the standard
+    // keyword-retrieval scorer a RAG / curation pipeline ranks with
+    // before any embedding pass). Fixed literal query terms; k1=1.2,
+    // b=0.75, idf = ln(1 + (N − df + ½)/(df + ½)) (the Lucene form —
+    // always positive). Plan shape: the isin prune lands directly on the
+    // exploded tokens, so only query-term postings survive the scan;
+    // per-term df and the corpus (N, avgdl) scalars are broadcast; the
+    // one real shuffle is the per-doc score rollup, and the global top-k
+    // is TakeOrderedAndProject (map-side partial top-k — no single-
+    // partition window over the corpus at 100 TB). The rnk window runs
+    // AFTER the limit, over k rows.
+    Q.sql(
+      "q_text_bm25_topk",
+      bm25OracleSql
+    ) { (s, dir) =>
+      bm25TopKFrame(bm25(Tables.documents(s, dir), "doc_id", "text", BM25Terms))
+    },
+
+    // ---- incremental BM25 corpus statistics as an engine model: df,
+    // N, and total length are ADDITIVE over an append-only corpus (each
+    // document is counted by exactly one batch behind the high-water
+    // mark), so the stats table accumulates delta-only — a new crawl
+    // batch tokenizes ONLY itself, while scoring replays the identical
+    // BM25 arithmetic against the accumulated (df, N, Σdl) and must
+    // hash-match the one-shot batch answer against the SAME oracle.
+    // The state is the real posting-stats table (full vocabulary, one
+    // row per term per batch, folded by read-side sum); at 100 TB it is
+    // the side table every search stack maintains next to the index.
+    Q.sql(
+      "q_text_bm25_incremental",
+      bm25OracleSql
+    ) { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val b = docs.agg(min(col("doc_id")), max(col("doc_id"))).first()
+      val mid = (b.getLong(0) + b.getLong(1)) / 2
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_incbm25").toString
+      def build(src: DataFrame): Unit = {
+        val rpt = new graft.engine.Engine(s, wh, Map("docs" -> src),
+          graft.text.IncrementalBm25.models("docs")).build()
+        require(rpt.ok, rpt.results.mkString("; "))
+      }
+      build(docs.filter(col("doc_id") <= mid))
+      build(docs)
+      val state = s.read.parquet(s"$wh/bm25_stats")
+      val dfreq = graft.text.IncrementalBm25.termDf(state)
+        .filter(col("term").isin(BM25Terms: _*))
+      val stats = graft.text.IncrementalBm25.corpusStats(state)
+      bm25TopKFrame(bm25Score(docs, BM25Terms, dfreq, stats))
+    },
+
+    // ---- BPE merge statistics: corpus-wide adjacent character-pair
+    // counts within words — the decision table of the FIRST byte-pair-
+    // encoding merge (Sennrich et al.), i.e. one step of tokenizer
+    // VOCABULARY INDUCTION over the training corpus (iterating = apply
+    // the top merge and re-count, a driver-paced loop over this same
+    // query shape). Integer-exact end to end. Plan: pair extraction is
+    // a scan-local transform over each word (no shuffle until the
+    // count), one groupBy(pair) count with map-side partial aggregation
+    // (the pair alphabet is tiny relative to the corpus, so partials
+    // collapse hard), and the global top-k is orderBy+limit =
+    // TakeOrderedAndProject; the rnk window runs AFTER the limit over
+    // k rows. At 100 TB this is exactly a word-count: one well-combined
+    // exchange.
+    Q.sql(
+      "q_text_bpe_pairs",
+      s"""WITH words AS (
+         |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+         |prs AS (
+         |  SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+         |                i -> substring(w, i, 2))) AS pair
+         |  FROM words WHERE len(w) >= 2),
+         |cnt AS (SELECT pair, count(*) AS cnt FROM prs GROUP BY 1),
+         |top AS (SELECT pair, cnt FROM cnt ORDER BY cnt DESC, pair LIMIT $BpeTopK)
+         |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS INT) AS rnk,
+         |       pair, cnt
+         |FROM top""".stripMargin
+    ) { (s, dir) =>
+      val words = Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 2)
+      val prs = words.select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      val top = prs.groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair")).limit(BpeTopK)
+      top.select(
+        row_number().over(Window.orderBy(col("cnt").desc, col("pair")))
+          .cast("int").as("rnk"),
+        col("pair"), col("cnt"))
+    },
+
+    // ---- bigram language-model scoring: the CCNet-style perplexity
+    // quality filter — train bigram MLE counts on the corpus itself,
+    // score each document by its average negative log-likelihood
+    // −Σ tf·ln(c(w1w2)/c(w1·))/n, and surface the most-surprising
+    // documents (high nll = text unlike the corpus: boilerplate,
+    // gibberish, wrong-language residue — the band a curation pass
+    // inspects or cuts). Training corpus ≡ scoring corpus, so every
+    // scored bigram has count ≥ 1 and no smoothing is needed — the
+    // probability ratio is a division of exact integer counts, giving
+    // both engines identical operand bits into ln. Plan: bigram
+    // extraction is scan-local (transform over the split array — no
+    // positional self-join); the model is two groupBy counts; scoring
+    // re-joins doc bigram tfs against the model on the bigram key (the
+    // join IS hash-partitioned on the same key the counts just
+    // shuffled on); global top-N via orderBy+limit with the rounded
+    // score as the ordering key (the bm25 idiom — round(…,6) absorbs
+    // summation-order epsilon before it can flip ranks).
+    Q.sql(
+      "q_text_lm_score",
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+         |bg AS (
+         |  SELECT doc_id,
+         |         unnest(list_transform(generate_series(1, len(a) - 1),
+         |                i -> concat(a[i], ' ', a[i + 1]))) AS pr
+         |  FROM toks WHERE len(a) >= 2),
+         |bgs AS (
+         |  SELECT doc_id, split_part(pr, ' ', 1) AS w1,
+         |         split_part(pr, ' ', 2) AS w2 FROM bg),
+         |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bgs GROUP BY 1, 2),
+         |c1 AS (SELECT w1, count(*) AS c1 FROM bgs GROUP BY 1),
+         |tf AS (SELECT doc_id, w1, w2, count(*) AS tf FROM bgs GROUP BY 1, 2, 3),
+         |nll AS (
+         |  SELECT t.doc_id, sum(t.tf) AS n_bigrams,
+         |         -sum(t.tf * ln(CAST(c12.c12 AS DOUBLE) / c1.c1)) / sum(t.tf) AS s
+         |  FROM tf t JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+         |  GROUP BY 1),
+         |top AS (
+         |  SELECT doc_id, n_bigrams, s FROM nll
+         |  ORDER BY round(s, 6) DESC, doc_id LIMIT $LmTopN)
+         |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+         |       round(s, 4) AS nll
+         |FROM top""".stripMargin
+    ) { (s, dir) =>
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("a"))
+      val bgs = toks.filter(size(col("a")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(a) - 1), " +
+            "i -> concat(element_at(a, i), ' ', element_at(a, i + 1)))"))
+          .as("pr"))
+        .select(col("doc_id"),
+          substring_index(col("pr"), " ", 1).as("w1"),
+          substring_index(col("pr"), " ", -1).as("w2"))
+      val c12 = bgs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      val c1 = bgs.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      val tf = bgs.groupBy(col("doc_id"), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("tf"))
+      val nll = tf.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("tf")).as("n_bigrams"),
+          (-sum(col("tf") * log(col("c12").cast("double") / col("c1"))) /
+            sum(col("tf"))).as("s"))
+      nll.orderBy(round(col("s"), 6).desc, col("doc_id")).limit(LmTopN)
+        .select(col("doc_id"), col("n_bigrams"), round(col("s"), 4).as("nll"))
     }
   )
 
@@ -397,6 +571,98 @@ object TextQueries {
         when((col("n_stop") * 100).between(col("n_tok") * 2, col("n_tok") * 40), 2).otherwise(0) +
         when(col("n_uniq") * 2 > col("n_tok"), 1).otherwise(0)
     f.select(col(idCol), score.cast("int").as("quality_score"), (score >= 4).as("keep"))
+  }
+
+  /** BM25 document scores for `terms` over any `(id, text)` frame —
+    * returns `(doc_id, score)` for every document sharing at least one
+    * query term. Plan shape (the 100 TB contract): the term prune sits
+    * ON the exploded tokens so only query-term postings leave the scan;
+    * `df` (≤ |terms| rows) and the corpus `(N, avgdl)` scalars are
+    * broadcast; document length joins by doc_id (shuffle, AQE-sized);
+    * one rollup shuffle produces the scores. Callers pick their own
+    * top-k strategy (global TakeOrdered, per-partition bounded, …). */
+  /** The BM25 top-k oracle — shared VERBATIM by the batch and
+    * incremental queries (both must produce the same corpus-level
+    * ranking, so both hash-check against the same DuckDB SQL). Lazy:
+    * referenced from `qs` above its declaration (object-body init
+    * order — the urlDedupOracleSql lesson). */
+  private lazy val bm25OracleSql: String = {
+    val terms = BM25Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH stats AS (
+       |  SELECT count(*) AS n,
+       |         avg(len(string_split(text, ' '))) AS avgdl
+       |  FROM documents),
+       |toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |  FROM documents),
+       |qtoks AS (SELECT * FROM toks WHERE term IN ($terms)),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM qtoks GROUP BY 1, 2),
+       |dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM qtoks GROUP BY 1),
+       |dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+       |scored AS (
+       |  SELECT t.doc_id,
+       |         sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+       |             * t.tf * ($BM25K1 + 1)
+       |             / (t.tf + $BM25K1 * (1 - $BM25B + $BM25B * dl.dl / s.avgdl))) AS score
+       |  FROM tf t JOIN dfreq d USING (term) JOIN dl USING (doc_id)
+       |  CROSS JOIN stats s GROUP BY 1),
+       |top AS (
+       |  SELECT doc_id, score FROM scored
+       |  ORDER BY round(score, 6) DESC, doc_id LIMIT $BM25TopK)
+       |SELECT doc_id,
+       |       CAST(row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS INT) AS rnk,
+       |       round(score, 4) AS bm25
+       |FROM top""".stripMargin
+  }
+
+  /** Shared final cut for the BM25 queries: global top-k (TakeOrdered)
+    * then the k-row rnk window, rounding the ordering key first so
+    * summation-order epsilon can't flip ranks. */
+  private def bm25TopKFrame(scored: DataFrame): DataFrame = {
+    val top = scored
+      .orderBy(round(col("score"), 6).desc, col("doc_id")).limit(BM25TopK)
+    top.select(col("doc_id"),
+      row_number().over(Window.orderBy(round(col("score"), 6).desc,
+        col("doc_id"))).cast("int").as("rnk"),
+      round(col("score"), 4).as("bm25"))
+  }
+
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String]): DataFrame = {
+    val d = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val toks = d.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val qtoks = toks.filter(col("term").isin(terms: _*))
+    val dfreq = qtoks.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    val stats = d.agg(count(lit(1)).as("n"),
+      avg(size(split(col("text"), " "))).as("avgdl"))
+    bm25Score(d, terms, dfreq, stats)
+  }
+
+  /** The BM25 scoring stage with EXTERNALLY-supplied corpus statistics:
+    * `dfreq` = `(term, df: long)` for (at least) the query terms,
+    * `stats` = one row `(n: long, avgdl: double)`. Split out so the
+    * incremental form ([[graft.text.IncrementalBm25]]) can replay the
+    * IDENTICAL arithmetic against accumulated stats — `df`/`n` are
+    * exact longs and `avgdl` is the same exact-integer-sum ÷ count
+    * division in both paths, so scores bit-match the batch form (and
+    * therefore the shared DuckDB oracle). Document-side work (tf, dl)
+    * is always computed from the scan. */
+  def bm25Score(d: DataFrame, terms: Seq[String],
+      dfreq: DataFrame, stats: DataFrame): DataFrame = {
+    val toks = d.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val qtoks = toks.filter(col("term").isin(terms: _*))
+    val tf = qtoks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = d.select(col("doc_id"), size(split(col("text"), " ")).as("dl"))
+    // operand shapes and associativity mirror the oracle SQL exactly —
+    // double ops are deterministic given identical operand bits
+    val idf = log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val w = idf * col("tf") * (lit(BM25K1) + lit(1.0)) /
+      (col("tf") + lit(BM25K1) *
+        (lit(1.0) - lit(BM25B) + lit(BM25B) * col("dl") / col("avgdl")))
+    tf.join(broadcast(dfreq), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .groupBy(col("doc_id")).agg(sum(w).as("score"))
   }
 
   /** TF-IDF term weighting over any `(id, text)` frame. Two shuffles

@@ -231,4 +231,68 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("max_by"), p)
     assert(!p.contains("row_number"), p)
   }
+
+  test("BM25 top-k is TakeOrdered over pruned postings, never a corpus window") {
+    // the global top-k must plan as TakeOrderedAndProject (map-side
+    // partial top-k); the only window allowed is the post-limit rnk
+    // window over k rows. The term prune must land on the exploded
+    // tokens (only query-term postings leave the scan stage), and the
+    // per-term df + corpus stats must broadcast.
+    val p = plan("q_text_bm25_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastExchange"), p)
+    // exactly one window operator (the k-row rnk), not one over scored
+    // corpus rows: it must appear ABOVE the TakeOrdered in the tree
+    assert(p.indexOf("Window") < p.indexOf("TakeOrderedAndProject"), p)
+  }
+
+  test("hybrid RRF fuses two TakeOrdered lists; windows only post-limit") {
+    val p = plan("q_hybrid_search_rrf")
+    // three TakeOrderedAndProject cuts (lexical list, vector list,
+    // fused top-k) — map-side partial top-k everywhere; each rnk
+    // window sits ABOVE a TakeOrdered (its input is the k-row list,
+    // printed below it in the tree), never over corpus-grain rows
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 3, p)
+    val lastTake = p.lastIndexOf("TakeOrderedAndProject")
+    "Window ".r.findAllMatchIn(p).foreach(m =>
+      assert(m.start < lastTake, s"window over un-limited input:\n$p"))
+  }
+
+  test("recall eval: both retrieval arms reduce via partial topk_cos") {
+    val p = plan("q_ann_recall_eval")
+    // exact arm AND ivf arm both collapse candidates map-side via the
+    // bounded aggregate; the only row_number window allowed is the
+    // centroid ASSIGNMENT (rnk=1 over |C| centroid rows per query,
+    // WindowGroupLimit-pushed — same shape q_ann_ivf_topk pins)
+    assert("partial_topk_cos".r.findAllIn(p.toLowerCase).size >= 2, p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("BPE pair counts: one combined exchange into TakeOrdered, no corpus window") {
+    val p = plan("q_text_bpe_pairs")
+    // word-count shape: partial count before the exchange (the pair
+    // alphabet collapses map-side), global top-k as TakeOrdered, and
+    // the only window is the post-limit rnk over k rows
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.toLowerCase.contains("partial_count"), p)
+    assert(p.indexOf("Window") < p.indexOf("TakeOrderedAndProject"), p)
+  }
+
+  test("bigram LM score: scan-local bigrams, top-N via TakeOrdered, no window at all") {
+    val p = plan("q_text_lm_score")
+    // bigram extraction must be the transform-over-split-array form —
+    // no positional self-join of the token table (doc_id-grain joins
+    // only happen AFTER aggregation, on count rows)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("IVF retrain: assignment is the scan-local kernel, not a window over N×C") {
+    val p = plan("q_ann_ivf_retrain")
+    // the reassignment of EVERY corpus vector must run inside the
+    // mapPartitions kernel (broadcast centroids, zero exchanges) — a
+    // row_number window partitioned by vec_id would shuffle N×C rows
+    assert(!p.contains("Window"), p)
+    assert(p.contains("SerializeFromObject"), p) // the typed kernel seam
+  }
 }

@@ -202,4 +202,47 @@ class SimilaritySpec extends SparkSpec {
     val truth = pairs("q_ann_bruteforce_topk")
     assert((ivfSq8 intersect truth).size <= (ivf intersect truth).size)
   }
+
+  test("retrain assignment step: k-means objective monotone, migration matrix consistent") {
+    import spark.implicits._
+    val out = graft.SparkEntry.queries("q_ann_ivf_retrain")(spark, dir)
+      .select($"label".cast("int"), $"n_before".cast("long"),
+        $"n_after".cast("long"), $"n_stay".cast("long"))
+      .as[(Int, Long, Long, Long)].collect()
+    // conservation: the step moves vectors, never creates or drops them
+    assert(out.map(_._2).sum == out.map(_._3).sum)
+    assert(out.forall { case (_, _, after, stay) => stay <= after })
+    // the Lloyd guarantee: reassigning each vector to its NEAREST
+    // centroid maximizes Σ cos(v, c_assign) over all assignments with
+    // these centroids — in particular it is ≥ the incumbent labeling's
+    // objective (strict whenever anything moved)
+    val e = graft.Tables.embeddings(spark, dir).selectExpr(
+      "vec_id", "label",
+      "transform(embedding, x -> cast(round(x * 100) as bigint)) as q")
+      .selectExpr("vec_id", "label", "q", "dot_i64(q, q) as nsq")
+    val cent = e.groupBy($"label")
+      .agg(org.apache.spark.sql.functions.array((1 to 64).map(i =>
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.element_at($"q", i))): _*).as("c"))
+      .selectExpr("label", "c", "dot_i64(c, c) as ncsq")
+    val cents = graft.similarity.CentroidAssign.collectCentroids(cent)
+    val assigned = graft.similarity.CentroidAssign
+      .kernel(e.select($"vec_id", $"q", $"nsq"), cents)
+    val objAfter = assigned.agg(org.apache.spark.sql.functions.sum($"cos_c"))
+      .as[Double].head()
+    val centMap = cents.map(c => c._1 -> c).toMap
+    val objBefore = e.select($"vec_id", $"label", $"q", $"nsq")
+      .as[(Long, Int, Array[Long], Long)].collect().map { case (_, l, q, nsq) =>
+        val (_, c, ncsq) = centMap(l)
+        var d = 0L; var i = 0
+        while (i < q.length) { d += q(i) * c(i); i += 1 }
+        d / math.sqrt(nsq.toDouble * ncsq.toDouble)
+      }.sum
+    // tolerance covers summation-order epsilon when nothing moved
+    // (Spark's partition-order sum vs the driver-side replay)
+    assert(objAfter >= objBefore - 1e-9,
+      s"assignment step must not worsen the objective: $objAfter < $objBefore")
+    val moved = out.map { case (_, _, after, stay) => after - stay }.sum
+    if (moved > 0) assert(objAfter > objBefore)
+  }
 }
