@@ -36,6 +36,10 @@ object SimilarityQueries {
   // inverse selectivity (vec_id % 3 = 0 keeps ~1/3 of candidates), so
   // the expected QUALIFYING candidate count matches unfiltered 1-probe
   private val FilteredProbe = 3
+  // Matryoshka rerank coarse width: the prefix-dim slice the coarse
+  // stage scores on (P/D of the flops and — with the prefix stored as
+  // its own column at production layout — of the scanned bytes)
+  private val PrefixDims = 16
   // the deterministic tombstone set both deletion-lifecycle queries and
   // their shared oracle use: every DeleteMod-th vec_id ≡ DeleteRem,
   // restricted to non-query rows (declared BEFORE qs: the oracle
@@ -140,6 +144,123 @@ object SimilarityQueries {
       // skew-safe top-k (see topKReduce): map-side bounded aggregate
       // instead of shuffling all N scored candidates into |Q| window
       // partitions — the worst skew shape at 100 TB
+      topKReduce(pairs, TopK)
+    },
+
+    // ---- MATRYOSHKA prefix-dimension rerank (Kusupati et al. 2022,
+    // "Matryoshka Representation Learning"): MRL-trained embeddings
+    // front-load information, so the first P dims are themselves a
+    // usable low-dim embedding — the coarse pass scores EVERY candidate
+    // on the P-dim prefix (P/D of the flops and, with the prefix stored
+    // as its own column at production layout, P/D of the scanned
+    // bytes), shortlists 3k per query through the bounded topk_cos
+    // aggregate, and only the shortlist touches full-width vectors for
+    // the exact re-rank. Same two-stage economics as q_ann_sq8_rerank
+    // but cutting DIMENSIONS instead of precision — the two compose.
+    // Integer-exact on both stages (prefix dots and norms are exact
+    // int64 on both engines), so the shortlist membership and final
+    // ranking hash-match.
+    Q.sql(
+      "q_ann_matryoshka_rerank", {
+        val shortN = TopK * 3
+        s"""WITH $quantizedSql,
+           |ep AS (
+           |  SELECT vec_id, q, nsq, list_slice(q, 1, $PrefixDims) AS qp,
+           |         list_sum(list_transform(list_slice(q, 1, $PrefixDims),
+           |                  x -> x * x)) AS nsp
+           |  FROM e),
+           |qs AS (SELECT * FROM ep WHERE vec_id < $NQueries),
+           |coarse AS (
+           |  SELECT qs.vec_id AS query_id, c.vec_id AS vec_id,
+           |         list_sum(list_transform(generate_series(1, $PrefixDims),
+           |                  i -> qs.qp[i] * c.qp[i])) AS dot,
+           |         qs.nsp AS nq, c.nsp AS nc
+           |  FROM qs JOIN ep c ON c.vec_id <> qs.vec_id),
+           |sl AS (
+           |  SELECT query_id, vec_id FROM (
+           |    SELECT query_id, vec_id,
+           |           row_number() OVER (PARTITION BY query_id
+           |             ORDER BY dot / sqrt(CAST(nq AS DOUBLE) * CAST(nc AS DOUBLE)) DESC,
+           |                      vec_id) AS rnk8
+           |    FROM coarse) t
+           |  WHERE rnk8 <= $shortN),
+           |exact AS (
+           |  SELECT s.query_id, s.vec_id,
+           |         list_sum(list_transform(generate_series(1, $Dims), i -> q1.q[i] * c.q[i]))
+           |           / sqrt(CAST(q1.nsq AS DOUBLE) * CAST(c.nsq AS DOUBLE)) AS cos_raw
+           |  FROM sl s JOIN e q1 ON q1.vec_id = s.query_id JOIN e c ON c.vec_id = s.vec_id)
+           |SELECT query_id, vec_id, CAST(rnk AS INT) AS rnk, round(cos_raw, 4) AS cos_sim
+           |FROM (
+           |  SELECT query_id, vec_id, cos_raw,
+           |         row_number() OVER (PARTITION BY query_id
+           |           ORDER BY cos_raw DESC, vec_id) AS rnk
+           |  FROM exact) t
+           |WHERE rnk <= $TopK""".stripMargin
+      }
+    ) { (s, dir) =>
+      val e = quantized(s, dir)
+        .withColumn("qp", expr(s"slice(q, 1, $PrefixDims)"))
+        .withColumn("nsp", expr("dot_i64(qp, qp)"))
+      val qs = e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("q").as("qq_full"),
+          col("nsq").as("nq_full"), col("qp").as("qqp"), col("nsp").as("nqp"))
+      val coarse = e.join(broadcast(qs), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          dot("qqp", "qp").as("dot"),
+          col("nqp").as("nq"), col("nsp").as("nc"))
+      val shortIds = coarse.groupBy(col("query_id"))
+        .agg(expr(s"topk_cos(struct(vec_id, dot, nq, nc), ${TopK * 3})").as("top"))
+        .select(col("query_id"), explode(col("top.vec_id")).as("vec_id"))
+        .join(broadcast(qs.select(col("query_id"),
+          col("qq_full").as("qq"), col("nq_full").as("nq"))), "query_id")
+      val rerank = quantized(s, dir).select(col("vec_id"), col("q"), col("nsq"))
+        .join(broadcast(shortIds), "vec_id")
+      val cosE = dot("qq", "q") /
+        sqrt(col("nq").cast("double") * col("nsq").cast("double"))
+      val w = Window.partitionBy(col("query_id")).orderBy(cosE.desc, col("vec_id"))
+      rerank.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= TopK)
+        .select(col("query_id"), col("vec_id"), col("rnk"),
+          round(cosE, 4).as("cos_sim"))
+    },
+
+    // ---- HARD-NEGATIVE mining: for each query, the top-k most
+    // similar candidates with a DIFFERENT label — the contrastive-
+    // training data op (the label is the relevance proxy: same-label
+    // candidates are positives, so the highest-cosine cross-label rows
+    // are exactly the near-miss negatives a retrieval/embedding trainer
+    // wants in its batches; the semi-hard variant additionally floors
+    // similarity at the easiest positive's — same plan, one extra
+    // scalar bound). Same brute-force economics as
+    // q_ann_bruteforce_topk: queries broadcast, label test rides the
+    // candidate scan, bounded topk_cos reduce — at 100 TB the coarse
+    // stage runs over an IVF/PQ index instead, identical tail.
+    Q.sql(
+      "q_ann_hard_negatives",
+      s"""WITH $quantizedSql,
+         |qs AS (SELECT * FROM e WHERE vec_id < $NQueries),
+         |pairs AS (
+         |  SELECT qs.vec_id AS query_id, c.vec_id AS vec_id,
+         |         list_sum(list_transform(generate_series(1, $Dims),
+         |                  i -> qs.q[i] * c.q[i])) AS dot,
+         |         qs.nsq AS nq, c.nsq AS nc
+         |  FROM qs JOIN e c ON c.vec_id <> qs.vec_id AND c.label <> qs.label),
+         |ranked AS (
+         |  SELECT query_id, vec_id,
+         |         dot / sqrt(CAST(nq AS DOUBLE) * CAST(nc AS DOUBLE)) AS cos_raw,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY dot / sqrt(CAST(nq AS DOUBLE) * CAST(nc AS DOUBLE)) DESC, vec_id) AS rnk
+         |  FROM pairs)
+         |SELECT query_id, vec_id, CAST(rnk AS INT) AS rnk, round(cos_raw, 4) AS cos_sim
+         |FROM ranked WHERE rnk <= $TopK""".stripMargin
+    ) { (s, dir) =>
+      val e = quantized(s, dir)
+      val qs = e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+          col("q").as("qq"), col("nsq").as("nq"))
+      val pairs = e.join(broadcast(qs),
+          col("vec_id") =!= col("query_id") && col("label") =!= col("qlabel"))
+        .select(col("query_id"), col("vec_id"),
+          dot("qq", "q").as("dot"), col("nq"), col("nsq").as("nc"))
       topKReduce(pairs, TopK)
     },
 
@@ -1704,6 +1825,42 @@ object SimilarityQueries {
       eng.compact("ivf_index", Some(deleteSet(e)))
       graft.similarity.IncrementalIvfIndex.searchTopK(
         s.read.parquet(s"$wh/ivf_index"), NQueries, TopK)
+    },
+
+    // ---- RETRAIN lifecycle: build half the corpus, run one Lloyd
+    // retrain step over the STORED index (centroid update from actual
+    // membership → kernel reassignment → cluster-partitioned rewrite +
+    // DirSwap, IncrementalIvfIndex.retrain), then build the REST of the
+    // corpus and probe. The post-retrain build assigns its arrivals
+    // against the retrained quantizer — because `ivf_centroids` is a
+    // train-once incremental model, the swapped-in centroids are
+    // durable state, not reverted by re-materialization — so the
+    // oracle's final assignment is simply EVERY vector against the
+    // Lloyd-updated centroids: batch-1 rows via the retrain rewrite,
+    // batch-2 arrivals via the stored quantizer. Hash-matching it
+    // checks retrain's reassignment, the swap, AND the durability in
+    // one query.
+    Q.sql(
+      "q_ann_ivf_incremental_retrain",
+      ivfRetrainLifecycleOracleSql
+    ) { (s, dir) =>
+      val e = quantized(s, dir)
+      val b = e.agg(min(col("vec_id")), max(col("vec_id"))).first()
+      val mid = (b.getLong(0) + b.getLong(1)) / 2
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_incivfrt").toString
+      def build(batch: DataFrame): Unit = {
+        val rpt = new graft.engine.Engine(s, wh,
+          Map("vectors" -> batch, "vectors_training" -> e),
+          graft.similarity.IncrementalIvfIndex.models(
+            "vectors", "vectors_training", Dims)).build()
+        require(rpt.ok, rpt.results.mkString("; "))
+      }
+      build(e.filter(col("vec_id") <= mid))
+      graft.similarity.IncrementalIvfIndex.retrain(s, wh, Dims)
+      build(e)
+      graft.similarity.IncrementalIvfIndex.searchTopK(
+        s.read.parquet(s"$wh/ivf_index"), NQueries, TopK)
     }
   )
 
@@ -2156,6 +2313,68 @@ object SimilarityQueries {
     * queries must match. */
   private lazy val ivfDeleteOracleSql: String = ivfIncrementalOracleSqlCore(
     s" AND NOT (ca.vec_id % $DeleteMod = $DeleteRem AND ca.vec_id >= $NQueries)")
+
+  /** One-shot oracle for the retrain lifecycle
+    * (`q_ann_ivf_incremental_retrain`): snapshot-trained centroids,
+    * batch 1 (vec_id ≤ mid) assigned against them, ONE Lloyd update
+    * from batch-1 membership (element-wise integer member sums — the
+    * exact arithmetic [[graft.similarity.IncrementalIvfIndex.retrain]]
+    * runs), then EVERY vector assigned against the updated centroids:
+    * batch-1 rows because retrain reassigned the stored layout, batch-2
+    * arrivals because the train-once centroid table serves the
+    * retrained quantizer to the post-retrain build. Probe = each
+    * query's own retrained cluster. */
+  private lazy val ivfRetrainLifecycleOracleSql: String = {
+    val centroidSums = (1 to Dims).map(i => s"sum(q[$i])").mkString(", ")
+    val memberSums = (1 to Dims).map(i => s"sum(e.q[$i])").mkString(", ")
+    s"""WITH $quantizedSql,
+       |mid AS (SELECT (min(vec_id) + max(vec_id)) // 2 AS m FROM e),
+       |cent AS (
+       |  SELECT label, [$centroidSums] AS c,
+       |         list_sum(list_transform([$centroidSums], x -> x * x)) AS ncsq
+       |  FROM e GROUP BY label),
+       |assign1 AS (
+       |  SELECT vec_id, cluster FROM (
+       |    SELECT e.vec_id, cent.label AS cluster,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY list_sum(list_transform(generate_series(1, $Dims),
+       |                        i -> e.q[i] * cent.c[i]))
+       |                      / sqrt(CAST(e.nsq AS DOUBLE) * CAST(cent.ncsq AS DOUBLE)) DESC,
+       |                      cent.label) AS rnk
+       |    FROM e CROSS JOIN cent WHERE e.vec_id <= (SELECT m FROM mid)) t
+       |  WHERE rnk = 1),
+       |cent2 AS (
+       |  SELECT a.cluster AS label, [$memberSums] AS c,
+       |         list_sum(list_transform([$memberSums], x -> x * x)) AS ncsq
+       |  FROM e JOIN assign1 a ON a.vec_id = e.vec_id GROUP BY a.cluster),
+       |assign AS (
+       |  SELECT vec_id, cluster FROM (
+       |    SELECT e.vec_id, cent2.label AS cluster,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY list_sum(list_transform(generate_series(1, $Dims),
+       |                        i -> e.q[i] * cent2.c[i]))
+       |                      / sqrt(CAST(e.nsq AS DOUBLE) * CAST(cent2.ncsq AS DOUBLE)) DESC,
+       |                      cent2.label) AS rnk
+       |    FROM e CROSS JOIN cent2) t WHERE rnk = 1),
+       |qs AS (
+       |  SELECT e.vec_id, e.q, e.nsq, a.cluster FROM e
+       |  JOIN assign a ON a.vec_id = e.vec_id WHERE e.vec_id < $NQueries),
+       |pairs AS (
+       |  SELECT qs.vec_id AS query_id, c.vec_id AS vec_id,
+       |         list_sum(list_transform(generate_series(1, $Dims),
+       |                  i -> qs.q[i] * c.q[i])) AS dot,
+       |         qs.nsq AS nq, c.nsq AS nc
+       |  FROM qs JOIN assign ca ON ca.cluster = qs.cluster AND ca.vec_id <> qs.vec_id
+       |          JOIN e c ON c.vec_id = ca.vec_id)
+       |SELECT query_id, vec_id, CAST(rnk AS INT) AS rnk, round(cos_raw, 4) AS cos_sim
+       |FROM (
+       |  SELECT query_id, vec_id,
+       |         dot / sqrt(CAST(nq AS DOUBLE) * CAST(nc AS DOUBLE)) AS cos_raw,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY dot / sqrt(CAST(nq AS DOUBLE) * CAST(nc AS DOUBLE)) DESC, vec_id) AS rnk
+       |  FROM pairs) t
+       |WHERE rnk <= $TopK""".stripMargin
+  }
 
   private def ivfIncrementalOracleSqlCore(candFilter: String): String = {
     val centroidSums = (1 to Dims).map(i => s"sum(q[$i])").mkString(", ")

@@ -11,14 +11,17 @@ import graft.engine.{Incremental, Materialization, Model}
   * coarse quantizer once, then stream arrivals through it) expressed as
   * a two-model DAG.
   *
-  *  - `ivf_centroids` (Table): per-label element-wise integer SUM over
-  *    the TRAINING snapshot (cosine is scale-invariant, so sum ≡ mean
-  *    and stays integer-exact). The training ref is a FIXED snapshot by
-  *    contract — at 100 TB a sample of the corpus, not the corpus — so
-  *    the rebuild-per-build is deterministic-identical, k tiny rows. A
-  *    CHANGED snapshot (retraining) invalidates every assignment: full
-  *    refresh by design, exactly like [[graft.dedup.IncrementalDecontam]]'s
-  *    versioned eval set.
+  *  - `ivf_centroids` (train-once incremental): per-label element-wise
+  *    integer SUM over the TRAINING snapshot (cosine is scale-invariant,
+  *    so sum ≡ mean and stays integer-exact), trained on the FIRST
+  *    build and read back stored on every later one — k tiny rows. The
+  *    training ref is a FIXED snapshot by contract (at 100 TB a sample
+  *    of the corpus, not the corpus); when the corpus drifts from it,
+  *    [[retrain]] swaps in a Lloyd-updated quantizer that, being
+  *    stored state rather than a re-derivation, survives subsequent
+  *    builds. A CHANGED snapshot still means full refresh by design,
+  *    exactly like [[graft.dedup.IncrementalDecontam]]'s versioned
+  *    eval set.
   *  - `ivf_index` (IncrementalAppend on vec_id): arrivals past the
   *    model's own high-water mark are assigned to their nearest trained
   *    centroid. Assignment is the scan-local [[CentroidAssign.kernel]]
@@ -75,10 +78,19 @@ object IncrementalIvfIndex {
       .select(col("vec_id"), col("cluster"), col("q"), col("nsq"))
 
   /** The index DAG, wired to read (vec_id, label, q, nsq) batches from
-    * `vectorsRef` and the fixed training snapshot from `trainingRef`. */
+    * `vectorsRef` and the fixed training snapshot from `trainingRef`.
+    *
+    * `ivf_centroids` is TRAIN-ONCE by construction (an incremental
+    * model that appends nothing when prior state exists), not merely by
+    * determinism: the coarse quantizer is trained on the first build
+    * and every later build reads the STORED table — which is what lets
+    * [[retrain]]'s swapped-in centroids survive subsequent builds
+    * instead of being silently reverted to the snapshot training by a
+    * Table re-materialization. `--full-refresh` retrains from the
+    * snapshot and rebuilds the index against it (a consistent reset,
+    * like the PQ DAGs' frozen-quantizer contract). */
   def models(vectorsRef: String, trainingRef: String, dims: Int): Seq[Model] = Seq(
-    Model("ivf_centroids", Seq(trainingRef), Materialization.Table)((_, r) =>
-      centroids(r(trainingRef), dims)),
+    trainOnceCentroids(trainingRef, dims),
     Model.incremental(
       "ivf_index", Seq(vectorsRef, "ivf_centroids"),
       // cluster-partitioned storage: a probe of cluster c is a
@@ -97,6 +109,113 @@ object IncrementalIvfIndex {
         .repartition(col("cluster"))
     })
 
+  /** The train-once coarse-quantizer model shared by [[models]] and
+    * [[modelsPQ]]: an incremental model that trains on the first build
+    * and appends NOTHING once prior state exists, so later builds read
+    * the STORED table — the property that makes a [[retrain]] swap
+    * durable across builds. */
+  private def trainOnceCentroids(trainingRef: String, dims: Int): Model =
+    Model.incremental("ivf_centroids", Seq(trainingRef),
+      Materialization.IncrementalAppend("label")) { (s, r, prior) =>
+      if (prior.isDefined)
+        Incremental.emptyFrame(s, Seq(
+          "label" -> "int", "c" -> "array<bigint>", "ncsq" -> "long"))
+      else centroids(r(trainingRef), dims)
+    }
+
+  /** Retrain report: corpus size, how many vectors changed cluster, and
+    * the retrained cluster count (empty clusters vanish). */
+  final case class Retrained(rows: Long, moved: Long, clusters: Int)
+
+  /** RETRAIN a quiesced [[models]] index in `warehouse` — one full
+    * Lloyd iteration over the STORED corpus, the maintenance action the
+    * recall_eval metric triggers when the corpus has drifted from the
+    * partition the coarse quantizer was trained on:
+    *
+    *  1. centroid UPDATE: per current cluster, the element-wise integer
+    *     sum over its stored members (cosine is scale-invariant, so sum
+    *     ≡ mean and stays exact) — one k-row aggregate;
+    *  2. assignment UPDATE: every stored vector reassigned to its
+    *     nearest NEW centroid through the scan-local
+    *     [[CentroidAssign.kernel]] (broadcast centroids, zero
+    *     assignment exchanges);
+    *  3. layout swap: the reassigned rows rewritten cluster-partitioned
+    *     (one `repartition(cluster)` exchange, one file per cluster —
+    *     the [[graft.engine.Engine.compact]] write shape) and swapped
+    *     in via [[graft.engine.DirSwap]]; then the retrained centroid
+    *     table swapped over `ivf_centroids`.
+    *
+    * Because `ivf_centroids` is train-once by construction, subsequent
+    * engine builds READ the retrained quantizer and assign new arrivals
+    * against it — the retrain is durable, not reverted by the next
+    * build (IncrementalIvfIndexSpec pins this end to end). Iterating =
+    * call again; each step can only improve Σ cos(v, c_assign) (the
+    * k-means monotonicity spec-pinned on the ad-hoc operator).
+    *
+    * Crash-safety: both swaps are rename-aside ([[graft.engine.DirSwap]]
+    * heals a torn window on the next touch). A crash BETWEEN the two
+    * swaps leaves a valid index whose probe RANKING uses the stale
+    * centroids (recall may dip, results stay correct — every stored row
+    * remains reachable through its stored cluster); re-running retrain
+    * converges. Frontier markers (all-null-except-vec_id rows a prior
+    * tombstone compact restated) are preserved verbatim, so the HWM
+    * contract survives the rewrite.
+    *
+    * Scope: [[models]] and [[modelsPQ]] layouts (plain-PQ codes quantize
+    * the RAW vector against a cluster-independent codebook, so
+    * re-bucketing rows keeps every stored code valid — extra columns
+    * ride along). NOT [[modelsPQResidual]]: residual codes are relative
+    * to the assigned cluster's mean — retraining there invalidates the
+    * codes, full refresh by design. */
+  def retrain(spark: org.apache.spark.sql.SparkSession,
+      warehouse: String, dims: Int): Retrained = {
+    val idxDir = s"$warehouse/ivf_index"
+    val centDir = s"$warehouse/ivf_centroids"
+    graft.engine.DirSwap.recover(idxDir)
+    graft.engine.DirSwap.recover(centDir)
+    val rows = spark.read.parquet(idxDir)
+    val data = rows.filter(col("q").isNotNull)
+    val markers = rows.filter(col("q").isNull)
+    // 1. centroid update from stored membership
+    val cent2 = centroids(
+      data.select(col("vec_id"), col("cluster").cast("int").as("label"),
+        col("q"), col("nsq")), dims)
+    val cents = CentroidAssign.collectCentroids(cent2) // eager, k rows
+    // 2. reassign every stored vector; non-core columns (PQ codes/npq)
+    // are cluster-independent by the scope contract and ride along
+    val core = Set("vec_id", "cluster", "q", "nsq")
+    val extra = rows.columns.filterNot(core)
+    val reassigned0 = CentroidAssign
+      .kernel(data.select(col("vec_id"), col("q"), col("nsq")), cents)
+      .select(col("vec_id"), col("cluster"), col("q"), col("nsq"))
+    val reassigned =
+      if (extra.isEmpty) reassigned0
+      else reassigned0.join(
+        data.select((col("vec_id") +: extra.map(col)): _*), Seq("vec_id"))
+    val moved = reassigned0.as("n")
+      .join(data.select(col("vec_id"), col("cluster").as("old")), Seq("vec_id"))
+      .filter(col("cluster") =!= col("old")).count()
+    val total = data.count()
+    // 3. rewrite + swap (index first: a torn window between the swaps
+    // leaves stale RANKING, never an unreachable row)
+    val tmpIdx = idxDir + ".retrain"
+    reassigned.unionByName(markers.select(reassigned.columns.map(col): _*))
+      .repartition(col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster").parquet(tmpIdx)
+    graft.engine.DirSwap.replace(tmpIdx, idxDir)
+    // the centroid table is rebuilt from the COLLECTED array, not the
+    // cent2 plan: cent2 reads idxDir, which the swap above just
+    // replaced — re-executing it would sum the NEW assignment (the
+    // next Lloyd update), not the centroids the rows were assigned to
+    val tmpCent = centDir + ".retrain"
+    import spark.implicits._
+    cents.toSeq.map { case (l, c, n) => (l, c.toSeq, n) }
+      .toDF("label", "c", "ncsq")
+      .write.mode("overwrite").parquet(tmpCent)
+    graft.engine.DirSwap.replace(tmpCent, centDir)
+    Retrained(total, moved, cents.length)
+  }
+
   /** The PQ-coded index DAG: [[models]] plus (a) a `pq_codebook` Table
     * model trained once on the SAME fixed snapshot as the centroids
     * (frozen-quantizer contract — retraining either invalidates every
@@ -107,8 +226,7 @@ object IncrementalIvfIndex {
     * the incremental build's shape is unchanged: kernel assign → encode
     * → one repartition(cluster) write exchange. */
   def modelsPQ(vectorsRef: String, trainingRef: String, dims: Int): Seq[Model] = Seq(
-    Model("ivf_centroids", Seq(trainingRef), Materialization.Table)((_, r) =>
-      centroids(r(trainingRef), dims)),
+    trainOnceCentroids(trainingRef, dims),
     Model("pq_codebook", Seq(trainingRef), Materialization.Table)((_, r) =>
       ProductQuantizer.entriesDf(
         r(trainingRef).select(col("vec_id"), col("q"), col("nsq")))),

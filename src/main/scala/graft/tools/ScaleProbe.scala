@@ -58,7 +58,12 @@ object ScaleProbe {
       "q_ann_ivf_pq_multiprobe_kernel", "q_ann_ivf_pq_residual_multiprobe_kernel",
       "q_pipeline_curation_funnel", "q_ts_resample_locf",
       // r14: filtered vector search (predicate-on-candidate-scan forms)
-      "q_ann_filtered_topk", "q_ann_ivf_incremental_filtered")
+      "q_ann_filtered_topk", "q_ann_ivf_incremental_filtered",
+      // r15: retrieval + tokenizer-induction pack
+      "q_text_bm25_topk", "q_text_bm25_incremental", "q_hybrid_search_rrf",
+      "q_ann_recall_eval", "q_ann_mmr_rerank", "q_ann_ivf_retrain",
+      "q_text_bpe_pairs", "q_text_lm_score",
+      "q_ann_ivf_incremental_retrain")
     val queries = sys.env.get("SPARK_GRAFT_PROBE_QUERIES")
       .map(_.split(",").map(_.trim).toSet)
       .fold(allQueries)(sub => allQueries.filter(sub.contains))

@@ -444,4 +444,68 @@ class IncrementalIvfIndexSpec extends SparkSpec {
     assert(r2("ivf_index").rows == 1)
     assert(index().filter($"vec_id" === 7L && $"cluster" === 1).count() == 1)
   }
+
+  test("retrain: one Lloyd step moves boundary rows, survives later builds, converges") {
+    val dir = tmpDir("incivfrt")
+    // drift arrivals pull cluster 1 toward the x=y diagonal; vector 6
+    // sits ON the diagonal and ties to cluster 0 under the snapshot
+    // centroids ((19,1,1,0)/(1,19,0,1): equal dots 140/140, equal
+    // norms, lowest label wins) but is strictly closer to the UPDATED
+    // cluster 1 once the drift mass is in its centroid
+    val drift = Seq(
+      (4L, 1, Seq(5L, 9L, 0L, 0L)),
+      (5L, 1, Seq(6L, 8L, 0L, 0L)),
+      (6L, 0, Seq(7L, 7L, 0L, 0L)))
+    assert(engineFor(dir, vecsDf(training ++ drift)).build().ok)
+    assert(indexSet(dir) == Set(0L -> 0, 1L -> 0, 2L -> 1, 3L -> 1,
+      4L -> 1, 5L -> 1, 6L -> 0))
+
+    // retrain: centroid update from actual membership, reassignment,
+    // cluster-partitioned rewrite + swap
+    val rt1 = IncrementalIvfIndex.retrain(spark, dir, Dims)
+    assert(rt1 == IncrementalIvfIndex.Retrained(rows = 7, moved = 1, clusters = 2))
+    assert(indexSet(dir).contains(6L -> 1)) // the boundary row moved
+    def cents(): Set[(Int, Seq[Long], Long)] =
+      spark.read.parquet(s"$dir/ivf_centroids")
+        .select($"label".cast("int"), $"c", $"ncsq")
+        .as[(Int, Seq[Long], Long)].collect().toSet
+    val retrained = Set(
+      (0, Seq(26L, 8L, 1L, 0L), 741L),   // members {0,1,6}
+      (1, Seq(12L, 36L, 0L, 1L), 1441L)) // members {2,3,4,5}
+    assert(cents() == retrained)
+    // layout contract preserved: one file per cluster after the rewrite
+    Seq(0, 1).foreach { c =>
+      assert(new java.io.File(s"$dir/ivf_index/cluster=$c")
+        .listFiles.count(_.getName.startsWith("part-")) == 1)
+    }
+
+    // DURABILITY: the next build must assign its arrival against the
+    // RETRAINED quantizer (train-once centroids = stored state), not a
+    // re-derivation from the snapshot. (51,50,0,0) discriminates:
+    // snapshot dots 1019 vs 1001 → cluster 0; retrained cosines
+    // 1726/√741 < 2412/√1441 → cluster 1.
+    val r2 = engineFor(dir,
+      vecsDf(training ++ drift :+ ((7L, 0, Seq(51L, 50L, 0L, 0L))))).build()
+    assert(r2.ok && r2("ivf_index").rows == 1)
+    assert(indexSet(dir).contains(7L -> 1))
+    assert(cents() == retrained) // the build did NOT revert the swap
+
+    // a second retrain over the enlarged corpus is a fixed point here:
+    // the Lloyd step can only improve the objective, and this corpus
+    // has converged after one move
+    val rt2 = IncrementalIvfIndex.retrain(spark, dir, Dims)
+    assert(rt2 == IncrementalIvfIndex.Retrained(rows = 8, moved = 0, clusters = 2))
+
+    // frontier markers survive a retrain verbatim: compact away the
+    // frontier row (marker at 7), retrain, and nothing resurrects
+    engineFor(dir, vecsDf(training ++ drift)).compact(
+      "ivf_index", Some(Seq(7L).toDF("vec_id")))
+    IncrementalIvfIndex.retrain(spark, dir, Dims)
+    val post = spark.read.parquet(s"$dir/ivf_index")
+    assert(post.agg(max($"vec_id")).first().getLong(0) == 7L) // marker kept
+    assert(post.filter($"cluster".isNotNull && $"vec_id" === 7L).count() == 0)
+    val r3 = engineFor(dir,
+      vecsDf(training ++ drift :+ ((7L, 0, Seq(51L, 50L, 0L, 0L))))).build()
+    assert(r3("ivf_index").rows == 0) // HWM held at 7 by the marker
+  }
 }
