@@ -145,6 +145,80 @@ object PipelineQueries {
       .filter(col("hkey") < col("thr"))
   }
 
+  /** Fractional-epoch UPSAMPLING toward balance (α = 0.5) — the mirror
+    * of [[mixTemperature]]'s downsampling, and how trainers actually
+    * realize domain weights > 1: epochs_s = min(sqrt(n_max/n_s), cap),
+    * each row replicated ⌊epochs⌋ times plus one extra md5-Bernoulli
+    * copy with p = frac(epochs) (so the EXPECTED replication equals the
+    * fractional epoch count exactly — "fractional epochs" à la Chinchilla
+    * /LLaMA data recipes). The float chain (sqrt, divide, floor, ×65536)
+    * runs the same correctly-rounded IEEE ops in the same order as the
+    * oracle SQL, so base counts and the 4-hex threshold are
+    * bit-identical across engines. Scale: k-row epochs table broadcast;
+    * the per-row copy count is scan-local and the explode multiplies
+    * rows by at most `cap` — no shuffle beyond the stratum count agg. */
+  def mixEpochs(docs: DataFrame, idCol: String, stratumCol: String,
+      cap: Double = 4.0): DataFrame = {
+    val counts = docs.groupBy(col(stratumCol)).agg(count(lit(1)).as("n_s"))
+    val ep = counts.crossJoin(counts.agg(max(col("n_s")).as("n_max")))
+      .withColumn("epochs", least(
+        sqrt(col("n_max").cast("double") / col("n_s").cast("double")), lit(cap)))
+      .withColumn("base", floor(col("epochs")).cast("int"))
+      .withColumn("thr", format_string("%04x",
+        least(floor((col("epochs") - floor(col("epochs"))) * 65536),
+          lit(65535L)).cast("int")))
+      .select(col(stratumCol), col("base"), col("thr"))
+    val hkey = substring(md5(col(idCol).cast("string")), 1, 4)
+    docs.join(broadcast(ep), Seq(stratumCol))
+      .withColumn("n_copies",
+        (col("base") + when(hkey < col("thr"), 1).otherwise(0)).cast("int"))
+      .withColumn("copy", explode(expr("sequence(1, n_copies)")))
+  }
+
+  /** Deterministic FIXED-SIZE per-stratum sample: the k rows with the
+    * smallest md5 keys in each stratum — bottom-k-by-hash, the
+    * order-statistics dual of [[mixSample]]'s rate threshold (and the
+    * same theory MinHash rests on: the k smallest of N uniform hashes
+    * are a uniform k-subset). This is how a pipeline pins a
+    * FIXED-BUDGET eval/holdout set per language that is stable under
+    * corpus growth order and layout. Plan: the rank-≤-k predicate
+    * compiles to WindowGroupLimit, so each task keeps only its k best
+    * rows per stratum before the stratum exchange — never a full sort
+    * of the corpus. */
+  def sampleFixedK(docs: DataFrame, idCol: String, stratumCol: String,
+      k: Int): DataFrame = {
+    val hkey = substring(md5(col(idCol).cast("string")), 1, 8)
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(col("hkey"), col(idCol))
+    docs.withColumn("hkey", hkey)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
+
+  /** Embedding-coverage audit: per stratum, how much of the document
+    * corpus actually has an embedding row (and whether orphan vectors
+    * exist) — the referential-integrity check a multi-table training
+    * pipeline runs before any similarity-based stage (a silently
+    * partial embedding table poisons dedup/decontamination downstream;
+    * this is the reference's `relationships` test generalized to the
+    * doc↔vector pair). One broadcast-or-shuffle equi-join + one
+    * stratum aggregate; `n_orphan_vectors` rides the same pass via a
+    * full-outer join, costing nothing extra at the aggregate grain. */
+  def embeddingCoverage(docs: DataFrame, vecs: DataFrame, idCol: String,
+      vecIdCol: String, stratumCol: String): DataFrame =
+    docs.select(col(idCol), col(stratumCol))
+      .join(vecs.select(col(vecIdCol), lit(1).as("has_vec")),
+        col(idCol) === col(vecIdCol), "full_outer")
+      .groupBy(coalesce(col(stratumCol), lit("_orphan")).as(stratumCol))
+      .agg(
+        sum(when(col(idCol).isNotNull, 1L).otherwise(0L)).as("n_docs"),
+        sum(when(col(idCol).isNotNull && col("has_vec").isNotNull, 1L)
+          .otherwise(0L)).as("n_with_embedding"),
+        sum(when(col(idCol).isNull, 1L).otherwise(0L)).as("n_orphan_vectors"))
+      .withColumn("coverage",
+        round(col("n_with_embedding").cast("double") /
+          greatest(col("n_docs").cast("double"), lit(1.0)), 4))
+
   /** Cross-document repetition signal: per document, how many of its
     * distinct word `n`-grams occur in at least one OTHER document — the
     * boilerplate/template detector (headers, licence blocks, scraped
@@ -486,6 +560,74 @@ object PipelineQueries {
     ) { (s, dir) =>
       mixTemperature(Tables.documents(s, dir), "doc_id", "lang")
         .select(col("doc_id"), col("lang"), col("hkey"), col("thr"))
+    },
+
+    // ---- fractional-epoch upsampling (the weights-greater-than-1 half
+    // of mixture realization: small strata repeat toward balance,
+    // α = 0.5, capped; expected replication = the fractional epoch
+    // count exactly via an md5-Bernoulli extra copy)
+    Q.sql(
+      "q_pipeline_mix_epochs",
+      """WITH c AS (SELECT lang, count(*) AS n_s FROM documents GROUP BY 1),
+        |m AS (SELECT max(n_s) AS n_max FROM c),
+        |t AS (SELECT lang,
+        |        LEAST(sqrt(CAST(n_max AS DOUBLE) / CAST(n_s AS DOUBLE)), 4.0) AS epochs
+        |      FROM c CROSS JOIN m),
+        |t2 AS (SELECT lang, CAST(floor(epochs) AS INT) AS base,
+        |        printf('%04x', CAST(LEAST(floor((epochs - floor(epochs)) * 65536),
+        |                                  65535) AS INT)) AS thr
+        |       FROM t),
+        |r AS (
+        |  SELECT d.doc_id, d.lang,
+        |         t2.base + CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < t2.thr
+        |                        THEN 1 ELSE 0 END AS n_copies
+        |  FROM documents d JOIN t2 ON d.lang = t2.lang)
+        |SELECT doc_id, lang, CAST(n_copies AS INT) AS n_copies,
+        |       CAST(unnest(generate_series(1, n_copies)) AS INT) AS copy
+        |FROM r""".stripMargin
+    ) { (s, dir) =>
+      mixEpochs(Tables.documents(s, dir), "doc_id", "lang")
+        .select(col("doc_id"), col("lang"), col("n_copies"), col("copy"))
+    },
+
+    // ---- deterministic fixed-size per-stratum sample (bottom-k by
+    // md5: a uniform k-subset per language, stable under corpus growth
+    // order — the fixed-budget holdout/eval-set constructor)
+    Q.sql(
+      "q_pipeline_sample_fixed_k",
+      """SELECT doc_id, lang,
+        |       substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS hkey,
+        |       CAST(rk AS INT) AS rk
+        |FROM (
+        |  SELECT doc_id, lang,
+        |         row_number() OVER (PARTITION BY lang
+        |           ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS rk
+        |  FROM documents) t
+        |WHERE rk <= 25""".stripMargin
+    ) { (s, dir) =>
+      sampleFixedK(Tables.documents(s, dir), "doc_id", "lang", 25)
+        .select(col("doc_id"), col("lang"), col("hkey"), col("rk"))
+    },
+
+    // ---- embedding-coverage audit (doc↔vector referential integrity
+    // per stratum: missing embeddings starve similarity stages, orphan
+    // vectors signal a stale embedding table)
+    Q.sql(
+      "q_pipeline_embedding_coverage",
+      """SELECT coalesce(d.lang, '_orphan') AS lang,
+        |       CAST(sum(CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+        |       CAST(sum(CASE WHEN d.doc_id IS NOT NULL AND e.vec_id IS NOT NULL
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_with_embedding,
+        |       CAST(sum(CASE WHEN d.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan_vectors,
+        |       round(CAST(sum(CASE WHEN d.doc_id IS NOT NULL AND e.vec_id IS NOT NULL
+        |                          THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / GREATEST(CAST(sum(CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+        |                            AS DOUBLE), 1.0), 4) AS coverage
+        |FROM documents d FULL OUTER JOIN embeddings e ON d.doc_id = e.vec_id
+        |GROUP BY 1""".stripMargin
+    ) { (s, dir) =>
+      embeddingCoverage(Tables.documents(s, dir), Tables.embeddings(s, dir),
+        "doc_id", "vec_id", "lang")
     },
 
     // ---- the composed curation decision per document (quality band +

@@ -95,6 +95,22 @@ object SimilarityQueries {
 
   private def dot(a: String, b: String): Column = expr(s"dot_i64($a, $b)")
 
+  /** Sign-bit packing for the binary-quantization query: 32 bits of `q`
+    * starting after `off`, folded into ONE non-negative BIGINT (bit i−1
+    * set iff q[off+i] > 0). Two 32-bit words instead of one 64-bit word
+    * keeps every packed value in positive range, so the arithmetic
+    * (shift + sum) is portable across engines with no dependence on
+    * sign-bit shift/overflow behavior. Spark-SQL and DuckDB twins of
+    * the same fold. */
+  private def packBitsSpark(off: Int): String =
+    s"""aggregate(transform(sequence(1, 32),
+       |  i -> IF(element_at(q, i + $off) > 0, shiftleft(1L, i - 1), 0L)),
+       |  0L, (a, x) -> a + x)""".stripMargin
+  private def packBitsDuck(off: Int): String =
+    s"""CAST(list_sum(list_transform(generate_series(1, 32),
+       |  i -> CASE WHEN q[i + $off] > 0 THEN (1::BIGINT << (i - 1))
+       |       ELSE 0::BIGINT END)) AS BIGINT)""".stripMargin
+
   private def cosine(dotC: Column, na: Column, nb: Column): Column =
     dotC / sqrt(na.cast("double") * nb.cast("double"))
 
@@ -261,6 +277,138 @@ object SimilarityQueries {
           col("vec_id") =!= col("query_id") && col("label") =!= col("qlabel"))
         .select(col("query_id"), col("vec_id"),
           dot("qq", "q").as("dot"), col("nq"), col("nsq").as("nc"))
+      topKReduce(pairs, TopK)
+    },
+
+    // ---- SEMI-HARD negative mining (Schroff et al. 2015, FaceNet):
+    // hard negatives FLOORED by the anchor's nearest positive — only
+    // cross-label candidates strictly LESS similar than the query's
+    // most-similar same-label candidate qualify (sim(a,n) < sim(a,p)),
+    // excluding the pathological negatives that sit closer than any
+    // positive (which collapse contrastive training). Same plan as
+    // q_ann_hard_negatives plus one |Q|-row bound aggregate broadcast
+    // back; the strict-< compare is on cosines computed from identical
+    // integer operand bits through identical IEEE ops on both engines,
+    // so the qualifying set matches exactly.
+    Q.sql(
+      "q_ann_semi_hard_negatives",
+      s"""WITH $quantizedSql,
+         |qs AS (SELECT * FROM e WHERE vec_id < $NQueries),
+         |pairs AS (
+         |  SELECT qs.vec_id AS query_id, c.vec_id AS vec_id,
+         |         c.label AS clabel, qs.label AS qlabel,
+         |         list_sum(list_transform(generate_series(1, $Dims),
+         |                  i -> qs.q[i] * c.q[i])) AS dot,
+         |         qs.nsq AS nq, c.nsq AS nc
+         |  FROM qs JOIN e c ON c.vec_id <> qs.vec_id),
+         |pb AS (
+         |  SELECT query_id,
+         |         max(dot / sqrt(CAST(nq AS DOUBLE) * CAST(nc AS DOUBLE))) AS pos_cos
+         |  FROM pairs WHERE clabel = qlabel GROUP BY 1),
+         |neg AS (
+         |  SELECT p.query_id, p.vec_id,
+         |         p.dot / sqrt(CAST(p.nq AS DOUBLE) * CAST(p.nc AS DOUBLE)) AS cos_raw
+         |  FROM pairs p JOIN pb ON p.query_id = pb.query_id
+         |  WHERE p.clabel <> p.qlabel
+         |    AND p.dot / sqrt(CAST(p.nq AS DOUBLE) * CAST(p.nc AS DOUBLE)) < pb.pos_cos)
+         |SELECT query_id, vec_id, CAST(rnk AS INT) AS rnk, round(cos_raw, 4) AS cos_sim
+         |FROM (
+         |  SELECT query_id, vec_id, cos_raw,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY cos_raw DESC, vec_id) AS rnk
+         |  FROM neg) t
+         |WHERE rnk <= $TopK""".stripMargin
+    ) { (s, dir) =>
+      val e = quantized(s, dir)
+      val qs = e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+          col("q").as("qq"), col("nsq").as("nq"))
+      val pairs = e.join(broadcast(qs), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"), col("label"), col("qlabel"),
+          dot("qq", "q").as("dot"), col("nq"), col("nsq").as("nc"))
+      val cosC = cosine(col("dot"), col("nq"), col("nc"))
+      val posBound = pairs.filter(col("label") === col("qlabel"))
+        .groupBy(col("query_id")).agg(max(cosC).as("pos_cos"))
+      val neg = pairs.filter(col("label") =!= col("qlabel"))
+        .join(broadcast(posBound), "query_id")
+        .filter(cosC < col("pos_cos"))
+        .select(col("query_id"), col("vec_id"), col("dot"), col("nq"), col("nc"))
+      topKReduce(neg, TopK)
+    },
+
+    // ---- BINARY (sign-bit) quantization + Hamming shortlist + exact
+    // re-rank: the 1-bit extreme of the SQ8→PQ compression family — a
+    // 64-dim vector becomes 64 sign bits (here two 32-bit words, kept in
+    // positive BIGINT range so the packing is portable across engines
+    // with no sign-bit shift hazards), and the coarse pass ranks EVERY
+    // candidate by Hamming distance: two XOR + popcount ops per
+    // candidate (bit_count is a single POPCNT instruction class — this
+    // is the memory-bandwidth floor of vector search: 8 bytes scanned
+    // per candidate, 512× less than the float vector). Top-3k Hamming
+    // shortlist per query through the bounded topk_cos aggregate (dot =
+    // −hamming, nq = nc = 1 ⇒ cos ≡ −hamming exactly: integer-valued
+    // doubles, so ordering ≡ (hamming ASC, vec_id ASC) bit-for-bit),
+    // then only the shortlist touches full vectors for the exact
+    // integer-cosine re-rank. Composes with IVF the same way SQ8 does.
+    Q.sql(
+      "q_ann_binary_hamming", {
+        val shortN = TopK * 3
+        s"""WITH $quantizedSql,
+           |b AS (
+           |  SELECT vec_id, q, nsq, ${packBitsDuck(0)} AS w1,
+           |         ${packBitsDuck(32)} AS w2
+           |  FROM e),
+           |qs AS (SELECT * FROM b WHERE vec_id < $NQueries),
+           |coarse AS (
+           |  SELECT qs.vec_id AS query_id, c.vec_id AS vec_id,
+           |         CAST(bit_count(xor(qs.w1, c.w1))
+           |              + bit_count(xor(qs.w2, c.w2)) AS BIGINT) AS ham
+           |  FROM qs JOIN b c ON c.vec_id <> qs.vec_id),
+           |sl AS (
+           |  SELECT query_id, vec_id FROM (
+           |    SELECT query_id, vec_id,
+           |           row_number() OVER (PARTITION BY query_id
+           |             ORDER BY ham, vec_id) AS rnkh
+           |    FROM coarse) t
+           |  WHERE rnkh <= $shortN),
+           |exact AS (
+           |  SELECT s.query_id, s.vec_id,
+           |         list_sum(list_transform(generate_series(1, $Dims),
+           |                  i -> q1.q[i] * c.q[i])) AS dot,
+           |         q1.nsq AS nq, c.nsq AS nc
+           |  FROM sl s JOIN e q1 ON q1.vec_id = s.query_id
+           |            JOIN e c ON c.vec_id = s.vec_id)
+           |SELECT query_id, vec_id, CAST(rnk AS INT) AS rnk, round(cos_raw, 4) AS cos_sim
+           |FROM (
+           |  SELECT query_id, vec_id,
+           |         dot / sqrt(CAST(nq AS DOUBLE) * CAST(nc AS DOUBLE)) AS cos_raw,
+           |         row_number() OVER (PARTITION BY query_id
+           |           ORDER BY dot / sqrt(CAST(nq AS DOUBLE) * CAST(nc AS DOUBLE)) DESC,
+           |                    vec_id) AS rnk
+           |  FROM exact) t
+           |WHERE rnk <= $TopK""".stripMargin
+      }
+    ) { (s, dir) =>
+      val shortN = TopK * 3
+      val e = quantized(s, dir)
+        .withColumn("w1", expr(packBitsSpark(0)))
+        .withColumn("w2", expr(packBitsSpark(32)))
+      val qs = e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("q").as("qq"),
+          col("nsq").as("nqf"), col("w1").as("qw1"), col("w2").as("qw2"))
+      val coarse = e.join(broadcast(qs), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          expr("-CAST(bit_count(qw1 ^ w1) + bit_count(qw2 ^ w2) AS BIGINT)").as("dot"),
+          lit(1L).as("nq"), lit(1L).as("nc"))
+      val shortIds = coarse.groupBy(col("query_id"))
+        .agg(expr(s"topk_cos(struct(vec_id, dot, nq, nc), $shortN)").as("top"))
+        .select(col("query_id"), explode(col("top.vec_id")).as("vec_id"))
+        .join(broadcast(qs.select(col("query_id"), col("qq"),
+          col("nqf").as("nq"))), "query_id")
+      val pairs = quantized(s, dir).select(col("vec_id"), col("q"), col("nsq"))
+        .join(broadcast(shortIds), "vec_id")
+        .select(col("query_id"), col("vec_id"), dot("qq", "q").as("dot"),
+          col("nq"), col("nsq").as("nc"))
       topKReduce(pairs, TopK)
     },
 

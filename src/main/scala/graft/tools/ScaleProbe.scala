@@ -63,7 +63,12 @@ object ScaleProbe {
       "q_text_bm25_topk", "q_text_bm25_incremental", "q_hybrid_search_rrf",
       "q_ann_recall_eval", "q_ann_mmr_rerank", "q_ann_ivf_retrain",
       "q_text_bpe_pairs", "q_text_lm_score",
-      "q_ann_ivf_incremental_retrain")
+      "q_ann_ivf_incremental_retrain",
+      // r15b: compression/mining/mixing pack
+      "q_ann_binary_hamming", "q_ann_matryoshka_rerank",
+      "q_ann_hard_negatives", "q_ann_semi_hard_negatives",
+      "q_pipeline_mix_epochs", "q_pipeline_sample_fixed_k",
+      "q_pipeline_embedding_coverage")
     val queries = sys.env.get("SPARK_GRAFT_PROBE_QUERIES")
       .map(_.split(",").map(_.trim).toSet)
       .fold(allQueries)(sub => allQueries.filter(sub.contains))

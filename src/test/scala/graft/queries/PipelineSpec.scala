@@ -114,6 +114,70 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(got - rate) <= tol, s"keep rate $got vs $rate (tol $tol)")
   }
 
+  test("mixEpochs: integer-ratio strata replicate exactly; fractional epochs binomial-bounded") {
+    val n = 1000L
+    // strata sized 16n / 4n / n → epochs 1 / 2 / 4 (perfect squares:
+    // zero fractional part, so replication is EXACTLY deterministic)
+    val corpus = spark.range(21 * n).select($"id".as("doc_id"),
+      when($"id" < 16 * n, "big").when($"id" < 20 * n, "mid")
+        .otherwise("small").as("stratum"))
+    val out = PipelineQueries.mixEpochs(corpus, "doc_id", "stratum")
+    val counts = out.groupBy($"stratum").count().as[(String, Long)].collect().toMap
+    assert(counts == Map("big" -> 16 * n, "mid" -> 8 * n, "small" -> 4 * n))
+    // copies are numbered 1..n_copies with no duplicates
+    val bad = out.groupBy($"doc_id", $"n_copies")
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("c"),
+        org.apache.spark.sql.functions.max($"copy").as("mx"))
+      .filter($"c" =!= $"n_copies" || $"mx" =!= $"n_copies").count()
+    assert(bad == 0)
+
+    // fractional case: sizes 2n / n → epochs sqrt(2) ≈ 1.4142 for the
+    // small stratum; extra-copy rate within 4σ binomial bounds (+
+    // 1/65536 threshold granularity)
+    val c2 = spark.range(3 * n).select($"id".as("doc_id"),
+      when($"id" < 2 * n, "big").otherwise("small").as("stratum"))
+    val o2 = PipelineQueries.mixEpochs(c2, "doc_id", "stratum")
+    val small = o2.filter($"stratum" === "small").count().toDouble / n - 1
+    val p = math.sqrt(2.0) - 1
+    val tol = 4 * math.sqrt(p * (1 - p) / n) + 1.0 / 65536
+    assert(math.abs(small - p) <= tol, s"extra-copy rate $small vs $p (tol $tol)")
+    // the big stratum is the max: exactly one epoch, no extras
+    assert(o2.filter($"stratum" === "big").count() == 2 * n)
+  }
+
+  test("sampleFixedK: exactly k per stratum, layout-independent, short strata kept whole") {
+    val docs = graft.Tables.documents(spark, dir)
+    val out = PipelineQueries.sampleFixedK(docs, "doc_id", "lang", 25)
+    val sizes = out.groupBy($"lang").count().as[(String, Long)].collect().toMap
+    val strata = docs.groupBy($"lang").count().as[(String, Long)].collect().toMap
+    strata.foreach { case (lang, n) =>
+      assert(sizes(lang) == math.min(n, 25L), s"$lang: ${sizes.get(lang)} of $n")
+    }
+    // pure function of doc_id + stratum: identical sample on any layout
+    val a = out.select($"doc_id").as[Long].collect().toSet
+    val b = PipelineQueries.sampleFixedK(docs.repartition(13, $"doc_id"),
+      "doc_id", "lang", 25).select($"doc_id").as[Long].collect().toSet
+    assert(a == b)
+    // rank-≤-k compiles to WindowGroupLimit: tasks keep k rows per
+    // stratum before the exchange, never a full corpus sort
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("embeddingCoverage: crafted fixture hits every count including orphans") {
+    val docs = Seq((1L, "en"), (2L, "en"), (3L, "en"), (4L, "de"), (5L, "de"),
+      (6L, "fr")).toDF("doc_id", "lang")
+    val vecs = Seq(1L, 3L, 4L, 99L).toDF("vec_id") // 99 is an orphan vector
+    val out = PipelineQueries.embeddingCoverage(docs, vecs, "doc_id", "vec_id", "lang")
+      .select($"lang", $"n_docs", $"n_with_embedding", $"n_orphan_vectors", $"coverage")
+      .as[(String, Long, Long, Long, Double)].collect().toSet
+    assert(out == Set(
+      ("en", 3L, 2L, 0L, 0.6667),
+      ("de", 2L, 1L, 0L, 0.5),
+      ("fr", 1L, 0L, 0L, 0.0),
+      ("_orphan", 0L, 0L, 1L, 0.0)))
+  }
+
   test("mixSample is a pure function of doc_id: identical keep set on any layout") {
     val docs = graft.Tables.documents(spark, dir)
     val a = PipelineQueries.mixSample(docs, "doc_id", "lang",

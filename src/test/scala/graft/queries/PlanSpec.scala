@@ -295,4 +295,37 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
     assert(p.contains("SerializeFromObject"), p) // the typed kernel seam
   }
+
+  test("negative mining (hard + semi-hard) reduces via partial topk_cos, never a corpus window") {
+    val ph = plan("q_ann_hard_negatives")
+    assert(ph.toLowerCase.contains("partial_topk_cos"), ph)
+    assert(!ph.contains("row_number"), ph)
+    // semi-hard adds only a |Q|-row partial-max bound broadcast back —
+    // still no window anywhere over candidate-grain rows
+    val ps = plan("q_ann_semi_hard_negatives")
+    assert(ps.toLowerCase.contains("partial_topk_cos"), ps)
+    assert(ps.toLowerCase.contains("partial_max"), ps)
+    assert(!ps.contains("row_number"), ps)
+  }
+
+  test("binary Hamming: BOTH stages are bounded topk_cos partial aggregates, no window") {
+    // coarse (−hamming through the aggregate's cos slot: nq=nc=1 makes
+    // cos ≡ −hamming exactly) AND the exact re-rank reduce map-side;
+    // no candidate ever crosses an exchange unranked
+    val p = plan("q_ann_binary_hamming")
+    assert("partial_topk_cos".r.findAllIn(p.toLowerCase).size >= 2, p)
+    assert(!p.contains("row_number"), p)
+  }
+
+  test("Matryoshka: prefix coarse stage is a partial topk_cos; window only over the bounded shortlist") {
+    val p = plan("q_ann_matryoshka_rerank")
+    // the N-candidate prefix scoring must collapse through the bounded
+    // aggregate; the single row_number window ranks the ≤|Q|·3k-row
+    // shortlist join, never corpus-grain rows (one `Window [` operator —
+    // AQE prints it twice, final + initial plan — and it is
+    // WindowGroupLimit-pushed so each task keeps ≤ k rows)
+    assert(p.toLowerCase.contains("partial_topk_cos"), p)
+    assert("Window \\[".r.findAllIn(p).size <= 2, p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
 }

@@ -245,4 +245,107 @@ class SimilaritySpec extends SparkSpec {
     val moved = out.map { case (_, _, after, stay) => after - stay }.sum
     if (moved > 0) assert(objAfter > objBefore)
   }
+
+  // ---------- driver-side exact replays of the two-stage variants ----------
+  // 500 × 64 int vectors fit on the driver, so the spec replays each
+  // shortlist + re-rank with the same integer arithmetic / IEEE ops /
+  // tie-break contract and requires EXACT (query_id, vec_id, rnk)
+  // equality — a stronger check than a recall floor (which is also
+  // asserted, with the measured value noted, so a geometry change in
+  // the testdata is caught as a drifted floor, not silently).
+
+  private lazy val corpus: Array[(Long, Int, Array[Long])] = {
+    import spark.implicits._
+    graft.Tables.embeddings(spark, dir)
+      .select($"vec_id", $"label".cast("int"),
+        DedupQueries.quantize($"embedding").as("q"))
+      .as[(Long, Int, Array[Long])].collect()
+  }
+
+  private def triples(name: String): Set[(Long, Long, Int)] = {
+    import spark.implicits._
+    graft.SparkEntry.queries(name)(spark, dir)
+      .select($"query_id".cast("long"), $"vec_id".cast("long"), $"rnk".cast("int"))
+      .as[(Long, Long, Int)].collect().toSet
+  }
+
+  /** cos over the first `pref` dims (prefix norms on BOTH sides — the
+    * Matryoshka coarse metric; pref = 64 is the full exact cosine). */
+  private def cosOf(a: Array[Long], b: Array[Long], pref: Int = 64): Double = {
+    var d = 0L; var na = 0L; var nb = 0L; var i = 0
+    while (i < pref) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    d / math.sqrt(na.toDouble * nb.toDouble)
+  }
+
+  /** The engine-wide ANN ordering contract: (cos DESC, vec_id ASC),
+    * NaN-largest via Double.compare — mirrors [[graft.functions.TopKCos]]. */
+  private val bestFirst: Ordering[(Long, Double)] = (a, b) => {
+    val c = java.lang.Double.compare(b._2, a._2)
+    if (c != 0) c else java.lang.Long.compare(a._1, b._1)
+  }
+
+  test("binary Hamming shortlist + exact re-rank: bit-for-bit driver replay; recall floor") {
+    val byId = corpus.map(v => v._1 -> v._3).toMap
+    def word(q: Array[Long], off: Int): Long =
+      (0 until 32).foldLeft(0L)((a, i) => if (q(off + i) > 0) a | (1L << i) else a)
+    val expected = (0L until 5L).flatMap { qid =>
+      val qv = byId(qid)
+      val (qw1, qw2) = (word(qv, 0), word(qv, 32))
+      val shortlist = corpus.filter(_._1 != qid).map { c =>
+        (c._1, java.lang.Long.bitCount(qw1 ^ word(c._3, 0))
+          + java.lang.Long.bitCount(qw2 ^ word(c._3, 32)))
+      }.sortBy(t => (t._2, t._1)).take(30).map(_._1)
+      shortlist.map(id => (id, cosOf(qv, byId(id)))).sorted(bestFirst).take(10)
+        .zipWithIndex.map { case ((id, _), i) => (qid, id, i + 1) }
+    }.toSet
+    assert(triples("q_ann_binary_hamming") == expected)
+    // recall floor vs brute-force truth: measured 0.60 on this corpus —
+    // 1-bit codes keep over half the true top-10 through a 30-wide
+    // shortlist even on near-isotropic data
+    val truth = pairs("q_ann_bruteforce_topk")
+    val got = pairs("q_ann_binary_hamming")
+    val recall = (got intersect truth).size.toDouble / truth.size
+    assert(recall >= 0.5, s"binary-Hamming recall $recall")
+  }
+
+  test("Matryoshka prefix rerank: bit-for-bit driver replay; prefix recall floor") {
+    val byId = corpus.map(v => v._1 -> v._3).toMap
+    val expected = (0L until 5L).flatMap { qid =>
+      val qv = byId(qid)
+      val shortlist = corpus.filter(_._1 != qid)
+        .map(c => (c._1, cosOf(qv, c._3, 16))).sorted(bestFirst).take(30)
+      shortlist.map(t => (t._1, cosOf(qv, byId(t._1)))).sorted(bestFirst).take(10)
+        .zipWithIndex.map { case ((id, _), i) => (qid, id, i + 1) }
+    }.toSet
+    assert(triples("q_ann_matryoshka_rerank") == expected)
+    // measured 0.36 on this corpus — honest for RANDOM embeddings,
+    // where the 16-dim prefix carries only 1/4 of the information;
+    // MRL-trained embeddings front-load it (the operator's premise)
+    val truth = pairs("q_ann_bruteforce_topk")
+    val got = pairs("q_ann_matryoshka_rerank")
+    val recall = (got intersect truth).size.toDouble / truth.size
+    assert(recall >= 0.25, s"matryoshka recall $recall")
+  }
+
+  test("semi-hard negatives: cross-label only, below the nearest-positive bound, full k, exact replay") {
+    val byId = corpus.map(v => v._1 -> (v._2, v._3)).toMap
+    val expected = (0L until 5L).flatMap { qid =>
+      val (ql, qv) = byId(qid)
+      val others = corpus.filter(_._1 != qid)
+      val bound = others.filter(_._2 == ql).map(c => cosOf(qv, c._3)).max
+      others.filter(_._2 != ql).map(c => (c._1, cosOf(qv, c._3)))
+        .filter(_._2 < bound).sorted(bestFirst).take(10)
+        .zipWithIndex.map { case ((id, _), i) => (qid, id, i + 1) }
+    }.toSet
+    val got = triples("q_ann_semi_hard_negatives")
+    assert(got == expected)
+    // structural re-statements of the replay (readable failure modes):
+    // every returned negative is cross-label, and each query fills k
+    val labels = corpus.map(v => v._1 -> v._2).toMap
+    assert(got.forall { case (q, v, _) => labels(v) != labels(q) })
+    assert(got.groupBy(_._1).values.forall(_.size == 10))
+    // semi-hard ≠ hard: the bound actually excludes some top negatives
+    // on this corpus (measured overlap 26/50)
+    assert(got.map(t => (t._1, t._2)) != pairs("q_ann_hard_negatives"))
+  }
 }
