@@ -412,6 +412,141 @@ object SimilarityQueries {
       topKReduce(pairs, TopK)
     },
 
+    // ---- IVF probe + binary code scoring composed: the 1-bit analogue
+    // of q_ann_ivf_sq8's production probe economics. A query (1)
+    // coarse-quantizes to its nearest cluster (candidates = N/C; at
+    // production layout a partition-pruned scan), (2) Hamming-scores
+    // ONLY that cluster's members on the two packed sign words — 8
+    // bytes touched per candidate, the cheapest code scan that exists —
+    // (3) exactly re-ranks the shortlist on full vectors. Recall is
+    // bounded by the cluster stage (codes cannot recover a neighbor the
+    // probe lost) — pinned in SimilaritySpec.
+    Q.sql(
+      "q_ann_ivf_binary", {
+        val centroidSums = (1 to Dims).map(i => s"sum(q[$i])").mkString(", ")
+        val shortN = TopK * 3
+        s"""WITH $quantizedSql,
+           |b AS (
+           |  SELECT vec_id, label, q, nsq, ${packBitsDuck(0)} AS w1,
+           |         ${packBitsDuck(32)} AS w2
+           |  FROM e),
+           |cent AS (
+           |  SELECT label, [$centroidSums] AS cc,
+           |         list_sum(list_transform([$centroidSums], x -> x * x)) AS ncsq
+           |  FROM e GROUP BY label),
+           |qs AS (SELECT * FROM b WHERE vec_id < $NQueries),
+           |assign AS (
+           |  SELECT query_id, label FROM (
+           |    SELECT qs.vec_id AS query_id, cent.label,
+           |           row_number() OVER (PARTITION BY qs.vec_id
+           |             ORDER BY list_sum(list_transform(generate_series(1, $Dims),
+           |                        i -> qs.q[i] * cent.cc[i]))
+           |                      / sqrt(CAST(qs.nsq AS DOUBLE) * CAST(cent.ncsq AS DOUBLE)) DESC,
+           |                      cent.label) AS rnk
+           |    FROM qs CROSS JOIN cent) t WHERE rnk = 1),
+           |coarse AS (
+           |  SELECT qs.vec_id AS query_id, c.vec_id AS vec_id,
+           |         CAST(bit_count(xor(qs.w1, c.w1))
+           |              + bit_count(xor(qs.w2, c.w2)) AS BIGINT) AS ham
+           |  FROM qs JOIN assign a ON qs.vec_id = a.query_id
+           |          JOIN b c ON c.label = a.label AND c.vec_id <> qs.vec_id),
+           |sl AS (
+           |  SELECT query_id, vec_id FROM (
+           |    SELECT query_id, vec_id,
+           |           row_number() OVER (PARTITION BY query_id
+           |             ORDER BY ham, vec_id) AS rnkh
+           |    FROM coarse) t
+           |  WHERE rnkh <= $shortN),
+           |exact AS (
+           |  SELECT s.query_id, s.vec_id,
+           |         list_sum(list_transform(generate_series(1, $Dims),
+           |                  i -> q1.q[i] * c.q[i])) AS dot,
+           |         q1.nsq AS nq, c.nsq AS nc
+           |  FROM sl s JOIN e q1 ON q1.vec_id = s.query_id
+           |            JOIN e c ON c.vec_id = s.vec_id)
+           |SELECT query_id, vec_id, CAST(rnk AS INT) AS rnk, round(cos_raw, 4) AS cos_sim
+           |FROM (
+           |  SELECT query_id, vec_id,
+           |         dot / sqrt(CAST(nq AS DOUBLE) * CAST(nc AS DOUBLE)) AS cos_raw,
+           |         row_number() OVER (PARTITION BY query_id
+           |           ORDER BY dot / sqrt(CAST(nq AS DOUBLE) * CAST(nc AS DOUBLE)) DESC,
+           |                    vec_id) AS rnk
+           |  FROM exact) t
+           |WHERE rnk <= $TopK""".stripMargin
+      }
+    ) { (s, dir) =>
+      val e = quantized(s, dir)
+        .withColumn("w1", expr(packBitsSpark(0)))
+        .withColumn("w2", expr(packBitsSpark(32)))
+      val cent = e.groupBy(col("label"))
+        .agg(array((1 to Dims).map(i => sum(element_at(col("q"), i))): _*).as("cc"))
+        .withColumn("ncsq", expr("dot_i64(cc, cc)"))
+      val qs = e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("q").as("qq"),
+          col("nsq").as("nq"), col("w1").as("qw1"), col("w2").as("qw2"))
+      val wAssign = Window.partitionBy(col("query_id"))
+        .orderBy(cosine(dot("qq", "cc"), col("nq"), col("ncsq")).desc, col("label"))
+      val assign = qs.crossJoin(broadcast(cent))
+        .withColumn("rnk", row_number().over(wAssign)).filter(col("rnk") === 1)
+        .select(col("query_id"), col("qw1"), col("qw2"), col("label"))
+      val shortIds = e.as("c").join(broadcast(assign.as("a")),
+          col("c.label") === col("a.label") && col("c.vec_id") =!= col("a.query_id"))
+        .select(col("query_id"), col("vec_id"),
+          expr("-CAST(bit_count(qw1 ^ w1) + bit_count(qw2 ^ w2) AS BIGINT)").as("dot"),
+          lit(1L).as("hq"), lit(1L).as("hc"))
+        .groupBy(col("query_id"))
+        .agg(expr(s"topk_cos(struct(vec_id, dot, hq, hc), ${TopK * 3})").as("top"))
+        .select(col("query_id"), explode(col("top.vec_id")).as("vec_id"))
+        .join(broadcast(qs.select(col("query_id"), col("qq"), col("nq"))), "query_id")
+      val pairs = quantized(s, dir).select(col("vec_id"), col("q"), col("nsq"))
+        .join(broadcast(shortIds), "vec_id")
+        .select(col("query_id"), col("vec_id"), dot("qq", "q").as("dot"),
+          col("nq"), col("nsq").as("nc"))
+      topKReduce(pairs, TopK)
+    },
+
+    // ---- cluster-bounded kNN GRAPH construction: top-3 most-similar
+    // same-cluster neighbors for EVERY vector — the batch graph build
+    // that SemDeDup-style clustering, graph-based dedup survivorship
+    // and diversity analyses start from. Bounding candidates to the
+    // vector's own cluster is what makes the graph buildable at all:
+    // pairs = Σ_c |c|² ≈ N·(N/C), versus N² all-pairs — and at the
+    // production layout the self-join on cluster rides the
+    // cluster-partitioned index CO-LOCATED (a same-key equi-join, zero
+    // extra exchanges; here AQE broadcasts the 2k-row side). Every
+    // vector is its own query through the same bounded topk_cos reduce,
+    // so no task ever holds more than k edges per source.
+    Q.sql(
+      "q_ann_knn_graph",
+      s"""WITH $quantizedSql,
+         |pairs AS (
+         |  SELECT a.vec_id AS src_id, c.vec_id AS nbr_id,
+         |         list_sum(list_transform(generate_series(1, $Dims),
+         |                  i -> a.q[i] * c.q[i])) AS dot,
+         |         a.nsq AS nq, c.nsq AS nc
+         |  FROM e a JOIN e c ON c.label = a.label AND c.vec_id <> a.vec_id)
+         |SELECT src_id, nbr_id, CAST(rnk AS INT) AS rnk, round(cos_raw, 4) AS cos_sim
+         |FROM (
+         |  SELECT src_id, nbr_id,
+         |         dot / sqrt(CAST(nq AS DOUBLE) * CAST(nc AS DOUBLE)) AS cos_raw,
+         |         row_number() OVER (PARTITION BY src_id
+         |           ORDER BY dot / sqrt(CAST(nq AS DOUBLE) * CAST(nc AS DOUBLE)) DESC,
+         |                    nbr_id) AS rnk
+         |  FROM pairs) t
+         |WHERE rnk <= 3""".stripMargin
+    ) { (s, dir) =>
+      val e = quantized(s, dir)
+      val pairs = e.as("a").join(
+          e.select(col("vec_id").as("cand_id"), col("label").as("clabel"),
+            col("q").as("cq"), col("nsq").as("cnsq")),
+          col("clabel") === col("label") && col("cand_id") =!= col("vec_id"))
+        .select(col("vec_id").as("query_id"), col("cand_id").as("vec_id"),
+          dot("q", "cq").as("dot"), col("nsq").as("nq"), col("cnsq").as("nc"))
+      topKReduce(pairs, 3)
+        .withColumnRenamed("query_id", "src_id")
+        .withColumnRenamed("vec_id", "nbr_id")
+    },
+
     // ---- hybrid retrieval: reciprocal-rank fusion (Cormack et al.) of
     // a LEXICAL candidate list and a VECTOR candidate list for the same
     // query document — the standard RAG first-stage fusion (keyword

@@ -317,6 +317,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("row_number"), p)
   }
 
+  test("kNN graph: per-source edges reduce via partial topk_cos, no corpus window") {
+    // every vector is a query, so the window form would shuffle ALL
+    // Σ|c|² candidate pairs into N partitions — the aggregate keeps ≤k
+    // edges per source per task instead
+    val p = plan("q_ann_knn_graph")
+    assert(p.toLowerCase.contains("partial_topk_cos"), p)
+    assert(!p.contains("row_number"), p)
+  }
+
   test("Matryoshka: prefix coarse stage is a partial topk_cos; window only over the bounded shortlist") {
     val p = plan("q_ann_matryoshka_rerank")
     // the N-candidate prefix scoring must collapse through the bounded
