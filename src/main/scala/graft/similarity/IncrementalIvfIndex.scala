@@ -216,6 +216,59 @@ object IncrementalIvfIndex {
     Retrained(total, moved, cents.length)
   }
 
+  /** DRIFT-POLICY retrain (the retrain twin of
+    * [[graft.engine.Engine.compactIfNeeded]] / the streaming
+    * `compactVectorIndexIfNeeded` cadence gate): [[retrain]] only when
+    * the stored coarse quantizer has drifted from the corpus it
+    * partitions. The DETECT pass is cheap relative to the rewrite —
+    * one k-row aggregate over the index (the Lloyd centroid update,
+    * WITHOUT reassignment or rewrite) plus k driver-side cosines
+    * between each stored centroid and its cluster's current member
+    * mean. `min_self_cos` = the worst such agreement; below
+    * `minSelfCos` the quantizer no longer represents its own members
+    * and the full [[retrain]] (reassign + cluster-partitioned rewrite
+    * + swap) runs. At the Lloyd fixed point the member means ARE the
+    * stored centroids, so self-cos = 1 exactly and the policy
+    * converges to a no-op — repeated calls cannot oscillate.
+    *
+    * Every check appends one JSON line to the sidecar
+    * `<warehouse>/ivf_index.maintenance.jsonl` (outside both
+    * swap-managed dirs, so it survives rewrites) — same observability
+    * contract as compaction cadence: CI watches quantizer drift from
+    * the artifact instead of re-scanning the index. */
+  def retrainIfNeeded(spark: org.apache.spark.sql.SparkSession,
+      warehouse: String, dims: Int, minSelfCos: Double): Option[Retrained] = {
+    val idxDir = s"$warehouse/ivf_index"
+    val centDir = s"$warehouse/ivf_centroids"
+    graft.engine.DirSwap.recover(idxDir)
+    graft.engine.DirSwap.recover(centDir)
+    val stored = CentroidAssign.collectCentroids(spark.read.parquet(centDir))
+    val data = spark.read.parquet(idxDir).filter(col("q").isNotNull)
+    val updated = CentroidAssign.collectCentroids(centroids(
+      data.select(col("vec_id"), col("cluster").cast("int").as("label"),
+        col("q"), col("nsq")), dims))
+    val upMap = updated.map(c => c._1 -> c).toMap
+    // clusters currently empty in the index carry no drift evidence
+    val selfCos = stored.flatMap { case (l, c, n) =>
+      upMap.get(l).map { case (_, c2, n2) =>
+        var d = 0L; var i = 0
+        while (i < c.length) { d += c(i) * c2(i); i += 1 }
+        d / math.sqrt(n.toDouble * n2.toDouble)
+      }
+    }
+    val minCos = if (selfCos.isEmpty) 1.0 else selfCos.min
+    val due = minCos < minSelfCos
+    val res = if (due) Some(retrain(spark, warehouse, dims)) else None
+    val line = f"""{"event":"retrain_check","min_self_cos":$minCos%.6f,""" +
+      f""""threshold":$minSelfCos%.6f,"due":$due""" +
+      res.fold("")(r => s""","rows":${r.rows},"moved":${r.moved}""") + "}\n"
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(idxDir + ".maintenance.jsonl"), line,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+    res
+  }
+
   /** The PQ-coded index DAG: [[models]] plus (a) a `pq_codebook` Table
     * model trained once on the SAME fixed snapshot as the centroids
     * (frozen-quantizer contract — retraining either invalidates every

@@ -508,4 +508,41 @@ class IncrementalIvfIndexSpec extends SparkSpec {
       vecsDf(training ++ drift :+ ((7L, 0, Seq(51L, 50L, 0L, 0L))))).build()
     assert(r3("ivf_index").rows == 0) // HWM held at 7 by the marker
   }
+
+  test("retrainIfNeeded: drift detector gates the rewrite, converges to a no-op, sidecar logged") {
+    val dir = tmpDir("incivfrtp")
+    val drift = Seq(
+      (4L, 1, Seq(5L, 9L, 0L, 0L)),
+      (5L, 1, Seq(6L, 8L, 0L, 0L)),
+      (6L, 0, Seq(7L, 7L, 0L, 0L)))
+    assert(engineFor(dir, vecsDf(training ++ drift)).build().ok)
+    val before = indexSet(dir)
+
+    // permissive threshold: the stored quantizer still agrees with its
+    // members well enough — detect-only pass, index untouched
+    assert(IncrementalIvfIndex.retrainIfNeeded(spark, dir, Dims, minSelfCos = 0.5).isEmpty)
+    assert(indexSet(dir) == before)
+
+    // tight threshold: the drift arrivals have pulled cluster 1's mass
+    // off its snapshot-trained centroid — the full retrain runs
+    val rt = IncrementalIvfIndex.retrainIfNeeded(spark, dir, Dims, minSelfCos = 0.9999)
+    assert(rt.contains(IncrementalIvfIndex.Retrained(rows = 7, moved = 1, clusters = 2)))
+    assert(indexSet(dir).contains(6L -> 1))
+
+    // convergence: at most one more Lloyd step (which moves nothing),
+    // then the member means ARE the stored centroids — self-cos is
+    // exactly 1.0 and the policy is a permanent no-op at any threshold
+    val rt2 = IncrementalIvfIndex.retrainIfNeeded(spark, dir, Dims, minSelfCos = 0.9999)
+    rt2.foreach(r => assert(r.moved == 0))
+    assert(IncrementalIvfIndex.retrainIfNeeded(spark, dir, Dims, minSelfCos = 0.9999).isEmpty)
+
+    // sidecar observability: one line per check, in order, with the
+    // triggered line carrying the retrain report
+    val log = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/ivf_index.maintenance.jsonl")).trim.split("\n")
+    assert(log.length == 4, log.mkString("|"))
+    assert(log(0).contains("\"due\":false") && !log(0).contains("\"moved\""))
+    assert(log(1).contains("\"due\":true") && log(1).contains("\"moved\":1"))
+    assert(log.last.contains("\"due\":false"))
+  }
 }
