@@ -547,6 +547,67 @@ object SimilarityQueries {
         .withColumnRenamed("vec_id", "nbr_id")
     },
 
+    // ---- kNN-graph HUBNESS diagnostics: per-vector in-degree and
+    // mutual-edge count over the q_ann_knn_graph edge set — the
+    // standard embedding-quality pathology check (Radovanović et al.:
+    // in high dimensions a few "hub" points appear in many neighbor
+    // lists while "anti-hubs" appear in none; a skewed in-degree
+    // distribution means similarity-based dedup/retrieval over these
+    // embeddings will over-weight hubs). Out-degree is k by
+    // construction, so in-degree and reciprocity are the informative
+    // moments. Plan: the edge reduce is the same bounded aggregate;
+    // in-degree is one count per edge target, mutuality one
+    // edge-grain self-equi-join on the (k·N)-row edge set — never
+    // vector-grain pairs.
+    Q.sql(
+      "q_ann_graph_hubness",
+      s"""WITH $quantizedSql,
+         |pairs AS (
+         |  SELECT a.vec_id AS src_id, c.vec_id AS nbr_id,
+         |         list_sum(list_transform(generate_series(1, $Dims),
+         |                  i -> a.q[i] * c.q[i])) AS dot,
+         |         a.nsq AS nq, c.nsq AS nc
+         |  FROM e a JOIN e c ON c.label = a.label AND c.vec_id <> a.vec_id),
+         |g AS (
+         |  SELECT src_id, nbr_id FROM (
+         |    SELECT src_id, nbr_id,
+         |           row_number() OVER (PARTITION BY src_id
+         |             ORDER BY dot / sqrt(CAST(nq AS DOUBLE) * CAST(nc AS DOUBLE)) DESC,
+         |                      nbr_id) AS rnk
+         |    FROM pairs) t
+         |  WHERE rnk <= 3),
+         |ind AS (SELECT nbr_id AS vec_id, count(*) AS ind FROM g GROUP BY 1),
+         |mut AS (
+         |  SELECT x.src_id AS vec_id, count(*) AS mut
+         |  FROM g x JOIN g y ON x.src_id = y.nbr_id AND x.nbr_id = y.src_id
+         |  GROUP BY 1)
+         |SELECT e.vec_id,
+         |       CAST(coalesce(ind.ind, 0) AS BIGINT) AS in_degree,
+         |       CAST(coalesce(mut.mut, 0) AS BIGINT) AS n_mutual
+         |FROM e LEFT JOIN ind ON ind.vec_id = e.vec_id
+         |       LEFT JOIN mut ON mut.vec_id = e.vec_id""".stripMargin
+    ) { (s, dir) =>
+      val e = quantized(s, dir)
+      val pairs = e.as("a").join(
+          e.select(col("vec_id").as("cand_id"), col("label").as("clabel"),
+            col("q").as("cq"), col("nsq").as("cnsq")),
+          col("clabel") === col("label") && col("cand_id") =!= col("vec_id"))
+        .select(col("vec_id").as("query_id"), col("cand_id").as("vec_id"),
+          dot("q", "cq").as("dot"), col("nsq").as("nq"), col("cnsq").as("nc"))
+      val edges = topKReduce(pairs, 3)
+        .select(col("query_id").as("src_id"), col("vec_id").as("nbr_id"))
+      val indeg = edges.groupBy(col("nbr_id").as("vec_id"))
+        .agg(count(lit(1)).as("in_degree"))
+      val mutual = edges.as("x").join(edges.as("y"),
+          col("x.src_id") === col("y.nbr_id") && col("x.nbr_id") === col("y.src_id"))
+        .groupBy(col("x.src_id").as("vec_id")).agg(count(lit(1)).as("n_mutual"))
+      e.select(col("vec_id"))
+        .join(indeg, Seq("vec_id"), "left").join(mutual, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("in_degree"), lit(0L)).as("in_degree"),
+          coalesce(col("n_mutual"), lit(0L)).as("n_mutual"))
+    },
+
     // ---- hybrid retrieval: reciprocal-rank fusion (Cormack et al.) of
     // a LEXICAL candidate list and a VECTOR candidate list for the same
     // query document — the standard RAG first-stage fusion (keyword

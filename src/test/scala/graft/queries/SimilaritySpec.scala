@@ -382,4 +382,30 @@ class SimilaritySpec extends SparkSpec {
       assert(deg.getOrElse(id, 0) == math.min(3, byLabel(lab).length - 1))
     }
   }
+
+  test("hubness: degrees consistent with the kNN edge set; mutual edges symmetric") {
+    import spark.implicits._
+    val edges = graft.SparkEntry.queries("q_ann_knn_graph")(spark, dir)
+      .select($"src_id".cast("long"), $"nbr_id".cast("long"))
+      .as[(Long, Long)].collect().toSet
+    val hub = graft.SparkEntry.queries("q_ann_graph_hubness")(spark, dir)
+      .select($"vec_id".cast("long"), $"in_degree".cast("long"), $"n_mutual".cast("long"))
+      .as[(Long, Long, Long)].collect()
+    // every vector appears exactly once; in-degrees recompute from the
+    // edge set; mutual = reciprocated out-edges
+    assert(hub.length == corpus.length)
+    val indeg = edges.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val mut = edges.groupBy(_._1).view
+      .mapValues(_.count { case (s0, n) => edges.contains((n, s0)) }.toLong).toMap
+    hub.foreach { case (v, ind, m) =>
+      assert(ind == indeg.getOrElse(v, 0L), s"in_degree($v)")
+      assert(m == mut.getOrElse(v, 0L), s"n_mutual($v)")
+    }
+    // conservation + symmetry: Σ in-degree = |E|, Σ mutual is even
+    assert(hub.map(_._2).sum == edges.size)
+    assert(hub.map(_._3).sum % 2 == 0)
+    // the diagnostic has signal on this corpus: the in-degree
+    // distribution is not flat (hubs exist)
+    assert(hub.map(_._2).distinct.length > 1)
+  }
 }
