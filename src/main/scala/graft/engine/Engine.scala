@@ -197,8 +197,23 @@ final class Engine(
     } else if (fullRefresh && byName.get(name).exists(m =>
         m.materialization.isInstanceOf[Materialization.IncrementalAppend] ||
         m.materialization.isInstanceOf[Materialization.DeleteInsert])) None
-    else if (exists(name)) Some(spark.read.parquet(path(name)))
+    else if (exists(name)) Some(readEvolved(name))
     else None
+
+  /** Parquet read of a model dir, with footer schema merging exactly
+    * when the model's materialization can have EVOLVED its schema
+    * (IncrementalAppend + AppendNewColumns): older generations lack the
+    * evolved columns, and a single-footer read would surface a
+    * generation-dependent schema. Every other model pays nothing. */
+  private def readEvolved(name: String): DataFrame = {
+    val evolving = byName.get(name).map(_.materialization).exists {
+      case m: Materialization.IncrementalAppend =>
+        m.onSchemaChange == Materialization.SchemaChange.AppendNewColumns
+      case _ => false
+    }
+    if (evolving) spark.read.option("mergeSchema", "true").parquet(path(name))
+    else spark.read.parquet(path(name))
+  }
 
   /** Resolve a ref the way a downstream model sees it. */
   def ref(name: String): DataFrame =
@@ -220,7 +235,7 @@ final class Engine(
         // model dirs are swap-managed (compact/expireBefore); heal a
         // torn swap before pinning the file listing — see exists()
         DirSwap.recover(path(name))
-        spark.read.parquet(path(name))
+        readEvolved(name)
       case None => throw new UnknownRefException(name)
     }
 
@@ -330,12 +345,15 @@ final class Engine(
       drop: (DataFrame, String) => DataFrame => DataFrame): Long = {
     val m = byName(name)
     val (wm, pcols) = m.materialization match {
-      case Materialization.IncrementalAppend(w, p, _) => (w, p)
+      case Materialization.IncrementalAppend(w, p, _, _) => (w, p)
       case other => throw new IllegalArgumentException(
         s"compact: ${m.name} is ${other.getClass.getSimpleName}, not IncrementalAppend")
     }
     DirSwap.recover(path(name)) // heal a swap torn mid-rename before reading
-    val cur = spark.read.parquet(path(name))
+    // mergeSchema: an AppendNewColumns model's older generations lack
+    // the evolved columns — a single-footer read would silently DROP
+    // them from the rewrite
+    val cur = spark.read.option("mergeSchema", "true").parquet(path(name))
     val dropFn = drop(cur, wm)
     // frontier over EVERYTHING, marker rows included — a prior
     // compaction's marker may itself hold the high-water mark
@@ -448,6 +466,49 @@ final class Engine(
     n
   }
 
+  /** Apply the model's `on_schema_change` policy to an append delta —
+    * dbt's incremental schema contract, decided against the target's
+    * CURRENT (merged) schema so evolution composes across builds. Only
+    * column SETS are governed; a type change of an existing column is
+    * an upstream contract break that parquet schema merge itself
+    * rejects. Fast path: identical column sets touch nothing. */
+  private def alignSchema(name: String, delta: DataFrame,
+      policy: Materialization.SchemaChange, wm: String,
+      pcols: Seq[String]): DataFrame = {
+    import Materialization.SchemaChange._
+    val batchCols = delta.columns.toSet
+    // Ignore/Fail freeze the schema at first build, so every file
+    // shares it and the single-footer read is exact; only an EVOLVING
+    // model pays the all-footers merge (bounded by compaction cadence —
+    // the rewrite collapses generations back to few files)
+    val stored = (policy match {
+      case AppendNewColumns =>
+        spark.read.option("mergeSchema", "true").parquet(path(name))
+      case _ => spark.read.parquet(path(name))
+    }).schema
+    val storedCols = stored.map(_.name).toSet
+    if (batchCols == storedCols) return delta
+    val required = Set(wm) ++ pcols
+    require(required.subsetOf(batchCols),
+      s"$name: batch is missing watermark/partition column(s) " +
+        s"${(required -- batchCols).mkString(", ")} — no schema policy absorbs those")
+    policy match {
+      case Fail => throw new IllegalStateException(
+        s"$name: on_schema_change=Fail and the batch schema differs from the " +
+          s"target (new: ${(batchCols -- storedCols).toSeq.sorted.mkString(", ")}; " +
+          s"missing: ${(storedCols -- batchCols).toSeq.sorted.mkString(", ")})")
+      case Ignore =>
+        delta.select(stored.map(f =>
+          if (batchCols(f.name)) col(f.name)
+          else lit(null).cast(f.dataType).as(f.name)): _*)
+      case AppendNewColumns =>
+        val newCols = delta.columns.filterNot(storedCols)
+        delta.select((stored.map(f =>
+          if (batchCols(f.name)) col(f.name)
+          else lit(null).cast(f.dataType).as(f.name)) ++ newCols.map(col)): _*)
+    }
+  }
+
   /** Run `write` on `df` and return the row count the write actually
     * produced, harvested from an observed metric ON the write plan itself
     * — dbt's "rows affected", at zero extra cost. The alternative
@@ -488,7 +549,7 @@ final class Engine(
           _.write.bucketBy(n, key).sortBy(key)
             .option("path", path(m.name)).mode("overwrite")
             .saveAsTable(bucketTable(m.name)))
-      case Materialization.IncrementalAppend(wm, pcols, policy) =>
+      case Materialization.IncrementalAppend(wm, pcols, policy, schemaPolicy) =>
         def write(d: DataFrame, mode: String): Long = writeCounted(d, { x =>
           val w = x.write.mode(mode)
           (if (pcols.nonEmpty) w.partitionBy(pcols: _*) else w)
@@ -500,7 +561,7 @@ final class Engine(
           val prev = spark.read.parquet(path(m.name)).agg(max(col(wm))).first()
           val delta =
             if (prev.isNullAt(0)) df else df.filter(col(wm) > lit(prev.get(0)))
-          val n = write(delta, "append")
+          val n = write(alignSchema(m.name, delta, schemaPolicy, wm, pcols), "append")
           // engine-owned compaction cadence (the streaming loops'
           // maintenanceMaxFiles twin): listing-only until the debt
           // threshold trips; rows stays the APPENDED count (dbt's

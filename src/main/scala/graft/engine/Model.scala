@@ -83,11 +83,23 @@ object Materialization {
     * content-identical rewrite. `run_results.json`'s
     * `max_files_per_partition` then reports the post-maintenance debt,
     * so CI sees the policy holding.
-    */
+    *
+    * `onSchemaChange` is dbt's `on_schema_change` contract for
+    * incremental models, decided PER BUILD against the target's current
+    * (merged) schema: [[SchemaChange.Ignore]] (dbt's default) freezes
+    * the schema at first build — new batch columns are dropped and
+    * stored columns missing from the batch append as nulls;
+    * [[SchemaChange.AppendNewColumns]] evolves the target — new batch
+    * columns append to the schema and PRIOR rows read as null for them
+    * (parquet schema merge, no rewrite of history — the 100 TB-safe
+    * evolution); [[SchemaChange.Fail]] refuses the build on any column-
+    * set difference. Watermark and partition columns must be present in
+    * every batch regardless of policy. */
   final case class IncrementalAppend(
       watermarkCol: String,
       partitionCols: Seq[String] = Nil,
-      compactAfterFiles: Option[Int] = None) extends Materialization
+      compactAfterFiles: Option[Int] = None,
+      onSchemaChange: SchemaChange = SchemaChange.Ignore) extends Materialization
 
   /** Incremental delete+insert over a partitioned table: recompute only the
     * partitions inside the restatement window and overwrite exactly those
@@ -101,6 +113,23 @@ object Materialization {
     * is proportional to the restatement window, not table size.
     */
   final case class DeleteInsert(partitionCol: String) extends Materialization
+
+  /** dbt's `on_schema_change` policy for [[IncrementalAppend]] models. */
+  sealed trait SchemaChange
+  object SchemaChange {
+    /** Target schema frozen at first build: new batch columns dropped,
+      * stored columns missing from the batch appended as nulls. */
+    case object Ignore extends SchemaChange
+    /** Target schema evolves: new batch columns are appended (prior
+      * rows read as null for them via parquet schema merge — history is
+      * never rewritten); stored columns missing from the batch append
+      * as nulls. */
+    case object AppendNewColumns extends SchemaChange
+    /** Any column-set difference between batch and target fails the
+      * build (surfaces upstream contract breaks instead of absorbing
+      * them). */
+    case object Fail extends SchemaChange
+  }
 
   /** SCD2 snapshot (dbt snapshot block): the model's build result is the
     * current truth (one row per key); materialization merges it against

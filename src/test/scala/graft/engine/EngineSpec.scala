@@ -292,6 +292,78 @@ class EngineSpec extends SparkSpec {
     assert(e.build()("log").rows == 0)
   }
 
+  test("on_schema_change=AppendNewColumns: target evolves, history reads null, compaction preserves") {
+    val dir = tmpDir("engevo")
+    var batch = Seq((1L, Timestamp.valueOf("2024-01-01 00:00:00"), "a"))
+      .toDF("id", "ingested_at", "v")
+    val m = Model("log", Seq(), Materialization.IncrementalAppend("ingested_at",
+      onSchemaChange = Materialization.SchemaChange.AppendNewColumns))((_, _) => batch)
+    val e = new Engine(spark, dir, Map.empty, Seq(m))
+    assert(e.build().ok)
+    // batch 2 carries a NEW column → schema evolves, history reads null
+    batch = Seq((2L, Timestamp.valueOf("2024-01-02 00:00:00"), "b", 7.5))
+      .toDF("id", "ingested_at", "v", "score")
+    assert(e.build()("log").rows == 1)
+    val out = e.ref("log")
+    assert(out.columns.toSet == Set("id", "ingested_at", "v", "score"))
+    assert(out.filter($"id" === 1L).select($"score").first().isNullAt(0))
+    assert(out.filter($"id" === 2L).select($"score").first().getDouble(0) == 7.5)
+    // batch 3 MISSING a stored column → appended as null, nothing lost
+    batch = Seq((3L, Timestamp.valueOf("2024-01-03 00:00:00"), 9.0))
+      .toDF("id", "ingested_at", "score")
+    assert(e.build()("log").rows == 1)
+    assert(e.ref("log").filter($"id" === 3L).select($"v").first().isNullAt(0))
+    // compaction (mergeSchema read) rewrites WITHOUT dropping evolved
+    // columns or their values
+    assert(e.compact("log") == 3)
+    val post = e.ref("log")
+    assert(post.columns.toSet == Set("id", "ingested_at", "v", "score"))
+    assert(post.filter($"id" === 2L).select($"score").first().getDouble(0) == 7.5)
+    assert(post.filter($"id" === 1L).select($"v").first().getString(0) == "a")
+  }
+
+  test("on_schema_change=Ignore (default): schema frozen at first build") {
+    val dir = tmpDir("engfrz")
+    var batch = Seq((1L, Timestamp.valueOf("2024-01-01 00:00:00"), "a"))
+      .toDF("id", "ingested_at", "v")
+    val m = Model("log", Seq(),
+      Materialization.IncrementalAppend("ingested_at"))((_, _) => batch)
+    val e = new Engine(spark, dir, Map.empty, Seq(m))
+    assert(e.build().ok)
+    // extra batch column is silently dropped (dbt's ignore)
+    batch = Seq((2L, Timestamp.valueOf("2024-01-02 00:00:00"), "b", 7.5))
+      .toDF("id", "ingested_at", "v", "junk")
+    assert(e.build()("log").rows == 1)
+    assert(e.ref("log").columns.toSet == Set("id", "ingested_at", "v"))
+    assert(e.ref("log").filter($"id" === 2L).select($"v").first().getString(0) == "b")
+    // missing stored column appends as null, schema unchanged
+    batch = Seq((3L, Timestamp.valueOf("2024-01-03 00:00:00")))
+      .toDF("id", "ingested_at")
+    assert(e.build()("log").rows == 1)
+    assert(e.ref("log").columns.toSet == Set("id", "ingested_at", "v"))
+    assert(e.ref("log").filter($"id" === 3L).select($"v").first().isNullAt(0))
+  }
+
+  test("on_schema_change=Fail: a drifted batch schema fails the node") {
+    val dir = tmpDir("engsfail")
+    var batch = Seq((1L, Timestamp.valueOf("2024-01-01 00:00:00"), "a"))
+      .toDF("id", "ingested_at", "v")
+    val m = Model("log", Seq(), Materialization.IncrementalAppend("ingested_at",
+      onSchemaChange = Materialization.SchemaChange.Fail))((_, _) => batch)
+    val e = new Engine(spark, dir, Map.empty, Seq(m))
+    assert(e.build().ok)
+    batch = Seq((2L, Timestamp.valueOf("2024-01-02 00:00:00"), "b", 7.5))
+      .toDF("id", "ingested_at", "v", "extra")
+    val r = e.build()
+    assert(!r.ok)
+    assert(r("log").status == "error")
+    assert(r("log").error.exists(_.contains("on_schema_change")))
+    // identical schema still builds fine
+    batch = Seq((3L, Timestamp.valueOf("2024-01-03 00:00:00"), "c"))
+      .toDF("id", "ingested_at", "v")
+    assert(e.build().ok)
+  }
+
   test("compactIfNeeded: files-per-partition threshold gates the rewrite") {
     val dir = tmpDir("engcmpt")
     var batch = Seq.empty[(Long, Timestamp, String)]
