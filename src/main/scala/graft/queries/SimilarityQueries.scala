@@ -608,6 +608,52 @@ object SimilarityQueries {
           coalesce(col("n_mutual"), lit(0L)).as("n_mutual"))
     },
 
+    // ---- INCREMENTAL kNN-graph maintenance: the edge set as a
+    // DeleteInsert engine model restated BY CLUSTER — edges are not
+    // append-only (an arrival displaces old vectors' neighbors), so
+    // each build recomputes exactly the clusters containing new
+    // arrivals and dynamic partition overwrite replaces those
+    // partitions; untouched clusters' edges are bit-identical to a
+    // full rebuild because a cluster's edges depend only on its own
+    // members (IncrementalKnnGraph scaladoc). Two-batch build must
+    // hash-match the one-shot batch graph.
+    Q.sql(
+      "q_ann_knn_graph_incremental",
+      s"""WITH $quantizedSql,
+         |pairs AS (
+         |  SELECT a.vec_id AS src_id, a.label AS cluster, c.vec_id AS nbr_id,
+         |         list_sum(list_transform(generate_series(1, $Dims),
+         |                  i -> a.q[i] * c.q[i])) AS dot,
+         |         a.nsq AS nq, c.nsq AS nc
+         |  FROM e a JOIN e c ON c.label = a.label AND c.vec_id <> a.vec_id)
+         |SELECT src_id, nbr_id, CAST(rnk AS INT) AS rnk,
+         |       round(cos_raw, 4) AS cos_sim, cluster
+         |FROM (
+         |  SELECT src_id, cluster, nbr_id,
+         |         dot / sqrt(CAST(nq AS DOUBLE) * CAST(nc AS DOUBLE)) AS cos_raw,
+         |         row_number() OVER (PARTITION BY src_id
+         |           ORDER BY dot / sqrt(CAST(nq AS DOUBLE) * CAST(nc AS DOUBLE)) DESC,
+         |                    nbr_id) AS rnk
+         |  FROM pairs) t
+         |WHERE rnk <= 3""".stripMargin
+    ) { (s, dir) =>
+      val e = quantized(s, dir)
+      val b = e.agg(min(col("vec_id")), max(col("vec_id"))).first()
+      val mid = (b.getLong(0) + b.getLong(1)) / 2
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_incknn").toString
+      def build(batch: DataFrame): Unit = {
+        val rpt = new graft.engine.Engine(s, wh, Map("vectors" -> batch),
+          graft.similarity.IncrementalKnnGraph.models("vectors")).build()
+        require(rpt.ok, rpt.results.mkString("; "))
+      }
+      build(e.filter(col("vec_id") <= mid))
+      build(e)
+      s.read.parquet(s"$wh/knn_edges")
+        .select(col("src_id"), col("nbr_id"), col("rnk"), col("cos_sim"),
+          col("cluster").cast("int").as("cluster"))
+    },
+
     // ---- hybrid retrieval: reciprocal-rank fusion (Cormack et al.) of
     // a LEXICAL candidate list and a VECTOR candidate list for the same
     // query document — the standard RAG first-stage fusion (keyword
