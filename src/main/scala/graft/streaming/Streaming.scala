@@ -345,6 +345,96 @@ object Streaming {
     n
   }
 
+  /** RETRAIN the accumulated streaming index layout — one Lloyd step
+    * over everything the stream has written, the streaming twin of
+    * [[graft.similarity.IncrementalIvfIndex.retrain]]: centroid update
+    * from actual membership (k-row aggregate), scan-local kernel
+    * reassignment of every stored row, cluster-partitioned rewrite +
+    * [[graft.engine.DirSwap]]. Returns `(rows, updatedCentroids)` —
+    * centroids are CALLER-OWNED state in the streaming API (each
+    * AvailableNow maintenance run passes them in), so the caller feeds
+    * the returned quantizer to its next [[vectorIndexStream]] /
+    * [[vectorSearchStream]] run; the engine-DAG world instead persists
+    * them in the train-once `ivf_centroids` model.
+    *
+    * Replay safety is [[compactVectorIndex]]'s `keepFrom` contract
+    * verbatim: committed generations fold into `batch_id = -1` under
+    * their NEW clusters; generations `>= keepFrom` keep their batch_id
+    * so a torn current batch replays idempotently. Run it BETWEEN
+    * stream runs (the maintenance window), like compaction. */
+  def retrainVectorIndex(
+      spark: SparkSession,
+      targetDir: String,
+      dims: Int,
+      keepFrom: Long = Long.MaxValue): (Long, Array[(Int, Array[Long], Long)]) = {
+    graft.engine.DirSwap.recover(targetDir)
+    graft.functions.GraftFunctions.register(spark)
+    val all = spark.read.parquet(targetDir)
+    val cents = graft.similarity.CentroidAssign.collectCentroids(
+      graft.similarity.IncrementalIvfIndex.centroids(
+        all.select(col("vec_id"), col("cluster").cast("int").as("label"),
+          col("q"), col("nsq")), dims))
+    val reassigned = graft.similarity.CentroidAssign
+      .kernel(all.select(col("vec_id"), col("q"), col("nsq")), cents)
+      .select(col("vec_id"), col("cluster"), col("q"), col("nsq"))
+      .join(all.select(col("vec_id"), col("batch_id")), Seq("vec_id"))
+    val n = reassigned.count()
+    val tmp = targetDir + ".retrain"
+    reassigned.withColumn("batch_id",
+        when(col("batch_id") >= keepFrom, col("batch_id")).otherwise(lit(-1L)))
+      .repartition(col("cluster"))
+      .write.mode("overwrite")
+      .partitionBy("cluster", "batch_id")
+      .parquet(tmp)
+    graft.engine.DirSwap.replace(tmp, targetDir)
+    (n, cents)
+  }
+
+  /** DRIFT-POLICY streaming retrain (the quantizer twin of
+    * [[compactVectorIndexIfNeeded]], same policy as
+    * [[graft.similarity.IncrementalIvfIndex.retrainIfNeeded]]): detect
+    * with one k-row centroid-update aggregate + k driver cosines
+    * between the CALLER's current centroids and each cluster's member
+    * mean; only below `minSelfCos` does the full
+    * [[retrainVectorIndex]] rewrite run. Appends one JSON line per
+    * check to `<targetDir>.maintenance.jsonl` (the compaction sidecar),
+    * so quantizer drift is CI-observable beside small-files debt.
+    * Returns the updated centroids when a retrain ran. */
+  def retrainVectorIndexIfNeeded(
+      spark: SparkSession,
+      targetDir: String,
+      cents: Array[(Int, Array[Long], Long)],
+      dims: Int,
+      minSelfCos: Double,
+      keepFrom: Long = Long.MaxValue): Option[(Long, Array[(Int, Array[Long], Long)])] = {
+    graft.engine.DirSwap.recover(targetDir)
+    graft.functions.GraftFunctions.register(spark)
+    val all = spark.read.parquet(targetDir)
+    val updated = graft.similarity.CentroidAssign.collectCentroids(
+      graft.similarity.IncrementalIvfIndex.centroids(
+        all.select(col("vec_id"), col("cluster").cast("int").as("label"),
+          col("q"), col("nsq")), dims))
+    val upMap = updated.map(c => c._1 -> c).toMap
+    val selfCos = cents.flatMap { case (l, c, n) =>
+      upMap.get(l).map { case (_, c2, n2) =>
+        var d = 0L; var i = 0
+        while (i < c.length) { d += c(i) * c2(i); i += 1 }
+        d / math.sqrt(n.toDouble * n2.toDouble)
+      }
+    }
+    val minCos = if (selfCos.isEmpty) 1.0 else selfCos.min
+    val due = minCos < minSelfCos
+    val res = if (due) Some(retrainVectorIndex(spark, targetDir, dims, keepFrom)) else None
+    val line = f"""{"event":"retrain_check","min_self_cos":$minCos%.6f,""" +
+      f""""threshold":$minSelfCos%.6f,"due":$due""" +
+      res.fold("")(r => s""","rows":${r._1}""") + "}\n"
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(targetDir + ".maintenance.jsonl"), line,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+    res
+  }
+
   /** Small-files debt of a streaming index layout: the max parquet-file
     * count under one `cluster=` partition, summed across its `batch_id`
     * generations — ≈ micro-batches since the last compaction, the

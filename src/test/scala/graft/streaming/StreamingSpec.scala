@@ -623,4 +623,77 @@ class StreamingSpec extends SparkSpec {
     // top-k (post-filtering batchTruth would miss them)
     assert((filtered.map(_._2) -- batchTruth.map(_._2)).nonEmpty)
   }
+
+  test("streaming retrain: drift gate over the stream-built layout; caller-owned centroids rotate") {
+    val dir = tmpDir("vecstreamrt")
+    val src = s"$dir/src"; val tgt = s"$dir/tgt"; val ckp = s"$dir/ckp"
+    def vecs(rows: Seq[(Long, Seq[Long])]) = {
+      graft.functions.GraftFunctions.register(spark)
+      rows.toDF("vec_id", "q")
+        .withColumn("q", $"q".cast("array<long>"))
+        .withColumn("nsq", expr("dot_i64(q, q)"))
+    }
+    // the IncrementalIvfIndexSpec retrain geometry: drift mass pulls
+    // cluster 1 toward the diagonal; vector 6 ties to 0 under the
+    // snapshot quantizer but belongs to the UPDATED cluster 1
+    val training = Seq(
+      (0L, Seq(10L, 1L, 0L, 0L)), (1L, Seq(9L, 0L, 1L, 0L)),
+      (2L, Seq(0L, 10L, 0L, 1L)), (3L, Seq(1L, 9L, 0L, 0L)))
+    val drift = Seq(
+      (4L, Seq(5L, 9L, 0L, 0L)), (5L, Seq(6L, 8L, 0L, 0L)),
+      (6L, Seq(7L, 7L, 0L, 0L)))
+    val labeled = Seq((0L, 0), (1L, 0), (2L, 1), (3L, 1)).toDF("vec_id", "label")
+    val cents = graft.similarity.CentroidAssign.collectCentroids(
+      vecs(training).join(labeled, "vec_id")
+        .groupBy($"label")
+        .agg(org.apache.spark.sql.functions.array((1 to 4).map(i =>
+          sum(element_at($"q", i))): _*).as("c"))
+        .withColumn("ncsq", expr("dot_i64(c, c)")))
+    val schema = vecs(training).schema
+    vecs(training ++ drift).write.mode("append").parquet(src)
+    Streaming.vectorIndexStream(spark, src, tgt, ckp, schema, cents)
+    def assigned(): Set[(Long, Int)] = spark.read.parquet(tgt)
+      .select($"vec_id", $"cluster").as[(Long, Int)].collect().toSet
+    assert(assigned().contains(6L -> 0)) // snapshot-quantizer tie
+
+    // permissive threshold: detect-only, layout untouched
+    assert(Streaming.retrainVectorIndexIfNeeded(spark, tgt, cents, 4, minSelfCos = 0.5).isEmpty)
+    assert(assigned().contains(6L -> 0))
+
+    // tight threshold: retrain runs — boundary row moves, generations
+    // fold, the UPDATED quantizer comes back to the caller
+    val Some((n, cents2)) = Streaming.retrainVectorIndexIfNeeded(
+      spark, tgt, cents, 4, minSelfCos = 0.9999)
+    assert(n == 7)
+    assert(assigned().contains(6L -> 1))
+    assert(cents2.map(c => (c._1, c._2.toSeq, c._3)).toSet == Set(
+      (0, Seq(26L, 8L, 1L, 0L), 741L), (1, Seq(12L, 36L, 0L, 1L), 1441L)))
+    def gens(cluster: Int): Set[String] =
+      new java.io.File(s"$tgt/cluster=$cluster").listFiles
+        .filter(_.isDirectory).map(_.getName).toSet
+    assert(gens(0) == Set("batch_id=-1") && gens(1) == Set("batch_id=-1"))
+
+    // the NEXT stream run assigns against the rotated quantizer,
+    // exactly-once over the rewritten layout: (51,50,0,0) discriminates
+    // (snapshot → cluster 0, retrained → cluster 1)
+    vecs(Seq((7L, Seq(51L, 50L, 0L, 0L)))).write.mode("append").parquet(src)
+    Streaming.vectorIndexStream(spark, src, tgt, ckp, schema, cents2)
+    assert(assigned().contains(7L -> 1))
+    assert(spark.read.parquet(tgt).count() == 8)
+    // stream-after-retrain ≡ one-shot kernel under the retrained cents
+    val oneShot = graft.similarity.CentroidAssign
+      .kernel(vecs(training ++ drift :+ ((7L, Seq(51L, 50L, 0L, 0L)))), cents2)
+      .select($"vec_id", $"cluster").as[(Long, Int)].collect().toSet
+    assert(assigned() == oneShot)
+
+    // at the fixed point the policy is a permanent no-op, and the
+    // sidecar carries one line per check
+    assert(Streaming.retrainVectorIndexIfNeeded(spark, tgt, cents2, 4, 0.9999)
+      .forall(_._1 == 8L))
+    val log = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$tgt.maintenance.jsonl")).trim.split("\n")
+    assert(log.length == 3, log.mkString("|"))
+    assert(log(0).contains("\"due\":false"))
+    assert(log(1).contains("\"due\":true") && log(1).contains("\"rows\":7"))
+  }
 }
