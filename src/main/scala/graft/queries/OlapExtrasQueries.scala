@@ -204,6 +204,103 @@ object OlapExtrasQueries {
         .select(col("user_id"), col("ts").as("hour_ts"), col("locf_value"))
     },
 
+    // ---- time-series resample + LINEAR interpolation: the gap-fill
+    // sibling of LOCF for continuous signals — each hourly grid instant
+    // takes v0 + (v1−v0)·(t−t0)/(t1−t0) between its bracketing
+    // observations (null outside the observed range: interpolation
+    // never extrapolates). Same union+window single-shuffle shape as
+    // LOCF, with a mirrored forward window for the next observation.
+    // Determinism: values quantized to integer cents, instants to
+    // integer epoch-micros, so both engines feed IDENTICAL integer
+    // operand bits through the IDENTICAL IEEE expression shape
+    // (cast, subtract, divide, multiply, add — same grouping) — the
+    // doubles bit-match without any summation-order hazard.
+    Q.sql(
+      "q_ts_interpolate_linear",
+      """WITH obs AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |         CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events),
+        |bounds AS (
+        |  SELECT user_id, date_trunc('hour', min(ts)) AS t0, date_trunc('hour', max(ts)) AS t1
+        |  FROM obs GROUP BY 1),
+        |grid AS (
+        |  SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS ts
+        |  FROM bounds),
+        |u AS (
+        |  SELECT user_id, ts, 0 AS is_grid, event_id, v FROM obs
+        |  UNION ALL
+        |  SELECT user_id, ts, 1, NULL, NULL FROM grid),
+        |f AS (
+        |  SELECT user_id, ts, is_grid,
+        |         last_value(v IGNORE NULLS) OVER wp AS v0,
+        |         last_value(CASE WHEN v IS NOT NULL THEN epoch_us(ts) END IGNORE NULLS)
+        |           OVER wp AS t0e,
+        |         first_value(v IGNORE NULLS) OVER wn AS v1,
+        |         first_value(CASE WHEN v IS NOT NULL THEN epoch_us(ts) END IGNORE NULLS)
+        |           OVER wn AS t1e
+        |  FROM u
+        |  WINDOW wp AS (PARTITION BY user_id ORDER BY ts, is_grid, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         wn AS (PARTITION BY user_id ORDER BY ts, is_grid, event_id
+        |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, ts AS hour_ts,
+        |       round(CASE WHEN v0 IS NULL OR v1 IS NULL THEN NULL
+        |                  ELSE CAST(v0 AS DOUBLE)
+        |                       + CAST(v1 - v0 AS DOUBLE)
+        |                         * (CAST(epoch_us(ts) - t0e AS DOUBLE)
+        |                            / CAST(t1e - t0e AS DOUBLE))
+        |             END, 4) AS interp_cents
+        |FROM f WHERE is_grid = 1""".stripMargin
+    ) { (s, dir) =>
+      val obs = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+      val grid = obs.groupBy(col("user_id"))
+        .agg(date_trunc("hour", min(col("ts"))).as("t0"),
+          date_trunc("hour", max(col("ts"))).as("t1"))
+        .select(col("user_id"),
+          explode(expr("sequence(t0, t1, interval 1 hour)")).as("ts"))
+      val unioned = obs
+        .withColumn("is_grid", lit(0))
+        .unionByName(grid
+          .withColumn("is_grid", lit(1))
+          .withColumn("event_id", lit(null).cast("long"))
+          .withColumn("v", lit(null).cast("long")))
+      // BOTH neighbor lookups run as O(n) RUNNING frames: the oracle's
+      // `CURRENT ROW AND UNBOUNDED FOLLOWING` frame is, in Spark,
+      // recomputed from scratch per row (UnboundedFollowing frames are
+      // O(n²) per partition — measured 4× the LOCF query's cost before
+      // this rewrite), so the NEXT-observation columns are computed
+      // over the EXACT REVERSE sort with an unbounded-preceding frame
+      // instead: `last ignoreNulls` over the reversed running frame ≡
+      // `first ignoreNulls` over the forward following frame (the
+      // order is total — grid rows are unique per (user, ts), obs rows
+      // per event_id — so the reversal is exact). One exchange, two
+      // sorts, both frames streaming.
+      val wp = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("is_grid"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wr = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("is_grid").desc, col("event_id").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tMicros = expr("unix_micros(ts)")
+      val obsMicros = when(col("v").isNotNull, tMicros)
+      val interp = col("v0").cast("double") +
+        (col("v1") - col("v0")).cast("double") *
+          ((tMicros - col("t0e")).cast("double") /
+            (col("t1e") - col("t0e")).cast("double"))
+      unioned
+        .withColumn("v0", last(col("v"), ignoreNulls = true).over(wp))
+        .withColumn("t0e", last(obsMicros, ignoreNulls = true).over(wp))
+        .withColumn("v1", last(col("v"), ignoreNulls = true).over(wr))
+        .withColumn("t1e", last(obsMicros, ignoreNulls = true).over(wr))
+        .filter(col("is_grid") === 1)
+        .select(col("user_id"), col("ts").as("hour_ts"),
+          round(when(col("v0").isNull || col("v1").isNull, lit(null))
+            .otherwise(interp), 4).as("interp_cents"))
+    },
+
     // ---- time-series anomaly signal: rolling mean/std over a trailing
     // row frame per user. Rolling DOUBLE sums cannot hash-match across
     // engines (DuckDB evaluates sliding frames with segment trees, so

@@ -69,7 +69,8 @@ object ScaleProbe {
       "q_ann_hard_negatives", "q_ann_semi_hard_negatives",
       "q_pipeline_mix_epochs", "q_pipeline_sample_fixed_k",
       "q_pipeline_embedding_coverage", "q_ann_ivf_binary", "q_ann_knn_graph",
-      "q_ann_graph_hubness", "q_ann_knn_graph_incremental")
+      "q_ann_graph_hubness", "q_ann_knn_graph_incremental",
+      "q_ts_interpolate_linear")
     val queries = sys.env.get("SPARK_GRAFT_PROBE_QUERIES")
       .map(_.split(",").map(_.trim).toSet)
       .fold(allQueries)(sub => allQueries.filter(sub.contains))
