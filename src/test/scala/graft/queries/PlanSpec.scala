@@ -296,6 +296,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("SerializeFromObject"), p) // the typed kernel seam
   }
 
+  test("linear interpolation: both neighbor lookups are RUNNING frames, never unbounded-following") {
+    // Spark recomputes a CURRENT..UNBOUNDED FOLLOWING aggregate frame
+    // from scratch per row (O(n²) per partition — measured 2.7× the
+    // query cost); the next-observation columns must stay on the
+    // reversed-sort unbounded-PRECEDING running frame
+    val p = plan("q_ts_interpolate_linear")
+    assert(!p.contains("unboundedfollowing$()"), p)
+    assert(p.contains("currentrow$()"), p)
+  }
+
   test("negative mining (hard + semi-hard) reduces via partial topk_cos, never a corpus window") {
     val ph = plan("q_ann_hard_negatives")
     assert(ph.toLowerCase.contains("partial_topk_cos"), ph)
