@@ -209,6 +209,8 @@ final class Engine(
     val evolving = byName.get(name).map(_.materialization).exists {
       case m: Materialization.IncrementalAppend =>
         m.onSchemaChange == Materialization.SchemaChange.AppendNewColumns
+      case m: Materialization.DeleteInsert =>
+        m.onSchemaChange == Materialization.SchemaChange.AppendNewColumns
       case _ => false
     }
     if (evolving) spark.read.option("mergeSchema", "true").parquet(path(name))
@@ -473,8 +475,8 @@ final class Engine(
     * an upstream contract break that parquet schema merge itself
     * rejects. Fast path: identical column sets touch nothing. */
   private def alignSchema(name: String, delta: DataFrame,
-      policy: Materialization.SchemaChange, wm: String,
-      pcols: Seq[String]): DataFrame = {
+      policy: Materialization.SchemaChange,
+      requiredCols: Seq[String]): DataFrame = {
     import Materialization.SchemaChange._
     val batchCols = delta.columns.toSet
     // Ignore/Fail freeze the schema at first build, so every file
@@ -488,7 +490,7 @@ final class Engine(
     }).schema
     val storedCols = stored.map(_.name).toSet
     if (batchCols == storedCols) return delta
-    val required = Set(wm) ++ pcols
+    val required = requiredCols.toSet
     require(required.subsetOf(batchCols),
       s"$name: batch is missing watermark/partition column(s) " +
         s"${(required -- batchCols).mkString(", ")} — no schema policy absorbs those")
@@ -561,7 +563,7 @@ final class Engine(
           val prev = spark.read.parquet(path(m.name)).agg(max(col(wm))).first()
           val delta =
             if (prev.isNullAt(0)) df else df.filter(col(wm) > lit(prev.get(0)))
-          val n = write(alignSchema(m.name, delta, schemaPolicy, wm, pcols), "append")
+          val n = write(alignSchema(m.name, delta, schemaPolicy, wm +: pcols), "append")
           // engine-owned compaction cadence (the streaming loops'
           // maintenanceMaxFiles twin): listing-only until the debt
           // threshold trips; rows stays the APPENDED count (dbt's
@@ -570,7 +572,7 @@ final class Engine(
           policy.foreach(mf => compactIfNeeded(m.name, mf))
           n
         }
-      case Materialization.DeleteInsert(pcol) =>
+      case Materialization.DeleteInsert(pcol, schemaPolicy) =>
         // df is expected to contain ONLY the restatement window's rows
         // (the model's own window predicate, as in the reference's
         // incremental branch). Dynamic overwrite replaces exactly the
@@ -584,7 +586,10 @@ final class Engine(
         // exist in the recomputed result are dropped too (dbt's
         // --full-refresh drops and recreates the table).
         val mode = if (fullRefresh) "static" else "dynamic"
-        writeCounted(df, _.write.mode("overwrite")
+        val aligned =
+          if (fullRefresh || !exists(m.name)) df
+          else alignSchema(m.name, df, schemaPolicy, Seq(pcol))
+        writeCounted(aligned, _.write.mode("overwrite")
           .option("partitionOverwriteMode", mode)
           .partitionBy(pcol).parquet(path(m.name)))
       case Materialization.Scd2Snapshot(key, checkCols) =>

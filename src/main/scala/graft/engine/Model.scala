@@ -111,8 +111,15 @@ object Materialization {
     * `partitionCol` must be the window grain (month start date here). At
     * 100 TB this touches only `reprocess_months` partitions per run — cost
     * is proportional to the restatement window, not table size.
-    */
-  final case class DeleteInsert(partitionCol: String) extends Materialization
+    *
+    * `onSchemaChange` is the same dbt contract as on
+    * [[IncrementalAppend]], applied to the restated window: under
+    * [[SchemaChange.AppendNewColumns]] the restated partitions carry
+    * the evolved schema while untouched partitions keep their old
+    * files — reads merge footers, history is never rewritten. */
+  final case class DeleteInsert(
+      partitionCol: String,
+      onSchemaChange: SchemaChange = SchemaChange.Ignore) extends Materialization
 
   /** dbt's `on_schema_change` policy for [[IncrementalAppend]] models. */
   sealed trait SchemaChange

@@ -364,6 +364,45 @@ class EngineSpec extends SparkSpec {
     assert(e.build().ok)
   }
 
+  test("on_schema_change applies to DeleteInsert restatements too") {
+    // AppendNewColumns: a restated window carrying a new column evolves
+    // the table; untouched partitions' rows read null for it
+    val dir = tmpDir("engdevo")
+    var batch = Seq((1L, "2024-01", "a")).toDF("id", "month", "v")
+    val m = Model("fct", Seq(), Materialization.DeleteInsert("month",
+      Materialization.SchemaChange.AppendNewColumns))((_, _) => batch)
+    val e = new Engine(spark, dir, Map.empty, Seq(m))
+    assert(e.build().ok)
+    batch = Seq((2L, "2024-02", "b", 7.5)).toDF("id", "month", "v", "score")
+    assert(e.build().ok)
+    val out = e.ref("fct")
+    assert(out.columns.toSet == Set("id", "month", "v", "score"))
+    assert(out.filter($"id" === 1L).select($"score").first().isNullAt(0))
+    assert(out.filter($"id" === 2L).select($"score").first().getDouble(0) == 7.5)
+
+    // default Ignore: the stray column is dropped, schema frozen
+    val dir2 = tmpDir("engdfrz")
+    var b2 = Seq((1L, "2024-01", "a")).toDF("id", "month", "v")
+    val m2 = Model("fct", Seq(),
+      Materialization.DeleteInsert("month"))((_, _) => b2)
+    val e2 = new Engine(spark, dir2, Map.empty, Seq(m2))
+    assert(e2.build().ok)
+    b2 = Seq((2L, "2024-02", "b", 7.5)).toDF("id", "month", "v", "junk")
+    assert(e2.build().ok)
+    assert(e2.ref("fct").columns.toSet == Set("id", "month", "v"))
+
+    // Fail: a drifted restatement errors the node
+    val dir3 = tmpDir("engdfail")
+    var b3 = Seq((1L, "2024-01", "a")).toDF("id", "month", "v")
+    val m3 = Model("fct", Seq(), Materialization.DeleteInsert("month",
+      Materialization.SchemaChange.Fail))((_, _) => b3)
+    val e3 = new Engine(spark, dir3, Map.empty, Seq(m3))
+    assert(e3.build().ok)
+    b3 = Seq((2L, "2024-02", "b", 7.5)).toDF("id", "month", "v", "extra")
+    val r3 = e3.build()
+    assert(!r3.ok && r3("fct").error.exists(_.contains("on_schema_change")))
+  }
+
   test("compactIfNeeded: files-per-partition threshold gates the rewrite") {
     val dir = tmpDir("engcmpt")
     var batch = Seq.empty[(Long, Timestamp, String)]
