@@ -168,7 +168,17 @@ object IncrementalIvfIndex {
     * to the assigned cluster's mean — retraining there invalidates the
     * codes, full refresh by design. */
   def retrain(spark: org.apache.spark.sql.SparkSession,
-      warehouse: String, dims: Int): Retrained = {
+      warehouse: String, dims: Int): Retrained =
+    retrainWith(spark, warehouse, dims, None)
+
+  /** [[retrain]] with the centroid-update aggregate optionally
+    * PRECOMPUTED: [[retrainIfNeeded]]'s detect pass already collected
+    * the updated centroids over the whole index, and re-deriving the
+    * identical k-row aggregate here would scan the corpus twice per
+    * triggered retrain. */
+  private def retrainWith(spark: org.apache.spark.sql.SparkSession,
+      warehouse: String, dims: Int,
+      precomputed: Option[Array[(Int, Array[Long], Long)]]): Retrained = {
     val idxDir = s"$warehouse/ivf_index"
     val centDir = s"$warehouse/ivf_centroids"
     graft.engine.DirSwap.recover(idxDir)
@@ -176,11 +186,10 @@ object IncrementalIvfIndex {
     val rows = spark.read.parquet(idxDir)
     val data = rows.filter(col("q").isNotNull)
     val markers = rows.filter(col("q").isNull)
-    // 1. centroid update from stored membership
-    val cent2 = centroids(
+    // 1. centroid update from stored membership (eager, k rows)
+    val cents = precomputed.getOrElse(CentroidAssign.collectCentroids(centroids(
       data.select(col("vec_id"), col("cluster").cast("int").as("label"),
-        col("q"), col("nsq")), dims)
-    val cents = CentroidAssign.collectCentroids(cent2) // eager, k rows
+        col("q"), col("nsq")), dims)))
     // 2. reassign every stored vector; non-core columns (PQ codes/npq)
     // are cluster-independent by the scope contract and ride along
     val core = Set("vec_id", "cluster", "q", "nsq")
@@ -204,9 +213,10 @@ object IncrementalIvfIndex {
       .write.mode("overwrite").partitionBy("cluster").parquet(tmpIdx)
     graft.engine.DirSwap.replace(tmpIdx, idxDir)
     // the centroid table is rebuilt from the COLLECTED array, not the
-    // cent2 plan: cent2 reads idxDir, which the swap above just
-    // replaced — re-executing it would sum the NEW assignment (the
-    // next Lloyd update), not the centroids the rows were assigned to
+    // centroid-update plan: that plan reads idxDir, which the swap
+    // above just replaced — re-executing it would sum the NEW
+    // assignment (the next Lloyd update), not the centroids the rows
+    // were assigned to
     val tmpCent = centDir + ".retrain"
     import spark.implicits._
     cents.toSeq.map { case (l, c, n) => (l, c.toSeq, n) }
@@ -258,7 +268,11 @@ object IncrementalIvfIndex {
     }
     val minCos = if (selfCos.isEmpty) 1.0 else selfCos.min
     val due = minCos < minSelfCos
-    val res = if (due) Some(retrain(spark, warehouse, dims)) else None
+    // the detect pass's `updated` IS retrain's step-1 aggregate — hand
+    // it over so a triggered retrain scans the corpus once, not twice
+    val res =
+      if (due) Some(retrainWith(spark, warehouse, dims, Some(updated)))
+      else None
     val line = f"""{"event":"retrain_check","min_self_cos":$minCos%.6f,""" +
       f""""threshold":$minSelfCos%.6f,"due":$due""" +
       res.fold("")(r => s""","rows":${r.rows},"moved":${r.moved}""") + "}\n"

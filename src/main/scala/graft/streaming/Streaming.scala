@@ -370,17 +370,25 @@ object Streaming {
     graft.engine.DirSwap.recover(targetDir)
     graft.functions.GraftFunctions.register(spark)
     val all = spark.read.parquet(targetDir)
+    // partition data vs null-q marker rows (mirroring the engine-side
+    // retrain): the streaming layout stores no markers TODAY, but the
+    // assignment kernel must never see a null vector, and any marker a
+    // future maintenance action restates must survive the rewrite
+    // verbatim rather than crash it
+    val data = all.filter(col("q").isNotNull)
+    val markers = all.filter(col("q").isNull)
     val cents = graft.similarity.CentroidAssign.collectCentroids(
       graft.similarity.IncrementalIvfIndex.centroids(
-        all.select(col("vec_id"), col("cluster").cast("int").as("label"),
+        data.select(col("vec_id"), col("cluster").cast("int").as("label"),
           col("q"), col("nsq")), dims))
     val reassigned = graft.similarity.CentroidAssign
-      .kernel(all.select(col("vec_id"), col("q"), col("nsq")), cents)
+      .kernel(data.select(col("vec_id"), col("q"), col("nsq")), cents)
       .select(col("vec_id"), col("cluster"), col("q"), col("nsq"))
-      .join(all.select(col("vec_id"), col("batch_id")), Seq("vec_id"))
+      .join(data.select(col("vec_id"), col("batch_id")), Seq("vec_id"))
     val n = reassigned.count()
     val tmp = targetDir + ".retrain"
-    reassigned.withColumn("batch_id",
+    reassigned.unionByName(markers.select(reassigned.columns.map(col): _*))
+      .withColumn("batch_id",
         when(col("batch_id") >= keepFrom, col("batch_id")).otherwise(lit(-1L)))
       .repartition(col("cluster"))
       .write.mode("overwrite")

@@ -624,6 +624,37 @@ class StreamingSpec extends SparkSpec {
     assert((filtered.map(_._2) -- batchTruth.map(_._2)).nonEmpty)
   }
 
+  test("streaming retrain preserves null-q marker rows verbatim") {
+    // the streaming layout stores no markers today, but the retrain
+    // rewrite must carry any future maintenance marker through — and
+    // the assignment kernel must never see the null vector
+    val dir = tmpDir("vecstreamrtm")
+    val tgt = s"$dir/tgt"
+    graft.functions.GraftFunctions.register(spark)
+    val data = Seq(
+      (0L, Seq(10L, 0L, 0L, 0L), 0, 1L), (1L, Seq(9L, 1L, 0L, 0L), 0, 1L),
+      (2L, Seq(0L, 10L, 0L, 1L), 1, 1L), (3L, Seq(1L, 9L, 0L, 0L), 1, 2L))
+      .toDF("vec_id", "q", "cluster", "batch_id")
+      .withColumn("q", $"q".cast("array<long>"))
+      .withColumn("nsq", expr("dot_i64(q, q)"))
+    val marker = Seq((99L, 0, 0L)).toDF("vec_id", "cluster", "batch_id")
+      .withColumn("q", lit(null).cast("array<long>"))
+      .withColumn("nsq", lit(null).cast("long"))
+    data.unionByName(marker.select(data.columns.map(col): _*))
+      .repartition($"cluster")
+      .write.partitionBy("cluster", "batch_id").parquet(tgt)
+    val (n, cents) = Streaming.retrainVectorIndex(spark, tgt, 4)
+    assert(n == 4 && cents.length == 2) // markers carry no data weight
+    val post = spark.read.parquet(tgt)
+    assert(post.count() == 5)
+    val m = post.filter($"q".isNull)
+    assert(m.count() == 1)
+    assert(m.select($"vec_id").first().getLong(0) == 99L)
+    // the marker's generation folds like any committed row's (cast: the
+    // hive partition column reads back with directory-name-inferred type)
+    assert(m.select($"batch_id".cast("long")).first().getLong(0) == -1L)
+  }
+
   test("streaming retrain: drift gate over the stream-built layout; caller-owned centroids rotate") {
     val dir = tmpDir("vecstreamrt")
     val src = s"$dir/src"; val tgt = s"$dir/tgt"; val ckp = s"$dir/ckp"
