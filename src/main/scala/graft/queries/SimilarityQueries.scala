@@ -2251,6 +2251,72 @@ object SimilarityQueries {
       build(e)
       graft.similarity.IncrementalIvfIndex.searchTopK(
         s.read.parquet(s"$wh/ivf_index"), NQueries, TopK)
+    },
+
+    // ---- multi-vector MaxSim late interaction (Khattab & Zaharia
+    // 2020, ColBERT): documents and queries are BAGS of token vectors,
+    // and relevance = Σ_i max_j <q_i, d_j> — each query token matches
+    // its best document token, so fine-grained term interactions
+    // survive that single-vector pooling averages away. The corpus has
+    // one 64-dim vector per doc, so both engines derive the SAME
+    // 4-subvector bag (16-dim slices — the PQ subspace decomposition
+    // reused as token granularity); the op under test is the MaxSim
+    // scorer, not the embedder. Scoring is integer-exact (16 int dots,
+    // 4 greatest, 1 sum per pair — all scan-local inside whole-stage
+    // codegen against the broadcast query bag); ranking rides the
+    // bounded topk_cos aggregate with nq = nc = 1, so cos ≡ the
+    // integer-valued score exactly (the binary-Hamming idiom) and ties
+    // break vec_id ASC bit-for-bit with the oracle's row_number. Scale
+    // shape: ZERO vector-grain exchanges — candidates stream scan-local
+    // past the broadcast queries, ≤k rows per partition per query cross
+    // the one reduce exchange; at production layout the same scorer
+    // composes with the IVF probe (score only the probed cluster) like
+    // every other coarse stage here.
+    Q.sql(
+      "q_ann_maxsim_colbert", {
+        def sliceDuck(j: Int) = s"list_slice(q, ${j * 16 + 1}, ${j * 16 + 16})"
+        def dotDuck(a: String, b: String) =
+          s"list_sum(list_transform(generate_series(1, 16), i -> $a[i] * $b[i]))"
+        val maxTerms = (0 to 3).map { j =>
+          "greatest(" + (0 to 3).map(k =>
+            dotDuck(s"qs.s${j + 1}", s"c.s${k + 1}")).mkString(", ") + ")"
+        }.mkString("\n         + ")
+        s"""WITH $quantizedSql,
+           |s AS (
+           |  SELECT vec_id, ${(1 to 4).map(j => s"${sliceDuck(j - 1)} AS s$j").mkString(", ")}
+           |  FROM e),
+           |qs AS (SELECT * FROM s WHERE vec_id < $NQueries),
+           |pairs AS (
+           |  SELECT qs.vec_id AS query_id, c.vec_id AS vec_id,
+           |         CAST($maxTerms AS BIGINT) AS score
+           |  FROM qs JOIN s c ON c.vec_id <> qs.vec_id)
+           |SELECT query_id, vec_id, CAST(rnk AS INT) AS rnk, score
+           |FROM (
+           |  SELECT query_id, vec_id, score,
+           |         row_number() OVER (PARTITION BY query_id
+           |           ORDER BY score DESC, vec_id) AS rnk
+           |  FROM pairs) t
+           |WHERE rnk <= $TopK""".stripMargin
+      }
+    ) { (s, dir) =>
+      val e = quantized(s, dir).select(
+        Seq(col("vec_id")) ++
+          (1 to 4).map(j => expr(s"slice(q, ${(j - 1) * 16 + 1}, 16)").as(s"s$j")): _*)
+      val qs = e.filter(col("vec_id") < NQueries).select(
+        Seq(col("vec_id").as("query_id")) ++
+          (1 to 4).map(j => col(s"s$j").as(s"qs$j")): _*)
+      val maxSim = (1 to 4).map { j =>
+        greatest((1 to 4).map(k => dot(s"qs$j", s"s$k")): _*)
+      }.reduce(_ + _)
+      val pairs = e.join(broadcast(qs), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          maxSim.as("dot"), lit(1L).as("nq"), lit(1L).as("nc"))
+      pairs.groupBy(col("query_id"))
+        .agg(expr(s"topk_cos(struct(vec_id, dot, nq, nc), $TopK)").as("top"))
+        .select(col("query_id"), posexplode(col("top")))
+        .select(col("query_id"), col("col.vec_id").as("vec_id"),
+          (col("pos") + 1).cast("int").as("rnk"),
+          col("col.cos").cast("long").as("score"))
     }
   )
 

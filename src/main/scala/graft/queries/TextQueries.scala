@@ -38,6 +38,12 @@ object TextQueries {
   private[queries] val BpeTopK = 30
   private[queries] val LmTopN = 50
 
+  /** RAG chunking grid (q_text_chunk_windows): window W tokens, stride
+    * S < W so consecutive chunks overlap by W−S tokens. Sized to the
+    * corpus (10–99 tokens/doc, median 56 → ~3 chunks/doc). */
+  private[queries] val ChunkW = 24
+  private[queries] val ChunkStride = 16
+
   /** PII patterns, written in the dialect subset RE2 (DuckDB) and
     * java.util.regex (Spark) interpret identically. */
   private[queries] val EmailPat = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
@@ -532,6 +538,52 @@ object TextQueries {
             sum(col("tf"))).as("s"))
       nll.orderBy(round(col("s"), 6).desc, col("doc_id")).limit(LmTopN)
         .select(col("doc_id"), col("n_bigrams"), round(col("s"), 4).as("nll"))
+    },
+
+    // ---- RAG/context chunking: fixed token-window chunks with overlap
+    // (window W, stride S < W) — the document splitter every
+    // retrieval/embedding pipeline runs BEFORE vectorization (each
+    // chunk becomes one embedding row; the overlap keeps boundary
+    // sentences retrievable from both sides). Chunk grid per doc:
+    // starts 1 + i·S for i = 0 .. (n ≤ W ? 0 : ⌈(n−W)/S⌉), integer
+    // arithmetic on both engines; the last chunk clamps at the doc end
+    // (both slice primitives clamp identically) so every token is
+    // covered and no chunk is empty. Scale shape: split + explode +
+    // slice are all scan-local generators inside whole-stage codegen —
+    // ZERO exchanges at any corpus size; output rows ≈ n_tokens/S per
+    // doc, the embarrassingly-parallel shape chunking has at 100 TB.
+    Q.sql(
+      "q_text_chunk_windows",
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t,
+         |         len(string_split(text, ' ')) AS n
+         |  FROM documents)
+         |SELECT doc_id, CAST(i AS INT) AS chunk_id,
+         |       CAST(1 + i * $ChunkStride AS INT) AS tok_start,
+         |       CAST(len(list_slice(t, 1 + i * $ChunkStride,
+         |            least(i * $ChunkStride + $ChunkW, n))) AS INT) AS n_tokens,
+         |       array_to_string(list_slice(t, 1 + i * $ChunkStride,
+         |            least(i * $ChunkStride + $ChunkW, n)), ' ') AS chunk_text
+         |FROM toks, UNNEST(generate_series(0,
+         |     CASE WHEN n <= $ChunkW THEN 0
+         |          ELSE (n - $ChunkW + $ChunkStride - 1) // $ChunkStride
+         |     END)) AS u(i)""".stripMargin
+    ) { (s, dir) =>
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .withColumn("n", size(col("t")))
+      toks
+        .select(col("doc_id"), col("t"), col("n"),
+          explode(expr(
+            s"sequence(0, CASE WHEN n <= $ChunkW THEN 0 " +
+              s"ELSE (n - $ChunkW + $ChunkStride - 1) div $ChunkStride END)"))
+            .as("i"))
+        .select(col("doc_id"), col("i").cast("int").as("chunk_id"),
+          (lit(1) + col("i") * ChunkStride).cast("int").as("tok_start"),
+          expr(s"slice(t, 1 + i * $ChunkStride, $ChunkW)").as("ct"))
+        .select(col("doc_id"), col("chunk_id"), col("tok_start"),
+          size(col("ct")).as("n_tokens"),
+          array_join(col("ct"), " ").as("chunk_text"))
     }
   )
 

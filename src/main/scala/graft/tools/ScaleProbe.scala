@@ -70,7 +70,9 @@ object ScaleProbe {
       "q_pipeline_mix_epochs", "q_pipeline_sample_fixed_k",
       "q_pipeline_embedding_coverage", "q_ann_ivf_binary", "q_ann_knn_graph",
       "q_ann_graph_hubness", "q_ann_knn_graph_incremental",
-      "q_ts_interpolate_linear")
+      "q_ts_interpolate_linear",
+      // r16: passage-grain dedup / late-interaction / chunking pack
+      "q_dedup_substring_spans", "q_ann_maxsim_colbert", "q_text_chunk_windows")
     val queries = sys.env.get("SPARK_GRAFT_PROBE_QUERIES")
       .map(_.split(",").map(_.trim).toSet)
       .fold(allQueries)(sub => allQueries.filter(sub.contains))
