@@ -39,17 +39,31 @@ object DirSwap {
     * threads share the JVM) is fully covered by the monitor; a
     * CROSS-process racer is additionally absorbed by [[replace]]'s
     * commit retry below. On a real cluster the durable analogue is a
-    * table format's atomic metadata swap, not directory renames. */
-  private val monitors =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]
-  private def monitorFor(target: String): Object =
-    monitors.computeIfAbsent(
-      new java.io.File(target).getAbsoluteFile.toPath.normalize.toString,
-      _ => new Object)
+    * table format's atomic metadata swap, not directory renames.
+    *
+    * Monitors are LOCK-STRIPED over a fixed array rather than one
+    * entry per target path: a per-path ConcurrentHashMap grows without
+    * bound in a long-lived driver (every bench/incremental run's temp
+    * warehouse adds an entry that is never removed). Two distinct
+    * targets hashing to the same stripe merely serialize against each
+    * other — a bounded-contention cost, never a correctness one. */
+  private val monitors = Array.fill(64)(new Object)
+  private def monitorFor(target: String): Object = {
+    val key =
+      new java.io.File(target).getAbsoluteFile.toPath.normalize.toString
+    monitors(math.floorMod(key.hashCode, monitors.length))
+  }
 
   private def deleteRec(f: java.io.File): Unit = {
     if (f.isDirectory) f.listFiles.foreach(deleteRec)
     f.delete(); ()
+  }
+
+  /** Best-effort recursive delete of a non-swap-managed scratch dir
+    * (e.g. a merge's staged delta); missing path is a no-op. */
+  def deleteRecursively(path: String): Unit = {
+    val f = new java.io.File(path)
+    if (f.exists) deleteRec(f)
   }
 
   /** Heal a swap torn between rename-aside and rename-into-place: if

@@ -196,8 +196,19 @@ final class Engine(
       if (snapExists(name)) Some(readSnapshot(name)) else None
     } else if (fullRefresh && byName.get(name).exists(m =>
         m.materialization.isInstanceOf[Materialization.IncrementalAppend] ||
-        m.materialization.isInstanceOf[Materialization.DeleteInsert])) None
-    else if (exists(name)) Some(readEvolved(name))
+        m.materialization.isInstanceOf[Materialization.DeleteInsert] ||
+        m.materialization.isInstanceOf[Materialization.MergeUpsert] ||
+        m.materialization.isInstanceOf[Materialization.Microbatch])) None
+    else if (exists(name)) Some(
+      // A model's own `{{ this }}` view keeps a merge model's bucket
+      // column (unlike ref()): a layout-aware incremental build — e.g.
+      // merge-maintained aggregate state — prunes its prior-side read
+      // to the delta's buckets by filtering on it (planning-time
+      // directory pruning), which a consumer-facing ref never needs.
+      if (byName.get(name).exists(
+          _.materialization.isInstanceOf[Materialization.MergeUpsert]))
+        readEvolved(name)
+      else consumerView(name))
     else None
 
   /** Parquet read of a model dir, with footer schema merging exactly
@@ -211,10 +222,28 @@ final class Engine(
         m.onSchemaChange == Materialization.SchemaChange.AppendNewColumns
       case m: Materialization.DeleteInsert =>
         m.onSchemaChange == Materialization.SchemaChange.AppendNewColumns
+      case m: Materialization.MergeUpsert =>
+        m.onSchemaChange == Materialization.SchemaChange.AppendNewColumns
+      case m: Materialization.Microbatch =>
+        m.onSchemaChange == Materialization.SchemaChange.AppendNewColumns
       case _ => false
     }
     if (evolving) spark.read.option("mergeSchema", "true").parquet(path(name))
     else spark.read.parquet(path(name))
+  }
+
+  /** Consumer view of a materialized model: merge models hide their
+    * synthetic key-hash bucket column — it is storage layout, not data
+    * (neither `ref()` nor the model's own `{{ this }}` should see it). */
+  private def consumerView(name: String): DataFrame = {
+    val raw = readEvolved(name)
+    byName.get(name).map(_.materialization) match {
+      case Some(_: Materialization.MergeUpsert) =>
+        raw.drop(Materialization.MergeUpsert.BucketCol)
+      case Some(_: Materialization.Microbatch) =>
+        raw.drop(Materialization.Microbatch.BatchCol)
+      case _ => raw
+    }
   }
 
   /** Resolve a ref the way a downstream model sees it. */
@@ -237,7 +266,7 @@ final class Engine(
         // model dirs are swap-managed (compact/expireBefore); heal a
         // torn swap before pinning the file listing — see exists()
         DirSwap.recover(path(name))
-        readEvolved(name)
+        consumerView(name)
       case None => throw new UnknownRefException(name)
     }
 
@@ -471,12 +500,15 @@ final class Engine(
   /** Apply the model's `on_schema_change` policy to an append delta —
     * dbt's incremental schema contract, decided against the target's
     * CURRENT (merged) schema so evolution composes across builds. Only
-    * column SETS are governed; a type change of an existing column is
-    * an upstream contract break that parquet schema merge itself
-    * rejects. Fast path: identical column sets touch nothing. */
+    * column SETS evolve; a type change of an existing column is an
+    * upstream contract break and fails here under EVERY policy —
+    * appending it as-is would produce mixed-type parquet footers that
+    * single-footer reads surface nondeterministically. Fast path:
+    * identical column sets (post type-check) touch nothing. */
   private def alignSchema(name: String, delta: DataFrame,
       policy: Materialization.SchemaChange,
-      requiredCols: Seq[String]): DataFrame = {
+      requiredCols: Seq[String],
+      partitionCols: Seq[String] = Seq.empty): DataFrame = {
     import Materialization.SchemaChange._
     val batchCols = delta.columns.toSet
     // Ignore/Fail freeze the schema at first build, so every file
@@ -489,6 +521,27 @@ final class Engine(
       case _ => spark.read.parquet(path(name))
     }).schema
     val storedCols = stored.map(_.name).toSet
+    // type-drift guard BEFORE the fast path (identical column sets can
+    // still carry a drifted type); checked against every existing column
+    // the batch shares with the target, under all three policies.
+    // Structural compare ignoring nullability (a non-null batch column
+    // appending into a nullable stored one is widening, not drift);
+    // hive PARTITION columns are exempt — their stored type comes from
+    // directory-name inference (a long batch_id reads back int), a
+    // storage round-trip artifact, not an upstream contract break.
+    val batchTypes = delta.schema.map(f => f.name -> f.dataType).toMap
+    val pcolSet = partitionCols.toSet
+    val drifted = stored.collect {
+      case f if !pcolSet(f.name) && batchTypes.get(f.name).exists(
+          !org.apache.spark.sql.types.DataType.equalsStructurally(
+            _, f.dataType, ignoreNullability = true)) =>
+        s"${f.name} (stored ${f.dataType.simpleString}, " +
+          s"batch ${batchTypes(f.name).simpleString})"
+    }
+    require(drifted.isEmpty,
+      s"$name: batch column type(s) drifted from the stored schema — " +
+        s"${drifted.mkString("; ")}; no on_schema_change policy absorbs a " +
+        "type change (cast upstream or --full-refresh)")
     if (batchCols == storedCols) return delta
     val required = requiredCols.toSet
     require(required.subsetOf(batchCols),
@@ -563,7 +616,9 @@ final class Engine(
           val prev = spark.read.parquet(path(m.name)).agg(max(col(wm))).first()
           val delta =
             if (prev.isNullAt(0)) df else df.filter(col(wm) > lit(prev.get(0)))
-          val n = write(alignSchema(m.name, delta, schemaPolicy, wm +: pcols), "append")
+          val n = write(
+            alignSchema(m.name, delta, schemaPolicy, wm +: pcols, pcols),
+            "append")
           // engine-owned compaction cadence (the streaming loops'
           // maintenanceMaxFiles twin): listing-only until the debt
           // threshold trips; rows stays the APPENDED count (dbt's
@@ -588,10 +643,130 @@ final class Engine(
         val mode = if (fullRefresh) "static" else "dynamic"
         val aligned =
           if (fullRefresh || !exists(m.name)) df
-          else alignSchema(m.name, df, schemaPolicy, Seq(pcol))
+          else alignSchema(m.name, df, schemaPolicy, Seq(pcol), Seq(pcol))
         writeCounted(aligned, _.write.mode("overwrite")
           .option("partitionOverwriteMode", mode)
           .partitionBy(pcol).parquet(path(m.name)))
+      case Materialization.Microbatch(ev, grain, lookback, schemaPolicy) =>
+        val pcol = Materialization.Microbatch.BatchCol
+        require(!df.columns.contains(pcol),
+          s"${m.name}: '$pcol' is the microbatch materialization's " +
+            "reserved batch column — the build output must not carry it")
+        require(df.columns.contains(ev),
+          s"${m.name}: microbatch output lacks event_time column '$ev'")
+        def withBatch(d: DataFrame) =
+          d.withColumn(pcol, date_trunc(grain, col(ev)).cast("date"))
+        if (fullRefresh || !exists(m.name))
+          // initial load / --full-refresh: one static overwrite is
+          // output-equivalent to replaying every historical batch
+          writeCounted(withBatch(df), _.write.mode("overwrite")
+            .option("partitionOverwriteMode", "static")
+            .partitionBy(pcol).parquet(path(m.name)))
+        else {
+          // frontier = newest stored batch; a partition-column max is a
+          // directory-listing read, no data scan. A stored target with
+          // ZERO batches (first build saw no rows) has no frontier —
+          // everything is "new", same as the initial load.
+          val fRow = spark.read.parquet(path(m.name))
+            .agg(max(col(pcol))).first()
+          if (fRow.isNullAt(0))
+            writeCounted(withBatch(df), _.write.mode("overwrite")
+              .option("partitionOverwriteMode", "static")
+              .partitionBy(pcol).parquet(path(m.name)))
+          else {
+            val frontier = fRow.getDate(0).toLocalDate
+            val cutoff = java.sql.Date.valueOf(
+              if (grain == "month") frontier.minusMonths(lookback.toLong)
+              else frontier.minusDays(lookback.toLong))
+            val aligned = alignSchema(m.name, withBatch(df), schemaPolicy,
+              Seq(ev, pcol), Seq(pcol))
+            // Stage the restatement window ONCE, partitioned by batch:
+            // each batch job then reads exactly its partition instead of
+            // re-running the model's upstream plan per batch (dbt's
+            // per-batch input filter, paid as one window-sized write)
+            val staging = path(m.name) + ".win"
+            aligned.filter(col(pcol) >= lit(cutoff))
+              .write.mode("overwrite").partitionBy(pcol).parquet(staging)
+            try {
+              val win = spark.read.parquet(staging)
+              // batches to (re)process: every batch the source has in
+              // the window ∪ every batch already stored in it (a stored
+              // batch whose restatement is empty must still be
+              // deleted). Driver-side list is (lookback + new batches)
+              // entries — bounded by the lateness horizon, never by
+              // table size.
+              val srcBatches = win.select(col(pcol)).distinct()
+                .collect().map(_.getDate(0))
+              val storedBatches = spark.read.parquet(path(m.name))
+                .select(col(pcol)).distinct()
+                .filter(col(pcol) >= lit(cutoff)).collect().map(_.getDate(0))
+              val batches = (srcBatches ++ storedBatches).distinct.sortBy(_.getTime)
+              batches.map { b =>
+                val n = writeCounted(win.filter(col(pcol) === lit(b)),
+                  _.write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy(pcol).parquet(path(m.name)))
+                if (n == 0L)
+                  // dynamic overwrite wrote nothing — the batch's stored
+                  // partition (if any) is stale history; remove it
+                  DirSwap.deleteRecursively(s"${path(m.name)}/$pcol=$b")
+                n
+              }.sum
+            } finally DirSwap.deleteRecursively(staging)
+          }
+        }
+      case Materialization.MergeUpsert(key, nb, schemaPolicy) =>
+        val bcol = Materialization.MergeUpsert.BucketCol
+        require(!df.columns.contains(bcol),
+          s"${m.name}: '$bcol' is the merge materialization's reserved " +
+            "bucket column — the build output must not carry it")
+        require(df.columns.contains(key),
+          s"${m.name}: merge delta lacks unique_key column '$key'")
+        val bucketed = df.withColumn(bcol, pmod(hash(col(key)), lit(nb)))
+        if (fullRefresh || !exists(m.name))
+          // create-table-as (dbt's first build / --full-refresh): static
+          // overwrite so a refresh drops buckets absent from the rebuild
+          writeCounted(bucketed, _.write.mode("overwrite")
+            .option("partitionOverwriteMode", "static")
+            .partitionBy(bcol).parquet(path(m.name)))
+        else {
+          val aligned = alignSchema(m.name, bucketed, schemaPolicy,
+            Seq(key, bcol), Seq(bcol))
+          // Stage the delta once: the merge references it three times
+          // (uniqueness check, touched-bucket list, anti-join + union),
+          // and re-running an arbitrary upstream plan three times is the
+          // real cost at scale — one delta-sized write bounds it.
+          val staging = path(m.name) + ".delta"
+          aligned.write.mode("overwrite").parquet(staging)
+          try {
+            val delta = spark.read.parquet(staging)
+            // ANSI MERGE "multiple source rows matched": a delta with a
+            // duplicated non-null key would make the upsert order-defined
+            val dup = delta.filter(col(key).isNotNull).groupBy(col(key))
+              .count().filter(col("count") > 1).limit(1).count()
+            require(dup == 0,
+              s"${m.name}: merge delta has duplicate '$key' values — " +
+                "ANSI MERGE rejects multiple source rows per target row")
+            // ≤ buckets scalars — bounded by the layout, not the data
+            val touched = delta.select(col(bcol)).distinct()
+              .collect().map(_.getInt(0)).toSeq
+            // partition-pruned read of exactly the touched buckets; never
+            // merge footers here — align already reconciled the delta
+            // against the CURRENT merged schema, and kept rows may simply
+            // lack evolved columns (union fills them below)
+            val stored = spark.read.option("mergeSchema",
+              schemaPolicy == Materialization.SchemaChange.AppendNewColumns)
+              .parquet(path(m.name))
+              .filter(col(bcol).isin(touched: _*))
+            // displaced = stored rows whose key appears in the delta;
+            // EqualTo (not null-safe) keeps ANSI null semantics
+            val kept = stored.join(delta.select(col(key)), Seq(key), "left_anti")
+            val out = delta.unionByName(kept, allowMissingColumns = true)
+            writeCounted(out, _.write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy(bcol).parquet(path(m.name)))
+          } finally DirSwap.deleteRecursively(staging)
+        }
       case Materialization.Scd2Snapshot(key, checkCols) =>
         if (!snapExists(m.name)) {
           val (opened, _) =

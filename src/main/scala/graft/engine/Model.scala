@@ -121,6 +121,108 @@ object Materialization {
       partitionCol: String,
       onSchemaChange: SchemaChange = SchemaChange.Ignore) extends Materialization
 
+  /** Incremental MERGE (dbt's `incremental_strategy='merge'` with a
+    * `unique_key`): each build's rows UPSERT into the target — a delta
+    * row whose `uniqueKey` matches a stored row replaces it; unmatched
+    * delta rows insert. The one dbt incremental strategy the engine
+    * lacked: append can't restate a key, delete+insert restates a
+    * partition-grain WINDOW — merge restates individual KEYS anywhere
+    * in history.
+    *
+    * Storage/scale: parquet has no row-level delete, so the target is
+    * hive-partitioned on a synthetic key-hash bucket column
+    * ([[MergeUpsert.BucketCol]] = `pmod(hash(uniqueKey), buckets)`) and
+    * a merge rewrites ONLY the buckets containing delta keys via
+    * dynamic partition overwrite: stored rows of touched buckets are
+    * read back (partition-pruned — planning-time directory pruning, not
+    * a scan-and-filter), anti-joined against the delta's keys, and
+    * rewritten together with the delta. Untouched buckets' files are
+    * not opened, read, or rewritten (spec-pinned at file level), so a
+    * build's cost is (touched buckets) × bucket size, not table size —
+    * the same restatement economics a table format's MERGE gets from
+    * file-level skipping. Size `buckets` so one bucket ≈ a few
+    * partitions' worth of rows at the target SF; a delta touching all
+    * buckets degrades to a full rewrite, exactly like format-native
+    * MERGE with uniformly-spread keys.
+    *
+    * Semantics match ANSI MERGE joined `ON target.key = delta.key`:
+    * an incremental build FAILS if the delta carries duplicate
+    * `uniqueKey` values ("multiple source rows matched"); NULL keys
+    * never equal anything, so null-key delta rows always insert and
+    * null-key stored rows are never displaced. The first build (and
+    * `--full-refresh`) is create-table-as: uniqueness is not enforced
+    * there (dbt likewise), and a later merge on a key that was
+    * duplicated at bootstrap displaces ALL its copies — merge
+    * converges the table toward key-uniqueness.
+    *
+    * The bucket column is engine-internal to CONSUMERS: `ref()` hides
+    * it. The model's own `{{ this }}` prior-target view KEEPS it, so a
+    * layout-aware incremental build (merge-maintained aggregate state:
+    * new_count = delta_count + prior_count for touched keys) can prune
+    * its prior-side read to the delta's buckets — without that filter
+    * the read-modify-write join rescans the whole prior table per
+    * build; with it, prior-side cost is touched buckets only, matching
+    * the write side. The build's OUTPUT must still not carry the
+    * column (the engine recomputes it). `onSchemaChange` is the same dbt
+    * contract as on [[IncrementalAppend]]; under
+    * [[SchemaChange.AppendNewColumns]] only touched buckets carry the
+    * evolved schema (reads merge footers — history untouched). */
+  final case class MergeUpsert(
+      uniqueKey: String,
+      buckets: Int,
+      onSchemaChange: SchemaChange = SchemaChange.Ignore) extends Materialization
+
+  object MergeUpsert {
+    /** Synthetic key-hash bucket partition column; reserved — a merge
+      * model's build output must not carry a column of this name. */
+    val BucketCol = "_graft_bucket"
+  }
+
+  /** Incremental MICROBATCH (dbt 1.9's `incremental_strategy=
+    * 'microbatch'` with `event_time`, `batch_size`, `lookback`): the
+    * table is processed and stored in event-time batches — one hive
+    * partition per `grain` window of `eventTime` (the synthetic
+    * [[Microbatch.BatchCol]], engine-derived, hidden from consumers) —
+    * and an incremental build restates every batch from
+    * `frontier − lookback` forward, where frontier = the newest stored
+    * batch. Late-arriving rows inside the lookback window are captured
+    * by their batch's restatement; rows arriving later than that are
+    * dropped, exactly dbt's documented microbatch trade (bounded
+    * reprocessing in exchange for a bounded lateness horizon — the
+    * batch analogue of a streaming watermark).
+    *
+    * Each batch is written as its OWN job (dbt runs microbatches as
+    * independently retryable units): a failure mid-build leaves earlier
+    * batches committed — re-running resumes from the same window
+    * because the restatement window derives from the stored frontier,
+    * and per-batch dynamic partition overwrite is idempotent. A batch
+    * whose restatement has NO surviving rows is deleted outright
+    * (dynamic overwrite cannot replace a partition with nothing).
+    *
+    * Scale: cost per build = (lookback + new batches) × batch size —
+    * table size never enters; at 100 TB with daily grain a build
+    * touches days, not years. The model's transform must be ROW-WISE
+    * in event time (each output row's batch determined by its own
+    * `eventTime`) — cross-batch aggregates belong downstream, as in
+    * dbt, where the engine filters each batch's input window.
+    *
+    * `grain` ∈ day | month (dbt's hour/year omitted until needed);
+    * `lookback` ≥ 0 in grain units. `onSchemaChange` as on
+    * [[DeleteInsert]], applied to the restated window. */
+  final case class Microbatch(
+      eventTime: String,
+      grain: String = "day",
+      lookback: Int = 1,
+      onSchemaChange: SchemaChange = SchemaChange.Ignore) extends Materialization {
+    require(grain == "day" || grain == "month", s"unsupported grain '$grain'")
+    require(lookback >= 0, "lookback must be >= 0")
+  }
+
+  object Microbatch {
+    /** Synthetic event-time batch partition column; reserved. */
+    val BatchCol = "_graft_batch_start"
+  }
+
   /** dbt's `on_schema_change` policy for [[IncrementalAppend]] models. */
   sealed trait SchemaChange
   object SchemaChange {

@@ -103,6 +103,103 @@ object SqlSurfaceQueries {
         .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("uv"))
     },
 
+    // ---- incremental MERGE materialization (dbt
+    // incremental_strategy='merge' + unique_key — the one incremental
+    // strategy the engine lacked: append can't restate a key,
+    // delete+insert restates a partition window; merge upserts
+    // individual KEYS anywhere in history). Two engine builds: batch 1
+    // = every order (create-table-as), batch 2 = updates (orders with
+    // key % 7 = 0: status 'U', cents doubled) + inserts (key % 11 = 0
+    // re-keyed past max(o_orderkey): status 'N'). The oracle replays
+    // ANSI MERGE semantics as delta ∪ (base anti-join delta). Money as
+    // integer cents so the doubled amounts are integer-exact on both
+    // engines. Scale shape: the target is hive-partitioned on
+    // pmod(hash(key), 32); batch 2 rewrites only the buckets containing
+    // delta keys via dynamic partition overwrite (partition-pruned
+    // read-back of exactly those buckets, file-level untouched-bucket
+    // pin in EngineSpec) — cost is touched-buckets × bucket size, not
+    // table size, the restatement economics a table format's MERGE
+    // gets from file skipping.
+    Q.sql(
+      "q_engine_merge_upsert",
+      """WITH b1 AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS status,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |b2 AS (
+        |  SELECT o_orderkey AS k, 'U' AS status,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) * 2 AS cents
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + (SELECT max(o_orderkey) FROM orders) AS k,
+        |         'N' AS status,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey % 11 = 0)
+        |SELECT k, status, cents FROM b2
+        |UNION ALL
+        |SELECT k, status, cents FROM b1
+        |WHERE NOT EXISTS (SELECT 1 FROM b2 WHERE b2.k = b1.k)""".stripMargin
+    ) { (s, dir) =>
+      val orders = Tables.orders(s, dir)
+      val cents = round(col("o_totalprice") * 100, 0).cast("long")
+      val maxKey = orders.agg(max(col("o_orderkey"))).first().getLong(0)
+      val base = orders.select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("status"), cents.as("cents"))
+      val delta = orders.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey").as("k"), lit("U").as("status"),
+          (cents * 2).as("cents"))
+        .unionByName(orders.filter(col("o_orderkey") % 11 === 0)
+          .select((col("o_orderkey") + maxKey).as("k"), lit("N").as("status"),
+            cents.as("cents")))
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_mrg").toString
+      var batch = base
+      val e = new graft.engine.Engine(s, wh, Map.empty, Seq(
+        graft.engine.Model("merged", Seq(),
+          graft.engine.Materialization.MergeUpsert("k", 32))((_, _) => batch)))
+      require(e.build().ok)
+      batch = delta
+      require(e.build().ok)
+      e.ref("merged")
+    },
+
+    // ---- incremental MICROBATCH materialization (dbt 1.9
+    // incremental_strategy='microbatch': event_time + batch_size +
+    // lookback). The table lives in day-grain event-time batches; an
+    // incremental build restates every batch from frontier − lookback
+    // forward, so late rows inside the lookback window are captured by
+    // their day's restatement and later-than-that rows are dropped —
+    // the batch analogue of a streaming watermark. Build 1 loads the
+    // even-event_id half (every day populated); build 2 presents the
+    // full source: odd rows land ONLY in days ≥ frontier − 1, which is
+    // exactly what the oracle states in one predicate. Scale shape:
+    // per-build cost = (lookback + new batches) × batch size — days,
+    // not years, at any table size; each batch is its own idempotent
+    // dynamic-overwrite job (independently retryable, dbt's microbatch
+    // unit), reading its partition of the once-staged window.
+    Q.sql(
+      "q_engine_microbatch",
+      """SELECT event_id, ts, user_id, event_type FROM events
+        |WHERE date_trunc('day', ts) >=
+        |      date_trunc('day', (SELECT max(ts) FROM events
+        |                         WHERE event_id % 2 = 0)) - INTERVAL 1 DAY
+        |   OR event_id % 2 = 0""".stripMargin
+    ) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_mb").toString
+      var src = ev.filter(col("event_id") % 2 === 0)
+      val e = new graft.engine.Engine(s, wh, Map.empty, Seq(
+        graft.engine.Model("mb", Seq(),
+          graft.engine.Materialization.Microbatch("ts", "day", 1))(
+          (_, _) => src)))
+      require(e.build().ok)
+      src = ev
+      require(e.build().ok)
+      e.ref("mb")
+    },
+
     // ---- quantile sketch (rows-only — sketch estimates are
     // engine-specific by construction). At 100 TB the exact percentile
     // is a full sort per group; the sketch is one mergeable pass.

@@ -364,6 +364,202 @@ class EngineSpec extends SparkSpec {
     assert(e.build().ok)
   }
 
+  test("type drift of an existing column fails under every schema policy") {
+    // same column SET, drifted type — the fast path must not wave it
+    // through, and neither Ignore nor AppendNewColumns may absorb it:
+    // appending would produce mixed-type parquet footers that
+    // single-footer reads surface nondeterministically
+    for ((pol, tag) <- Seq(
+        (Materialization.SchemaChange.Ignore, "ign"),
+        (Materialization.SchemaChange.AppendNewColumns, "anc"),
+        (Materialization.SchemaChange.Fail, "fl"))) {
+      val dir = tmpDir(s"engtd$tag")
+      var batch = Seq((1L, Timestamp.valueOf("2024-01-01 00:00:00"), "a"))
+        .toDF("id", "ingested_at", "v")
+      val m = Model("log", Seq(), Materialization.IncrementalAppend("ingested_at",
+        onSchemaChange = pol))((_, _) => batch)
+      val e = new Engine(spark, dir, Map.empty, Seq(m))
+      assert(e.build().ok)
+      batch = Seq((2L, Timestamp.valueOf("2024-01-02 00:00:00"), 7.5))
+        .toDF("id", "ingested_at", "v")
+      val r = e.build()
+      assert(!r.ok && r("log").error.exists(_.contains("drifted")), s"policy $tag")
+      // target untouched: stored rows still read with the original type
+      assert(e.ref("log").count() == 1)
+      assert(e.ref("log").select($"v").first().getString(0) == "a")
+    }
+  }
+
+  // ---- MergeUpsert (dbt incremental_strategy='merge' + unique_key) ----
+
+  private def mergeModel(batch: () => org.apache.spark.sql.DataFrame,
+      buckets: Int = 8,
+      policy: Materialization.SchemaChange = Materialization.SchemaChange.Ignore) =
+    Model("tgt", Seq(), Materialization.MergeUpsert("id", buckets, policy))(
+      (_, _) => batch())
+
+  test("merge upsert: matched keys replaced, unmatched inserted, bucket col hidden") {
+    val dir = tmpDir("engmrg")
+    var batch = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30)).toDF("id", "v", "n")
+    val e = new Engine(spark, dir, Map.empty,
+      Seq(mergeModel(() => batch)))
+    assert(e.build().ok)
+    // update key 2, insert key 4; keys 1/3 untouched
+    batch = Seq((2L, "B2", 22), (4L, "d", 40)).toDF("id", "v", "n")
+    assert(e.build().ok)
+    val out = e.ref("tgt")
+    assert(!out.columns.contains(Materialization.MergeUpsert.BucketCol))
+    assert(out.count() == 4)
+    val m = out.collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(m(1L) == ("a", 10) && m(3L) == ("c", 30)) // survivors verbatim
+    assert(m(2L) == ("B2", 22)) // replaced, not duplicated
+    assert(m(4L) == ("d", 40)) // inserted
+  }
+
+  test("merge upsert rewrites only the buckets containing delta keys") {
+    val dir = tmpDir("engmrgb")
+    // enough keys that every bucket is populated
+    var batch = spark.range(0, 256).toDF("id").withColumn("v", col("id") * 2)
+    val e = new Engine(spark, dir, Map.empty, Seq(mergeModel(() => batch)))
+    assert(e.build().ok)
+    def filesByBucket: Map[String, Set[String]] =
+      new java.io.File(s"$dir/tgt").listFiles.toSeq
+        .filter(f => f.isDirectory && f.getName.startsWith("_graft_bucket="))
+        .map(d => d.getName -> d.listFiles.map(f =>
+          s"${f.getName}:${f.lastModified}:${f.length}").toSet).toMap
+    val before = filesByBucket
+    // a one-key delta touches exactly one bucket
+    batch = Seq((7L, 700L)).toDF("id", "v")
+    assert(e.build().ok)
+    val after = filesByBucket
+    val bId = spark.range(1).select(
+      pmod(hash(lit(7L)), lit(8)).cast("int")).first().getInt(0)
+    assert(after(s"_graft_bucket=$bId") != before(s"_graft_bucket=$bId"))
+    before.keys.filterNot(_ == s"_graft_bucket=$bId").foreach { b =>
+      assert(after(b) == before(b), s"untouched bucket $b was rewritten")
+    }
+    assert(e.ref("tgt").filter(col("id") === 7L).select(col("v"))
+      .first().getLong(0) == 700L)
+    assert(e.ref("tgt").count() == 256)
+  }
+
+  test("merge upsert: duplicate delta keys fail incrementally; null keys always insert") {
+    val dir = tmpDir("engmrgd")
+    var batch = Seq((Some(1L), "a"), (Some(2L), "b"), (None, "x"))
+      .toDF("id", "v")
+    val e = new Engine(spark, dir, Map.empty, Seq(mergeModel(() => batch)))
+    assert(e.build().ok)
+    // ANSI: null never matches — a second null-key row inserts beside the first
+    batch = Seq((Option.empty[Long], "y")).toDF("id", "v")
+    assert(e.build().ok)
+    assert(e.ref("tgt").filter(col("id").isNull).count() == 2)
+    assert(e.ref("tgt").count() == 4)
+    // duplicate non-null key in one delta = multiple source rows matched
+    batch = Seq((Some(1L), "p"), (Some(1L), "q")).toDF("id", "v")
+    val r = e.build()
+    assert(!r.ok && r("tgt").error.exists(_.contains("duplicate")))
+    // target untouched by the failed merge
+    assert(e.ref("tgt").filter(col("id") === 1L).select(col("v"))
+      .first().getString(0) == "a")
+  }
+
+  test("merge model's {{ this }} keeps the bucket column; ref() hides it") {
+    // layout-aware incremental builds (merge-maintained aggregate
+    // state) prune their prior-side read on the bucket column — the
+    // model's own prior view must expose it while consumers never see it
+    val dir = tmpDir("engmrgt")
+    var sawBucket: Option[Boolean] = None
+    var batch = Seq((1L, "a")).toDF("id", "v")
+    val m = Model.incremental("tgt", Seq(),
+      Materialization.MergeUpsert("id", 4)) { (_, _, prior) =>
+      sawBucket = prior.map(_.columns.contains(
+        Materialization.MergeUpsert.BucketCol))
+      batch
+    }
+    val e = new Engine(spark, dir, Map.empty, Seq(m))
+    assert(e.build().ok && sawBucket.isEmpty)
+    batch = Seq((2L, "b")).toDF("id", "v")
+    assert(e.build().ok && sawBucket.contains(true))
+    assert(!e.ref("tgt").columns.contains(Materialization.MergeUpsert.BucketCol))
+  }
+
+  test("merge upsert full refresh is create-table-as; AppendNewColumns evolves touched buckets only") {
+    val dir = tmpDir("engmrgf")
+    var batch: org.apache.spark.sql.DataFrame =
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val e = new Engine(spark, dir, Map.empty, Seq(mergeModel(() => batch,
+      policy = Materialization.SchemaChange.AppendNewColumns)))
+    assert(e.build().ok)
+    // evolved delta: new column rides the merge; untouched rows read null
+    batch = Seq((2L, "B2", 9L)).toDF("id", "v", "extra")
+    assert(e.build().ok)
+    val out = e.ref("tgt")
+    assert(out.columns.toSet == Set("id", "v", "extra"))
+    assert(out.filter(col("id") === 1L).select(col("extra")).first().isNullAt(0))
+    assert(out.filter(col("id") === 2L).select(col("extra")).first().getLong(0) == 9L)
+    // full refresh drops keys absent from the rebuild (stale key 1 gone)
+    batch = Seq((2L, "only", 1L)).toDF("id", "v", "extra")
+    assert(e.build(fullRefresh = true).ok)
+    assert(e.ref("tgt").count() == 1)
+  }
+
+  // ---- Microbatch (dbt 1.9 incremental_strategy='microbatch') ----
+
+  test("microbatch restates the lookback window; older late rows drop; untouched batches' files survive") {
+    val dir = tmpDir("engmb")
+    def row(id: Long, day: String, v: String) =
+      (id, Timestamp.valueOf(s"2024-01-0$day 12:00:00"), v)
+    var batch = Seq(row(1, "1", "a"), row(2, "2", "b"), row(3, "3", "c"))
+      .toDF("id", "ts", "v")
+    val m = Model("mb", Seq(),
+      Materialization.Microbatch("ts", "day", 1))((_, _) => batch)
+    val e = new Engine(spark, dir, Map.empty, Seq(m))
+    assert(e.build().ok)
+    val bcol = Materialization.Microbatch.BatchCol
+    assert(!e.ref("mb").columns.contains(bcol)) // batch col is layout, not data
+    def files(day: String): Set[String] = {
+      val d = new java.io.File(s"$dir/mb/$bcol=2024-01-0$day")
+      if (!d.exists) Set.empty
+      else d.listFiles.map(f => s"${f.getName}:${f.lastModified}:${f.length}").toSet
+    }
+    val d1Before = files("1")
+    // frontier = Jan 3, lookback 1 ⇒ restate Jan 2+; the Jan-1 late row
+    // is beyond the horizon and must be dropped, the Jan-2 late row and
+    // the new Jan-4 batch land
+    batch = Seq(row(1, "1", "a"), row(2, "2", "b"), row(3, "3", "c"),
+      row(10, "1", "late-too-late"), row(11, "2", "late-ok"), row(12, "4", "new"))
+      .toDF("id", "ts", "v")
+    assert(e.build().ok)
+    val got = e.ref("mb").select($"id", $"v").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "a", 2L -> "b", 3L -> "c",
+      11L -> "late-ok", 12L -> "new"))
+    assert(files("1") == d1Before, "Jan-1 partition was rewritten")
+  }
+
+  test("microbatch month grain; emptied batch partition is deleted") {
+    val dir = tmpDir("engmbm")
+    def row(id: Long, mon: String) =
+      (id, Timestamp.valueOf(s"2024-$mon-15 00:00:00"))
+    var batch = Seq(row(1, "01"), row(2, "02"), row(3, "03")).toDF("id", "ts")
+    val m = Model("mb", Seq(),
+      Materialization.Microbatch("ts", "month", 1))((_, _) => batch)
+    val e = new Engine(spark, dir, Map.empty, Seq(m))
+    assert(e.build().ok)
+    // frontier = March, lookback 1 ⇒ restate Feb+. The new source has
+    // NO March rows: March's restatement is empty, its partition must
+    // be deleted (dynamic overwrite alone cannot remove it); January is
+    // outside the window and survives.
+    batch = Seq(row(1, "01"), row(2, "02"), row(4, "02")).toDF("id", "ts")
+    assert(e.build().ok)
+    assert(e.ref("mb").select($"id").as[Long].collect().toSet == Set(1L, 2L, 4L))
+    val bcol = Materialization.Microbatch.BatchCol
+    assert(!new java.io.File(s"$dir/mb/$bcol=2024-03-01").exists)
+    // full refresh is create-table-as: the dropped-late world is replaced
+    batch = Seq(row(9, "03")).toDF("id", "ts")
+    assert(e.build(fullRefresh = true).ok)
+    assert(e.ref("mb").select($"id").as[Long].collect().toSet == Set(9L))
+  }
+
   test("on_schema_change applies to DeleteInsert restatements too") {
     // AppendNewColumns: a restated window carrying a new column evolves
     // the table; untouched partitions' rows read null for it
