@@ -157,6 +157,59 @@ object Streaming {
     q.awaitTermination()
   }
 
+  /** CDC upsert stream: keyed change events flow through `foreachBatch`
+    * into a [[graft.engine.Materialization.MergeUpsert]] engine model —
+    * the streaming twin of dbt's merge strategy, i.e. continuous
+    * change-data-capture apply. Within a micro-batch, last-writer-wins
+    * by `seqCol` (a per-key change sequence from the producer) collapses
+    * the batch to one row per key (the merge materialization's
+    * uniqueness contract); across micro-batches the merge's displacement
+    * applies batches in offset order.
+    *
+    * Exactly-once in EFFECT, not by idempotent file writes: after a
+    * crash the checkpoint replays only the last uncommitted batch, and
+    * re-merging an identical delta is idempotent (same keys displaced,
+    * same rows written). This is the documented foreachBatch recovery
+    * contract — batch-id based dedup is unnecessary because the upsert
+    * itself is a natural idempotent apply. StreamingSpec pins
+    * stream-applied state ≡ one-shot batch truth across a restart.
+    *
+    * Scale: each micro-batch pays (touched buckets) × bucket size —
+    * the merge materialization's restatement economics — so steady-state
+    * CDC cost tracks the change rate, not the table size. */
+  def cdcMergeStream(
+      spark: SparkSession,
+      sourceDir: String,
+      warehouse: String,
+      checkpointDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      key: String,
+      seqCol: String,
+      buckets: Int = 8): Unit = {
+    val q = spark.readStream
+      .schema(schema)
+      .parquet(sourceDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val delta = batch
+          .withColumn("_rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col(key)).orderBy(col(seqCol).desc)))
+          .filter(col("_rn") === 1).drop("_rn")
+        val rpt = new graft.engine.Engine(spark, warehouse,
+          Map("cdc_delta" -> delta), Seq(
+            graft.engine.Model("cdc_state", Seq("cdc_delta"),
+              graft.engine.Materialization.MergeUpsert(key, buckets))(
+              (_, r) => r("cdc_delta")))).build()
+        require(rpt.ok, rpt.results.mkString("; "))
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** The IVF index's maintenance loop as a STREAM: arriving vector
     * batches flow through the same scan-local nearest-centroid kernel
     * the batch/engine forms use ([[graft.similarity.CentroidAssign]],
