@@ -72,7 +72,11 @@ object ScaleProbe {
       "q_ann_graph_hubness", "q_ann_knn_graph_incremental",
       "q_ts_interpolate_linear",
       // r16: passage-grain dedup / late-interaction / chunking pack
-      "q_dedup_substring_spans", "q_ann_maxsim_colbert", "q_text_chunk_windows")
+      "q_dedup_substring_spans", "q_dedup_substring_remove",
+      "q_ann_maxsim_colbert", "q_text_chunk_windows",
+      // r16: merge-upsert materialization lifecycle + merge-maintained state
+      "q_engine_merge_upsert", "q_dedup_crawl_registry",
+      "q_dedup_substring_incremental", "q_engine_microbatch")
     val queries = sys.env.get("SPARK_GRAFT_PROBE_QUERIES")
       .map(_.split(",").map(_.trim).toSet)
       .fold(allQueries)(sub => allQueries.filter(sub.contains))
