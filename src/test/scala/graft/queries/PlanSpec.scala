@@ -336,6 +336,33 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("row_number"), p)
   }
 
+  test("substring spans: surviving-gram join broadcasts the count side, no corpus sort-merge") {
+    // the count≥2 filter shrinks the build side to duplicated grams
+    // only (~9% of distinct grams) — it must broadcast back onto the
+    // gram stream; a SortMergeJoin here would shuffle every gram
+    // occurrence a second time at 100 TB
+    val p = plan("q_dedup_substring_spans")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("chunk windows: scan-local generators, ZERO exchanges") {
+    val p = plan("q_text_chunk_windows")
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("MaxSim: candidates stream past the broadcast query bag; rank via partial topk_cos, no window") {
+    // scoring must stay scan-local (BNLJ against the broadcast query
+    // bag — the inequality join condition rules out a hash join) and
+    // the ranking must collapse through the bounded aggregate: a
+    // row_number window would shuffle all |Q|·N scored pairs
+    val p = plan("q_ann_maxsim_colbert")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.toLowerCase.contains("partial_topk_cos"), p)
+    assert(!p.contains("row_number"), p)
+  }
+
   test("Matryoshka: prefix coarse stage is a partial topk_cos; window only over the bounded shortlist") {
     val p = plan("q_ann_matryoshka_rerank")
     // the N-candidate prefix scoring must collapse through the bounded
