@@ -63,7 +63,14 @@ final class Engine(
     spark: SparkSession,
     warehouseDir: String,
     sources: Map[String, DataFrame],
-    models: Seq[Model]) {
+    models: Seq[Model],
+    /** dbt's `store_failures`: when true, every failing check's
+      * VIOLATION rows are persisted to
+      * `warehouseDir/_test_failures/<model>__<check>` (overwritten per
+      * build) so a red test is auditable from storage without re-running
+      * the query. Off by default, like dbt — the write costs one extra
+      * job per failing check, and only failing checks pay it. */
+    val storeFailures: Boolean = false) {
 
   private val byName: Map[String, Model] = models.map(m => m.name -> m).toMap
   require(byName.size == models.size, "duplicate model names")
@@ -586,6 +593,26 @@ final class Engine(
   private def materialize(m: Model, batchTs: java.sql.Timestamp,
       fullRefresh: Boolean = false): Long = {
     val df = m.buildFn(spark, ref, targetIfExists(m.name, fullRefresh))
+    // dbt model contract (`contract: enforced`): the build output's
+    // column set and types must match the declaration EXACTLY, checked
+    // against the ANALYZED schema before any write — a producer-side
+    // drift fails this node here instead of rewriting the table's shape
+    // under every consumer. Pure metadata, no job runs.
+    if (m.contract.nonEmpty) {
+      val actual = df.schema.map(f => f.name -> f.dataType.simpleString)
+      val actualNames = actual.map(_._1).toSet
+      val declaredNames = m.contract.map(_._1).toSet
+      val missing = m.contract.collect {
+        case (n, t) if !actualNames(n) => s"$n $t (missing)" }
+      val undeclared = actual.collect {
+        case (n, t) if !declaredNames(n) => s"$n $t (undeclared)" }
+      val drifted = m.contract.collect {
+        case (n, t) if actual.exists(a => a._1 == n && a._2 != t) =>
+          s"$n (declared $t, built ${actual.find(_._1 == n).get._2})" }
+      val broken = missing ++ undeclared ++ drifted
+      require(broken.isEmpty,
+        s"${m.name}: contract violation — ${broken.mkString("; ")}")
+    }
     m.materialization match {
       case Materialization.View => -1L
       case Materialization.Table =>
@@ -715,7 +742,7 @@ final class Engine(
             } finally DirSwap.deleteRecursively(staging)
           }
         }
-      case Materialization.MergeUpsert(key, nb, schemaPolicy) =>
+      case Materialization.MergeUpsert(key, nb, schemaPolicy, updateCols) =>
         val bcol = Materialization.MergeUpsert.BucketCol
         require(!df.columns.contains(bcol),
           s"${m.name}: '$bcol' is the merge materialization's reserved " +
@@ -761,7 +788,27 @@ final class Engine(
             // displaced = stored rows whose key appears in the delta;
             // EqualTo (not null-safe) keeps ANSI null semantics
             val kept = stored.join(delta.select(col(key)), Seq(key), "left_anti")
-            val out = delta.unionByName(kept, allowMissingColumns = true)
+            val out =
+              if (updateCols.isEmpty) delta.unionByName(kept, allowMissingColumns = true)
+              else {
+                // merge_update_columns: MATCHED rows keep the stored
+                // values everywhere except the listed columns
+                val upd = updateCols.toSet
+                require(!upd.contains(key) && !upd.contains(bcol),
+                  s"${m.name}: merge_update_columns must not list the key/bucket")
+                require(upd.subsetOf(delta.columns.toSet) &&
+                    upd.subsetOf(stored.columns.toSet),
+                  s"${m.name}: merge_update_columns ${updateCols.mkString(",")} " +
+                    "must exist on both the delta and the stored target")
+                val d = delta.select((key +: updateCols).distinct
+                  .map(c => col(c).as(s"_d_$c")): _*)
+                val matched = stored.join(d, stored(key) === col(s"_d_$key"))
+                  .select(stored.columns.map(c =>
+                    (if (upd(c)) col(s"_d_$c") else stored(c)).as(c)): _*)
+                val inserts = delta.join(stored.select(col(key)), Seq(key), "left_anti")
+                inserts.unionByName(matched, allowMissingColumns = true)
+                  .unionByName(kept, allowMissingColumns = true)
+              }
             writeCounted(out, _.write.mode("overwrite")
               .option("partitionOverwriteMode", "dynamic")
               .partitionBy(bcol).parquet(path(m.name)))
@@ -834,8 +881,17 @@ final class Engine(
       // nonexistent `dim_feature` / `mart_subscription_month_enriched`
       // models — SURVEY §5 note 1).
       val failed = m.checks.flatMap { c =>
-        try if (!c.violationsWithRefs(ref(name), ref).isEmpty) Some(c.name) else None
-        catch {
+        try {
+          val v = c.violationsWithRefs(ref(name), ref)
+          val bad = !v.isEmpty
+          if (bad && storeFailures) {
+            val safe = s"${name}__${c.name}".map(ch =>
+              if (ch.isLetterOrDigit || ch == '_') ch else '_')
+            v.write.mode("overwrite")
+              .parquet(s"$warehouseDir/_test_failures/$safe")
+          }
+          if (bad) Some(c.name) else None
+        } catch {
           case u: UnknownRefException =>
             System.err.println(
               s"WARN: skipping check '${c.name}' on $name: unknown ref '${u.refName}'")

@@ -166,11 +166,21 @@ object Materialization {
     * column (the engine recomputes it). `onSchemaChange` is the same dbt
     * contract as on [[IncrementalAppend]]; under
     * [[SchemaChange.AppendNewColumns]] only touched buckets carry the
-    * evolved schema (reads merge footers — history untouched). */
+    * evolved schema (reads merge footers — history untouched).
+    *
+    * `updateColumns` is dbt's `merge_update_columns`: when non-empty, a
+    * MATCHED key's stored row is kept and ONLY the listed columns take
+    * the delta's values (unmatched delta rows still insert whole) —
+    * partial updates without re-supplying the full row, e.g. a CDC feed
+    * that carries only the changed measure. Empty (default) replaces
+    * the whole matched row. dbt's `merge_exclude_columns` is the
+    * complement: pass every column except the excluded ones. The listed
+    * columns must exist on both sides and must not include the key. */
   final case class MergeUpsert(
       uniqueKey: String,
       buckets: Int,
-      onSchemaChange: SchemaChange = SchemaChange.Ignore) extends Materialization
+      onSchemaChange: SchemaChange = SchemaChange.Ignore,
+      updateColumns: Seq[String] = Nil) extends Materialization
 
   object MergeUpsert {
     /** Synthetic key-hash bucket partition column; reserved — a merge
@@ -288,7 +298,14 @@ final class Model(
     val deps: Seq[String],
     val materialization: Materialization,
     val checks: Seq[Check],
-    val buildFn: (SparkSession, String => DataFrame, Option[DataFrame]) => DataFrame) {
+    val buildFn: (SparkSession, String => DataFrame, Option[DataFrame]) => DataFrame,
+    /** dbt model CONTRACT (`contract: enforced` + per-column
+      * `data_type`): declared (column, Spark `simpleString` type) pairs
+      * the build output must match EXACTLY — same column set, same
+      * types — checked BEFORE materializing, so a producer-side change
+      * fails the node instead of silently rewriting the table's shape
+      * for every consumer. Empty = no contract (dbt's default). */
+    val contract: Seq[(String, String)] = Nil) {
   /** Non-incremental view of the build (views, specs). */
   def build(spark: SparkSession, ref: String => DataFrame): DataFrame =
     buildFn(spark, ref, None)
@@ -299,16 +316,19 @@ object Model {
       name: String,
       deps: Seq[String],
       materialization: Materialization,
-      checks: Seq[Check] = Nil)(
+      checks: Seq[Check] = Nil,
+      contract: Seq[(String, String)] = Nil)(
       build: (SparkSession, String => DataFrame) => DataFrame): Model =
-    new Model(name, deps, materialization, checks, (s, r, _) => build(s, r))
+    new Model(name, deps, materialization, checks, (s, r, _) => build(s, r),
+      contract)
 
   /** Model whose build sees its own prior target (`{{ this }}`). */
   def incremental(
       name: String,
       deps: Seq[String],
       materialization: Materialization,
-      checks: Seq[Check] = Nil)(
+      checks: Seq[Check] = Nil,
+      contract: Seq[(String, String)] = Nil)(
       build: (SparkSession, String => DataFrame, Option[DataFrame]) => DataFrame): Model =
-    new Model(name, deps, materialization, checks, build)
+    new Model(name, deps, materialization, checks, build, contract)
 }

@@ -110,7 +110,8 @@ object SqlSurfaceQueries {
     // individual KEYS anywhere in history). Two engine builds: batch 1
     // = every order (create-table-as), batch 2 = updates (orders with
     // key % 7 = 0: status 'U', cents doubled) + inserts (key % 11 = 0
-    // re-keyed past max(o_orderkey): status 'N'). The oracle replays
+    // re-keyed STRICTLY past max(o_orderkey) — the +1 matters when the
+    // key range starts at 0: status 'N'). The oracle replays
     // ANSI MERGE semantics as delta ∪ (base anti-join delta). Money as
     // integer cents so the doubled amounts are integer-exact on both
     // engines. Scale shape: the target is hive-partitioned on
@@ -131,7 +132,7 @@ object SqlSurfaceQueries {
         |         CAST(round(o_totalprice * 100) AS BIGINT) * 2 AS cents
         |  FROM orders WHERE o_orderkey % 7 = 0
         |  UNION ALL
-        |  SELECT o_orderkey + (SELECT max(o_orderkey) FROM orders) AS k,
+        |  SELECT o_orderkey + (SELECT max(o_orderkey) + 1 FROM orders) AS k,
         |         'N' AS status,
         |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
         |  FROM orders WHERE o_orderkey % 11 = 0)
@@ -149,7 +150,7 @@ object SqlSurfaceQueries {
         .select(col("o_orderkey").as("k"), lit("U").as("status"),
           (cents * 2).as("cents"))
         .unionByName(orders.filter(col("o_orderkey") % 11 === 0)
-          .select((col("o_orderkey") + maxKey).as("k"), lit("N").as("status"),
+          .select((col("o_orderkey") + maxKey + 1).as("k"), lit("N").as("status"),
             cents.as("cents")))
       val wh = java.nio.file.Files
         .createTempDirectory("graft_mrg").toString
@@ -157,9 +158,46 @@ object SqlSurfaceQueries {
       val e = new graft.engine.Engine(s, wh, Map.empty, Seq(
         graft.engine.Model("merged", Seq(),
           graft.engine.Materialization.MergeUpsert("k", 32))((_, _) => batch)))
-      require(e.build().ok)
+      val r0 = e.build(); require(r0.ok, r0.results.mkString("; "))
       batch = delta
-      require(e.build().ok)
+      val r1 = e.build(); require(r1.ok, r1.results.mkString("; "))
+      e.ref("merged")
+    },
+
+    // ---- merge_update_columns (dbt's partial-update merge): the CDC
+    // feed carries ONLY (key, changed measure); matched rows take the
+    // delta's cents and KEEP the stored status, unmatched keys are
+    // untouched. The oracle is the plain left-join-coalesce restatement
+    // of that contract. Same bucket-restatement economics as the full
+    // merge — the delta column set changes nothing about the layout.
+    Q.sql(
+      "q_engine_merge_update_columns",
+      """SELECT b1.k, b1.status,
+        |       coalesce(b2.cents, b1.cents) AS cents
+        |FROM (SELECT o_orderkey AS k, o_orderstatus AS status,
+        |             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |      FROM orders) b1
+        |LEFT JOIN (SELECT o_orderkey AS k,
+        |                  CAST(round(o_totalprice * 100) AS BIGINT) * 2 AS cents
+        |           FROM orders WHERE o_orderkey % 7 = 0) b2
+        |ON b1.k = b2.k""".stripMargin
+    ) { (s, dir) =>
+      val orders = Tables.orders(s, dir)
+      val cents = round(col("o_totalprice") * 100, 0).cast("long")
+      val base = orders.select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("status"), cents.as("cents"))
+      val upd = orders.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey").as("k"), (cents * 2).as("cents"))
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_mrgu").toString
+      var batch = base
+      val e = new graft.engine.Engine(s, wh, Map.empty, Seq(
+        graft.engine.Model("merged", Seq(),
+          graft.engine.Materialization.MergeUpsert("k", 32,
+            updateColumns = Seq("cents")))((_, _) => batch)))
+      val r0 = e.build(); require(r0.ok, r0.results.mkString("; "))
+      batch = upd.select(col("k"), col("cents"))
+      val r1 = e.build(); require(r1.ok, r1.results.mkString("; "))
       e.ref("merged")
     },
 
@@ -194,9 +232,9 @@ object SqlSurfaceQueries {
         graft.engine.Model("mb", Seq(),
           graft.engine.Materialization.Microbatch("ts", "day", 1))(
           (_, _) => src)))
-      require(e.build().ok)
+      val r2 = e.build(); require(r2.ok, r2.results.mkString("; "))
       src = ev
-      require(e.build().ok)
+      val r3 = e.build(); require(r3.ok, r3.results.mkString("; "))
       e.ref("mb")
     },
 

@@ -503,6 +503,73 @@ class EngineSpec extends SparkSpec {
     assert(e.ref("tgt").count() == 1)
   }
 
+  test("merge_update_columns: matched rows keep stored values outside the listed columns") {
+    val dir = tmpDir("engmrgu")
+    var batch: org.apache.spark.sql.DataFrame =
+      Seq((1L, "a", 10), (2L, "b", 20)).toDF("id", "v", "n")
+    val e = new Engine(spark, dir, Map.empty, Seq(
+      Model("tgt", Seq(), Materialization.MergeUpsert("id", 4,
+        updateColumns = Seq("n")))((_, _) => batch)))
+    assert(e.build().ok)
+    // delta carries only (key, updated column) + an insert-only key;
+    // matched key 1's v must survive from the stored row, while the
+    // NEW key 3 inserts whole (v null — the delta never supplied one)
+    batch = Seq((1L, 100), (3L, 300)).toDF("id", "n")
+    assert(e.build().ok)
+    val got = e.ref("tgt").select($"id", $"v", $"n")
+      .collect().map(r => r.getLong(0) -> ((Option(r.getString(1)), r.getInt(2)))).toMap
+    assert(got == Map(1L -> ((Some("a"), 100)), 2L -> ((Some("b"), 20)),
+      3L -> ((None, 300))))
+  }
+
+  test("model contract: exact column set + types enforced before any write") {
+    val dir = tmpDir("engctr")
+    var batch: org.apache.spark.sql.DataFrame =
+      Seq((1L, "a")).toDF("id", "v")
+    def eng(contract: (String, String)*) = new Engine(spark, dir, Map.empty, Seq(
+      Model("tgt", Seq(), Materialization.Table,
+        contract = contract.toSeq)((_, _) => batch)))
+    assert(eng("id" -> "bigint", "v" -> "string").build().ok)
+    // type drift
+    batch = Seq((1, "a")).toDF("id", "v") // id now int
+    val r1 = eng("id" -> "bigint", "v" -> "string").build()
+    assert(!r1.ok && r1("tgt").error.exists(_.contains("declared bigint")))
+    // undeclared extra column
+    batch = Seq((1L, "a", 0.5)).toDF("id", "v", "x")
+    val r2 = eng("id" -> "bigint", "v" -> "string").build()
+    assert(!r2.ok && r2("tgt").error.exists(_.contains("undeclared")))
+    // missing declared column
+    batch = Seq(Tuple1(1L)).toDF("id")
+    val r3 = eng("id" -> "bigint", "v" -> "string").build()
+    assert(!r3.ok && r3("tgt").error.exists(_.contains("missing")))
+    // the failed builds never touched the target: first build's row reads
+    assert(e_ref(dir).count() == 1)
+  }
+
+  private def e_ref(dir: String) = spark.read.parquet(s"$dir/tgt")
+
+  test("store_failures persists violating rows; off by default") {
+    val dir = tmpDir("engsf")
+    def mk(store: Boolean) = new Engine(spark, dir, Map.empty, Seq(
+      Model("tgt", Seq(), Materialization.Table,
+        checks = Seq(Checks.unique("id")))((_, _) =>
+        Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("id", "v"))),
+      storeFailures = store)
+    val r = mk(store = true).build()
+    assert(!r.ok && r("tgt").failedChecks.nonEmpty)
+    val stored = spark.read.parquet(s"$dir/_test_failures/tgt__unique_id_")
+    assert(stored.collect().map(x => (x.getLong(0), x.getLong(1))).toSeq ==
+      Seq((1L, 2L))) // the duplicated key and its count
+    // default: no persistence
+    val dir2 = tmpDir("engsf2")
+    val e2 = new Engine(spark, dir2, Map.empty, Seq(
+      Model("tgt", Seq(), Materialization.Table,
+        checks = Seq(Checks.unique("id")))((_, _) =>
+        Seq((1L, "a"), (1L, "b")).toDF("id", "v"))))
+    assert(!e2.build().ok)
+    assert(!new java.io.File(s"$dir2/_test_failures").exists)
+  }
+
   // ---- Microbatch (dbt 1.9 incremental_strategy='microbatch') ----
 
   test("microbatch restates the lookback window; older late rows drop; untouched batches' files survive") {
