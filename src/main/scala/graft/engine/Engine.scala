@@ -1106,4 +1106,114 @@ final class Engine(
       manifestJson.getBytes("UTF-8"))
     ()
   }
+
+  /** dbt's `docs generate` artifact, `catalog.json`: what is actually IN
+    * the warehouse — per materialized model its columns with storage
+    * types (the consumer view, parquet footer schema; synthetic layout
+    * columns hidden), row count and on-disk bytes. Row counts ride
+    * parquet row-group metadata (a count() over a bare scan never reads
+    * data pages) and bytes are a directory listing, so generation is
+    * metadata-cost like dbt's, and — like dbt — it is a SEPARATE
+    * on-demand step, not part of every build. Views are unmaterialized
+    * plans and are listed with columns only (analyzed schema, no
+    * storage facts). */
+  def catalogJson(): String = {
+    val nodes = topoOrder.map(byName).flatMap { m =>
+      def colsOf(df: DataFrame): String = df.schema.map(f =>
+        s"""{"name":"${esc(f.name)}","type":"${esc(f.dataType.simpleString)}"}""")
+        .mkString("[", ",", "]")
+      m.materialization match {
+        case Materialization.View =>
+          Some(s"""{"name":"${esc(m.name)}","materialized":false,""" +
+            s""""columns":${colsOf(m.build(spark, ref))}}""")
+        case _ if exists(m.name) || (isSnapshot(m.name) && snapExists(m.name)) =>
+          val view = ref(m.name)
+          val rows = view.count() // footer-metadata count, no data pages
+          def dirBytes(p: String): Long = {
+            def rec(f: java.io.File): Long =
+              if (f.isDirectory) f.listFiles.map(rec).sum
+              else if (f.getName.startsWith("part-")) f.length else 0L
+            val d = new java.io.File(p)
+            if (d.exists) rec(d) else 0L
+          }
+          val bytes =
+            if (isSnapshot(m.name)) dirBytes(openPath(m.name)) + dirBytes(closedPath(m.name))
+            else dirBytes(path(m.name))
+          Some(s"""{"name":"${esc(m.name)}","materialized":true,""" +
+            s""""columns":${colsOf(view)},"row_count":$rows,"bytes":$bytes}""")
+        case _ => None // declared but never built
+      }
+    }
+    s"""{"nodes":${nodes.mkString("[", ",", "]")}}"""
+  }
+
+  /** Write [[catalogJson]] to `warehouseDir/catalog.json` (dbt's `docs
+    * generate`). */
+  def docsGenerate(): Unit = {
+    Files.createDirectories(Paths.get(warehouseDir))
+    Files.write(Paths.get(warehouseDir, "catalog.json"),
+      catalogJson().getBytes("UTF-8"))
+    ()
+  }
+}
+
+/** dbt source-freshness config (`loaded_at_field` + `warn_after` /
+  * `error_after`): how stale a source's newest row may be before the
+  * pipeline should warn or stop trusting it. */
+final case class Freshness(
+    loadedAtCol: String,
+    warnAfter: java.time.Duration,
+    errorAfter: java.time.Duration) {
+  require(!errorAfter.minus(warnAfter).isNegative,
+    "error_after must be >= warn_after")
+}
+
+/** One source's freshness verdict (dbt's `target/sources.json` row). */
+final case class FreshnessResult(
+    source: String,
+    maxLoadedAt: Option[java.sql.Timestamp],
+    ageSeconds: Long,
+    status: String) // "pass" | "warn" | "error"
+
+object Freshness {
+
+  /** dbt's `source freshness` command: for each configured source, the
+    * age of its newest `loaded_at` row against the thresholds.
+    * [[Checks.freshness]] is the build-GATING form of the same idea (a
+    * red check blocks downstream, error-only); this is the standalone
+    * command with dbt's full warn/error band and the `sources.json`
+    * artifact, run outside any build. The max
+    * is a single-scalar aggregate — parquet footer statistics make it
+    * metadata-cost on columnar sources; an EMPTY source has no
+    * freshness evidence at all and reports `error` (never silently
+    * passes). Pass `asOf` explicitly so runs are reproducible (dbt uses
+    * wall clock; a replayed build should not). */
+  def check(
+      sources: Map[String, DataFrame],
+      configs: Map[String, Freshness],
+      asOf: java.sql.Timestamp): Seq[FreshnessResult] =
+    configs.toSeq.sortBy(_._1).map { case (name, cfg) =>
+      val src = sources.getOrElse(name,
+        throw new IllegalArgumentException(s"unknown source '$name'"))
+      val row = src.agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.col(cfg.loadedAtCol))).first()
+      if (row.isNullAt(0)) FreshnessResult(name, None, Long.MaxValue, "error")
+      else {
+        val ts = row.getTimestamp(0)
+        val age = (asOf.getTime - ts.getTime) / 1000L
+        val status =
+          if (age > cfg.errorAfter.getSeconds) "error"
+          else if (age > cfg.warnAfter.getSeconds) "warn"
+          else "pass"
+        FreshnessResult(name, Some(ts), age, status)
+      }
+    }
+
+  /** `target/sources.json`: the freshness verdicts as a JSON artifact. */
+  def json(results: Seq[FreshnessResult]): String =
+    results.map { r =>
+      s"""{"source":"${r.source.replace("\"", "\\\"")}",""" +
+        s""""max_loaded_at":${r.maxLoadedAt.fold("null")(t => s""""$t"""")},""" +
+        s""""age_s":${r.ageSeconds},"status":"${r.status}"}"""
+    }.mkString("""{"sources":[""", ",", "]}")
 }

@@ -570,6 +570,55 @@ class EngineSpec extends SparkSpec {
     assert(!new java.io.File(s"$dir2/_test_failures").exists)
   }
 
+  test("docs generate: catalog.json lists stored columns, row count, bytes; views columns-only") {
+    val dir = tmpDir("engcat")
+    val e = new Engine(spark, dir, Map.empty, Seq(
+      Model("tbl", Seq(), Materialization.Table)((_, _) =>
+        Seq((1L, "a"), (2L, "b")).toDF("id", "v")),
+      Model("vw", Seq("tbl"), Materialization.View)((_, r) =>
+        r("tbl").select($"id"))))
+    assert(e.build().ok)
+    e.docsGenerate()
+    val raw = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "catalog.json")), "UTF-8")
+    val tbl = """"name":"tbl","materialized":true,"columns":\[([^\]]*)\],"row_count":(\d+),"bytes":(\d+)""".r
+      .findFirstMatchIn(raw)
+    assert(tbl.isDefined, raw)
+    assert(tbl.get.group(1).contains(""""name":"id","type":"bigint""""), raw)
+    assert(tbl.get.group(2).toLong == 2L, raw)
+    assert(tbl.get.group(3).toLong > 0L, raw)
+    // views: columns from the analyzed plan, no storage facts
+    assert(raw.contains(""""name":"vw","materialized":false"""), raw)
+    assert(!raw.matches("""(?s).*"name":"vw"[^}]*"row_count".*"""), raw)
+  }
+
+  test("source freshness: pass/warn/error thresholds; empty source errors") {
+    import java.time.Duration
+    def src(ts: String*) = ts.map(Timestamp.valueOf).map(Tuple1(_))
+      .toDF("loaded_at")
+    val asOf = Timestamp.valueOf("2024-01-10 00:00:00")
+    val cfg = Map(
+      "fresh" -> Freshness("loaded_at", Duration.ofHours(12), Duration.ofHours(48)),
+      "stale" -> Freshness("loaded_at", Duration.ofHours(12), Duration.ofHours(48)),
+      "dead" -> Freshness("loaded_at", Duration.ofHours(12), Duration.ofHours(48)),
+      "empty" -> Freshness("loaded_at", Duration.ofHours(12), Duration.ofHours(48)))
+    val res = Freshness.check(Map(
+      "fresh" -> src("2024-01-09 20:00:00"), // 4 h old
+      "stale" -> src("2024-01-09 20:00:00", "2024-01-09 02:00:00"), // max = 4 h; multi-row takes MAX
+      "dead" -> src("2024-01-01 00:00:00"), // 9 days
+      "empty" -> src().limit(0)), cfg, asOf).map(r => r.source -> r.status).toMap
+    assert(res == Map("fresh" -> "pass", "stale" -> "pass",
+      "dead" -> "error", "empty" -> "error"))
+    // warn band: older than warn_after, inside error_after
+    val warn = Freshness.check(
+      Map("s" -> src("2024-01-09 00:00:00")), // 24 h
+      Map("s" -> Freshness("loaded_at", Duration.ofHours(12), Duration.ofHours(48))),
+      asOf)
+    assert(warn.head.status == "warn" && warn.head.ageSeconds == 86400L)
+    val js = Freshness.json(warn)
+    assert(js.contains(""""status":"warn"""") && js.contains(""""age_s":86400"""), js)
+  }
+
   // ---- Microbatch (dbt 1.9 incremental_strategy='microbatch') ----
 
   test("microbatch restates the lookback window; older late rows drop; untouched batches' files survive") {
