@@ -584,6 +584,102 @@ object TextQueries {
         .select(col("doc_id"), col("chunk_id"), col("tok_start"),
           size(col("ct")).as("n_tokens"),
           array_join(col("ct"), " ").as("chunk_text"))
+    },
+
+    // ---- RAG chunk retrieval end-to-end: the composition the chunker
+    // exists for — score CHUNKS against each query (idf-weighted
+    // distinct-term overlap: the BM25 idf numerator with tf and length
+    // normalization dropped, i.e. the set-overlap retrieval kernel),
+    // then MAX-POOL chunk scores to the document ("a doc is as relevant
+    // as its best passage" — the late-chunking rank rule every
+    // chunk-grain RAG store applies before handing docs to the
+    // generator), top-10 docs per query. Queries = the corpus's 5
+    // lowest-doc_id documents' distinct terms (self-retrieval
+    // excluded). Determinism: idf weights are integer-quantized
+    // (round(ln(N/df)·1e6) as BIGINT — identical operand bits into ln
+    // on both engines, integer sums exact in ANY summation order) and
+    // ties break (score DESC, doc_id ASC). Scale shape: the chunk/term
+    // generators are scan-local; ONE distinct exchange each for doc-
+    // and chunk-grain term sets; the ~250-row query-term×idf table
+    // broadcasts onto the chunk-term stream, so scored rows = matches
+    // only; the per-query window ranks ≤ |docs| rows and
+    // WindowGroupLimit keeps k per task.
+    Q.sql(
+      "q_rag_chunk_retrieval",
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |dterm AS (
+         |  SELECT DISTINCT doc_id, tok FROM toks, UNNEST(t) AS u(tok)),
+         |df AS (SELECT tok, count(*) AS df FROM dterm GROUP BY tok),
+         |nd AS (SELECT count(*) AS n FROM documents),
+         |qd AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 5),
+         |qw AS (
+         |  SELECT dterm.doc_id AS query_id, dterm.tok,
+         |         CAST(round(ln((SELECT n FROM nd) * 1.0 / df) * 1000000)
+         |              AS BIGINT) AS w
+         |  FROM dterm JOIN qd ON dterm.doc_id = qd.doc_id
+         |  JOIN df ON dterm.tok = df.tok),
+         |chunks AS (
+         |  SELECT doc_id, i AS chunk_id,
+         |         list_slice(t, 1 + i * $ChunkStride,
+         |              least(i * $ChunkStride + $ChunkW, len(t))) AS ct
+         |  FROM toks, UNNEST(generate_series(0,
+         |       CASE WHEN len(t) <= $ChunkW THEN 0
+         |            ELSE (len(t) - $ChunkW + $ChunkStride - 1) // $ChunkStride
+         |       END)) AS u(i)),
+         |cterm AS (
+         |  SELECT DISTINCT doc_id, chunk_id, tok
+         |  FROM chunks, UNNEST(ct) AS u(tok)),
+         |cs AS (
+         |  SELECT query_id, doc_id, chunk_id, sum(w) AS s
+         |  FROM cterm JOIN qw USING (tok) WHERE doc_id <> query_id
+         |  GROUP BY query_id, doc_id, chunk_id),
+         |ds AS (SELECT query_id, doc_id, max(s) AS score
+         |       FROM cs GROUP BY query_id, doc_id)
+         |SELECT query_id, doc_id, CAST(rnk AS INT) AS rnk, score FROM (
+         |  SELECT query_id, doc_id, score,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY score DESC, doc_id) AS rnk
+         |  FROM ds) r WHERE rnk <= 10""".stripMargin
+    ) { (s, dir) =>
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+      val dterm = toks
+        .select(col("doc_id"), explode(col("t")).as("tok")).distinct()
+      val dfreq = dterm.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val n = Tables.documents(s, dir).count()
+      val qd = toks.select(col("doc_id")).orderBy(col("doc_id")).limit(5)
+        .withColumnRenamed("doc_id", "query_id")
+      val qw = dterm
+        .join(broadcast(qd), col("doc_id") === col("query_id"))
+        .join(dfreq, Seq("tok"))
+        .select(col("query_id"), col("tok"),
+          round(log(lit(n * 1.0) / col("df")) * 1000000, 0).cast("long").as("w"))
+      val chunks = toks
+        .select(col("doc_id"),
+          explode(expr(
+            s"sequence(0, CASE WHEN size(t) <= $ChunkW THEN 0 " +
+              s"ELSE (size(t) - $ChunkW + $ChunkStride - 1) div $ChunkStride END)"))
+            .as("chunk_id"),
+          col("t"))
+        .select(col("doc_id"), col("chunk_id"),
+          expr(s"slice(t, 1 + chunk_id * $ChunkStride, $ChunkW)").as("ct"))
+      val cterm = chunks
+        .select(col("doc_id"), col("chunk_id"), explode(col("ct")).as("tok"))
+        .distinct()
+      val cs = cterm.join(broadcast(qw), Seq("tok"))
+        .filter(col("doc_id") =!= col("query_id"))
+        .groupBy(col("query_id"), col("doc_id"), col("chunk_id"))
+        .agg(sum(col("w")).as("s"))
+      val ds = cs.groupBy(col("query_id"), col("doc_id"))
+        .agg(max(col("s")).as("score"))
+      ds.withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("query_id"))
+            .orderBy(col("score").desc, col("doc_id"))))
+        .filter(col("rnk") <= 10)
+        .select(col("query_id"), col("doc_id"),
+          col("rnk").cast("int").as("rnk"), col("score"))
     }
   )
 

@@ -76,7 +76,8 @@ object ScaleProbe {
       "q_ann_maxsim_colbert", "q_text_chunk_windows",
       // r16: merge-upsert materialization lifecycle + merge-maintained state
       "q_engine_merge_upsert", "q_dedup_crawl_registry",
-      "q_dedup_substring_incremental", "q_engine_microbatch")
+      "q_dedup_substring_incremental", "q_engine_microbatch",
+      "q_rag_chunk_retrieval")
     val queries = sys.env.get("SPARK_GRAFT_PROBE_QUERIES")
       .map(_.split(",").map(_.trim).toSet)
       .fold(allQueries)(sub => allQueries.filter(sub.contains))

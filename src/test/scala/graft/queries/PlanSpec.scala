@@ -363,6 +363,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("row_number"), p)
   }
 
+  test("RAG chunk retrieval: query-term weights broadcast onto the chunk-term stream; per-query rank is group-limited") {
+    // the ~250-row query-term×idf table must broadcast (a sort-merge
+    // here would shuffle every chunk-term row to meet a KB-sized build
+    // side) and the per-query top-10 window must be WindowGroupLimit-
+    // pushed so each task keeps ≤ k rows before the final rank
+    val p = plan("q_rag_chunk_retrieval")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("Matryoshka: prefix coarse stage is a partial topk_cos; window only over the bounded shortlist") {
     val p = plan("q_ann_matryoshka_rerank")
     // the N-candidate prefix scoring must collapse through the bounded
