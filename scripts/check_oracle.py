@@ -50,9 +50,17 @@ def main():
             n_fail += 1
             continue
         mismatched = []
+        dtype_flags = []
         for c in g.columns:
             a, b = g[c], e[c]
             try:
+                # The driver hashes values EXACTLY (str of the parquet value), so an
+                # int64-vs-float64 column pair fails there ("123" vs "123.0") even when
+                # values are numerically identical. Flag it as a hard failure here so
+                # the class (e.g. DuckDB HUGEINT sum -> float64) can't pass locally.
+                kinds = {a.dtype.kind, b.dtype.kind}
+                if kinds == {"i", "f"} or kinds == {"u", "f"}:
+                    dtype_flags.append((c, str(a.dtype), str(b.dtype)))
                 if a.dtype.kind == "f" or b.dtype.kind == "f":
                     eq = ((a - b).abs() < 1e-12) | (a.isna() & b.isna())
                 else:
@@ -61,7 +69,11 @@ def main():
                     mismatched.append((c, int((~eq).sum())))
             except Exception as ex:
                 mismatched.append((c, f"cmp-error {ex}"))
-        if mismatched:
+        if dtype_flags:
+            print(f"  {name}: DTYPE-MISMATCH (int vs float — driver exact hash WILL fail) "
+                  f"{[(c, f'spark={sa}', f'duckdb={sb}') for c, sa, sb in dtype_flags]}")
+            n_fail += 1
+        elif mismatched:
             print(f"  {name}: VALUE-MISMATCH {mismatched}")
             for c, _ in mismatched[:2]:
                 bad = (g[c].astype(str) != e[c].astype(str))

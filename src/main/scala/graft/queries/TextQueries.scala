@@ -634,7 +634,7 @@ object TextQueries {
          |  SELECT query_id, doc_id, chunk_id, sum(w) AS s
          |  FROM cterm JOIN qw USING (tok) WHERE doc_id <> query_id
          |  GROUP BY query_id, doc_id, chunk_id),
-         |ds AS (SELECT query_id, doc_id, max(s) AS score
+         |ds AS (SELECT query_id, doc_id, CAST(max(s) AS BIGINT) AS score
          |       FROM cs GROUP BY query_id, doc_id)
          |SELECT query_id, doc_id, CAST(rnk AS INT) AS rnk, score FROM (
          |  SELECT query_id, doc_id, score,
