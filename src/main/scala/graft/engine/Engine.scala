@@ -218,12 +218,32 @@ final class Engine(
       else consumerView(name))
     else None
 
+  /** Heal a merge model's bucket dirs after a crash mid-commit: each
+    * touched bucket is swapped individually (DirSwap.replace), so a torn
+    * swap leaves either (bucket missing, bucket.old = only generation) —
+    * rename it back — or (bucket committed, obsolete .old leftover) —
+    * delete it, both because it is dead weight and because an unparsable
+    * `bucket=N.old` dir name would poison partition-type discovery.
+    * No-op in healthy states; called before every merge-model read. */
+  private def healMergeBuckets(name: String): Unit = {
+    Option(new java.io.File(path(name)).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.endsWith(".old"))
+      .foreach { old =>
+        val target = old.getPath.stripSuffix(".old")
+        if (!DirSwap.recover(target)) DirSwap.deleteRecursively(old.getPath)
+      }
+  }
+
   /** Parquet read of a model dir, with footer schema merging exactly
     * when the model's materialization can have EVOLVED its schema
     * (IncrementalAppend + AppendNewColumns): older generations lack the
     * evolved columns, and a single-footer read would surface a
     * generation-dependent schema. Every other model pays nothing. */
   private def readEvolved(name: String): DataFrame = {
+    if (byName.get(name).exists(
+        _.materialization.isInstanceOf[Materialization.MergeUpsert]))
+      healMergeBuckets(name)
     val evolving = byName.get(name).map(_.materialization).exists {
       case m: Materialization.IncrementalAppend =>
         m.onSchemaChange == Materialization.SchemaChange.AppendNewColumns
@@ -765,6 +785,11 @@ final class Engine(
           // real cost at scale — one delta-sized write bounds it.
           val staging = path(m.name) + ".delta"
           aligned.write.mode("overwrite").parquet(staging)
+          // a prior merge crashed mid-bucket-swap? heal before reading:
+          // every bucket dir must be a committed generation, not a torn
+          // (missing, .old) pair or an obsolete leftover .old that would
+          // poison partition discovery.
+          healMergeBuckets(m.name)
           try {
             val delta = spark.read.parquet(staging)
             // ANSI MERGE "multiple source rows matched": a delta with a
@@ -809,9 +834,28 @@ final class Engine(
                 inserts.unionByName(matched, allowMissingColumns = true)
                   .unionByName(kept, allowMissingColumns = true)
               }
-            writeCounted(out, _.write.mode("overwrite")
-              .option("partitionOverwriteMode", "dynamic")
-              .partitionBy(bcol).parquet(path(m.name)))
+            // Crash-safe commit: dynamic partition overwrite deletes the
+            // touched buckets at commit time before renaming new files
+            // in, and the displaced 'kept' rows were READ FROM those same
+            // dirs — a crash inside that window would lose them with no
+            // recovery source (the .delta stage holds only the delta).
+            // Instead stage the full merged output (delta ∪ kept) to a
+            // side dir, then DirSwap each touched bucket dir: every
+            // bucket is atomically either the old or the new generation,
+            // and a torn swap is healed by healMergeBuckets on the next
+            // read/build — the same torn-swap contract compact/replace
+            // already honor.
+            val mergeStage = path(m.name) + ".merge"
+            val n = writeCounted(out, _.write.mode("overwrite")
+              .partitionBy(bcol).parquet(mergeStage))
+            try {
+              Option(new java.io.File(mergeStage).listFiles())
+                .getOrElse(Array.empty)
+                .filter(f => f.isDirectory && f.getName.startsWith(s"$bcol="))
+                .foreach(b => DirSwap.replace(
+                  b.getPath, s"${path(m.name)}/${b.getName}"))
+            } finally DirSwap.deleteRecursively(mergeStage)
+            n
           } finally DirSwap.deleteRecursively(staging)
         }
       case Materialization.Scd2Snapshot(key, checkCols) =>
@@ -876,6 +920,19 @@ final class Engine(
         if (m.materialization == Materialization.View) -1L
         else shuffle.totalFor(group)
       def ms = (System.nanoTime() - t0) / 1000000L
+      // dbt rebuilds the failures table every run: clear THIS model's
+      // prior violation parquet before the check pass, so a check that
+      // was red last build and is green now leaves no stale rows
+      // misreporting current state. (The per-check overwrite below only
+      // fires for currently-failing checks, so it cannot clean these up.)
+      if (storeFailures && m.checks.nonEmpty) {
+        val prefix = s"${name}__".map(ch =>
+          if (ch.isLetterOrDigit || ch == '_') ch else '_')
+        Option(new java.io.File(s"$warehouseDir/_test_failures").listFiles())
+          .getOrElse(Array.empty)
+          .filter(f => f.isDirectory && f.getName.startsWith(prefix))
+          .foreach(f => DirSwap.deleteRecursively(f.getPath))
+      }
       // A check referencing a model that does not exist is skipped with
       // a warning, matching dbt (the reference declares tests against
       // nonexistent `dim_feature` / `mart_subscription_month_enriched`

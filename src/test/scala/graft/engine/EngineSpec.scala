@@ -522,6 +522,64 @@ class EngineSpec extends SparkSpec {
       3L -> ((None, 300))))
   }
 
+  test("merge upsert commit is torn-swap healable: buckets swap via DirSwap, .old states recover") {
+    val dir = tmpDir("engmrgh")
+    var batch = spark.range(0, 64).toDF("id").withColumn("v", col("id") * 2)
+    val e = new Engine(spark, dir, Map.empty, Seq(mergeModel(() => batch)))
+    assert(e.build().ok)
+    batch = Seq((7L, 700L)).toDF("id", "v")
+    assert(e.build().ok)
+    // a clean commit leaves no swap debris: no bucket .old, no .merge stage
+    val root = new java.io.File(s"$dir/tgt")
+    assert(!root.listFiles.exists(_.getName.endsWith(".old")))
+    assert(!new java.io.File(s"$dir/tgt.merge").exists)
+    val full = e.ref("tgt").count()
+    assert(full == 64)
+    // torn state A (crash between rename-aside and rename-into-place):
+    // bucket dir missing, .old holds the only generation → a read heals
+    val bId = spark.range(1).select(
+      pmod(hash(lit(7L)), lit(8)).cast("int")).first().getInt(0)
+    val b = new java.io.File(s"$dir/tgt/_graft_bucket=$bId")
+    val old = new java.io.File(s"$dir/tgt/_graft_bucket=$bId.old")
+    assert(b.renameTo(old))
+    assert(e.ref("tgt").count() == full) // healed: all rows back
+    assert(b.exists && !old.exists)
+    assert(e.ref("tgt").filter($"id" === 7L).select($"v")
+      .first().getLong(0) == 700L)
+    // torn state B (crash after commit, before .old cleanup): obsolete
+    // .old beside a committed bucket → a read deletes it (a lingering
+    // `bucket=N.old` dir would poison partition-type discovery)
+    java.nio.file.Files.createDirectory(old.toPath)
+    java.nio.file.Files.write(old.toPath.resolve("junk.parquet"),
+      Array[Byte](0))
+    assert(e.ref("tgt").count() == full)
+    assert(!old.exists)
+    // and the next incremental build over a torn state merges correctly
+    assert(b.renameTo(old))
+    batch = Seq((7L, 7000L)).toDF("id", "v")
+    assert(e.build().ok)
+    assert(e.ref("tgt").count() == full)
+    assert(e.ref("tgt").filter($"id" === 7L).select($"v")
+      .first().getLong(0) == 7000L)
+  }
+
+  test("store_failures: a check that turns green clears its stale violation parquet") {
+    val dir = tmpDir("engsfg")
+    var batch = Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("id", "v")
+    def mk() = new Engine(spark, dir, Map.empty, Seq(
+      Model("tgt", Seq(), Materialization.Table,
+        checks = Seq(Checks.unique("id")))((_, _) => batch)),
+      storeFailures = true)
+    assert(!mk().build().ok)
+    val f = new java.io.File(s"$dir/_test_failures/tgt__unique_id_")
+    assert(f.exists)
+    // fixture fixed: dbt rebuilds the failures table each run, so the
+    // now-green check must leave NO stale violations behind
+    batch = Seq((1L, "a"), (2L, "c")).toDF("id", "v")
+    assert(mk().build().ok)
+    assert(!f.exists, "stale _test_failures survived a green check pass")
+  }
+
   test("model contract: exact column set + types enforced before any write") {
     val dir = tmpDir("engctr")
     var batch: org.apache.spark.sql.DataFrame =
