@@ -26,7 +26,7 @@ final class UnknownRefException(val refName: String)
   *   for every other materialization. */
 final case class NodeResult(
     name: String,
-    status: String, // "ok" | "test_failed" | "skipped_upstream" | "error"
+    status: String, // "ok" | "test_failed" | "unit_test_failed" | "skipped_upstream" | "error"
     rows: Long,
     failedChecks: Seq[String] = Nil,
     error: Option[String] = None,
@@ -70,7 +70,21 @@ final class Engine(
       * build) so a red test is auditable from storage without re-running
       * the query. Off by default, like dbt — the write costs one extra
       * job per failing check, and only failing checks pay it. */
-    val storeFailures: Boolean = false) {
+    val storeFailures: Boolean = false,
+    /** dbt 1.8 unit tests: run PRE-build against fixture rows; a failing
+      * unit test fails the node before it materializes and blocks its
+      * transitive downstream (see [[UnitTest]]). */
+    val unitTests: Seq[UnitTest] = Nil,
+    /** Test-history trend log (the reference README:162's "ongoing
+      * monitoring/observability … test history" — what Elementary layers
+      * onto dbt): when true, every check and unit test appends one
+      * strict-JSON line per build to
+      * `warehouseDir/_audit/test_history.jsonl` (model, check, kind,
+      * status, violation count, wall ms, batch ts), ACCUMULATING across
+      * builds so trends are queryable from storage. Off by default: the
+      * trend log needs exact violation counts, which upgrades a green
+      * check's short-circuit `isEmpty` probe to a full `count()`. */
+    val testHistory: Boolean = false) {
 
   private val byName: Map[String, Model] = models.map(m => m.name -> m).toMap
   require(byName.size == models.size, "duplicate model names")
@@ -899,6 +913,27 @@ final class Engine(
 
   private var viewsRegistered = false
 
+  /** One strict-JSON trend-log line (see [[testHistory]]); `violations`
+    * is -1 when a unit test failed structurally (missing fixture). */
+  private def historyLine(model: String, check: String, kind: String,
+      pass: Boolean, violations: Long, wallMs: Long,
+      batchTs: java.sql.Timestamp): String =
+    s"""{"model":"${esc(model)}","check":"${esc(check)}","kind":"$kind"""" +
+      s""","status":"${if (pass) "pass" else "fail"}"""" +
+      s""","violations":$violations,"wall_ms":$wallMs""" +
+      s""","batch_ts":"${esc(batchTs.toString)}"}"""
+
+  private val historyLock = new Object
+  private def appendTestHistory(lines: Seq[String]): Unit =
+    historyLock.synchronized {
+      val p = Paths.get(warehouseDir, "_audit", "test_history.jsonl")
+      Files.createDirectories(p.getParent)
+      Files.write(p, (lines.mkString("\n") + "\n").getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      ()
+    }
+
   /** Materialize one node + run its checks; `depBlocked` short-circuits
     * to the dbt skip status. */
   private def execNode(name: String, batchTs: java.sql.Timestamp,
@@ -908,6 +943,43 @@ final class Engine(
     if (depBlocked) NodeResult(name, "skipped_upstream", 0)
     else try {
       val t0 = System.nanoTime()
+      // dbt 1.8 unit tests run FIRST, against fixture rows only: a
+      // failing one gates the node before any warehouse state is
+      // touched, exactly like dbt (unit tests precede the model build).
+      val utRecords = unitTests.filter(_.model == name).map { ut =>
+        val u0 = System.nanoTime()
+        val fail = try {
+          val actual = m.buildFn(spark,
+            n => ut.given.getOrElse(n, throw new UnknownRefException(n)),
+            None)
+          // multiset equality over expect's columns; fixture values cast
+          // to the model's actual output types (Seq.toDF int vs bigint)
+          val cols = ut.expect.columns.toSeq
+          val act = actual.select(cols.map(col): _*)
+          val exp = ut.expect.select(cols.map(c =>
+            col(c).cast(act.schema(c).dataType).as(c)): _*)
+          val unexpected = act.exceptAll(exp).count()
+          val missing = exp.exceptAll(act).count()
+          if (unexpected + missing > 0)
+            Some(s"${ut.name} ($unexpected unexpected / $missing missing rows)"
+              -> (unexpected + missing))
+          else None
+        } catch {
+          case u: UnknownRefException => Some(
+            s"${ut.name} (build reads ref '${u.refName}' but no fixture was given)"
+              -> -1L)
+        }
+        (ut.name, fail, (System.nanoTime() - u0) / 1000000L)
+      }
+      if (testHistory && utRecords.nonEmpty)
+        appendTestHistory(utRecords.map { case (n, fail, wall) =>
+          historyLine(name, n, "unit", fail.isEmpty,
+            fail.map(_._2).getOrElse(0L), wall, batchTs)
+        })
+      val utFailed = utRecords.flatMap(_._2).map(_._1)
+      if (utFailed.nonEmpty)
+        return NodeResult(name, "unit_test_failed", 0, utFailed,
+          elapsedMs = (System.nanoTime() - t0) / 1000000L)
       // Tag THIS node's jobs (thread-local property — safe under
       // threads>1) so the listener can attribute shuffle bytes; drain
       // the async bus before reading the total so it is final.
@@ -937,17 +1009,23 @@ final class Engine(
       // a warning, matching dbt (the reference declares tests against
       // nonexistent `dim_feature` / `mart_subscription_month_enriched`
       // models — SURVEY §5 note 1).
-      val failed = m.checks.flatMap { c =>
+      val checkRecords = m.checks.flatMap { c =>
         try {
+          val c0 = System.nanoTime()
           val v = c.violationsWithRefs(ref(name), ref)
-          val bad = !v.isEmpty
+          // the trend log needs the exact violation count; without it a
+          // green check keeps the cheap limit-1 probe (-1 = "failing,
+          // count not taken")
+          val nViol: Long =
+            if (testHistory) v.count() else if (v.isEmpty) 0L else -1L
+          val bad = nViol != 0L
           if (bad && storeFailures) {
             val safe = s"${name}__${c.name}".map(ch =>
               if (ch.isLetterOrDigit || ch == '_') ch else '_')
             v.write.mode("overwrite")
               .parquet(s"$warehouseDir/_test_failures/$safe")
           }
-          if (bad) Some(c.name) else None
+          Some((c.name, bad, nViol, (System.nanoTime() - c0) / 1000000L))
         } catch {
           case u: UnknownRefException =>
             System.err.println(
@@ -955,6 +1033,11 @@ final class Engine(
             None
         }
       }
+      if (testHistory && checkRecords.nonEmpty)
+        appendTestHistory(checkRecords.map { case (cn, bad, nViol, wall) =>
+          historyLine(name, cn, "data", !bad, nViol, wall, batchTs)
+        })
+      val failed = checkRecords.filter(_._2).map(_._1)
       // layout-debt reading for append-only storage: a local-fs listing
       // here; manifest statistics on a real table format
       val debt = m.materialization match {

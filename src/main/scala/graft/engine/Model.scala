@@ -281,6 +281,30 @@ object Check {
     new Check(name, (df, _) => violations(df))
 }
 
+/** dbt 1.8 unit test (`unit_tests:` — reference `README.md:158-160`'s
+  * "does my model produce expected outputs? (dbt unit tests)"): run a
+  * model's BUILD LOGIC against declarative fixture rows instead of real
+  * upstream state, compare to expected rows, BEFORE the model
+  * materializes — a failing unit test gates the node (and its
+  * downstream) exactly like a failing data test, but costs fixture-rows
+  * work instead of a warehouse scan.
+  *
+  * @param given  fixture DataFrame per ref name the build reads; a ref
+  *               the build requests but `given` lacks fails the test
+  *               loudly (dbt requires fixtures for every input)
+  * @param expect expected output rows. Comparison is multiset equality
+  *               (order-insensitive, duplicates counted) over EXACTLY
+  *               `expect`'s columns — naming a subset checks just those
+  *               columns, dbt's partial-expect idiom. Fixture values are
+  *               cast to the model's actual output types first, so a
+  *               `Seq(...).toDF` int fixture matches a bigint column.
+  */
+final case class UnitTest(
+    name: String,
+    model: String,
+    given: Map[String, DataFrame],
+    expect: DataFrame)
+
 /** One node of the warehouse DAG: the Spark analogue of a dbt model.
   * The build function is pure from resolved upstream DataFrames to this
   * model's DataFrame — testable with no I/O (SURVEY.md §7.1).

@@ -164,6 +164,32 @@ object FinanceWarehouse {
       checks = Seq(Checks.unique("subscription_id")))((_, r) =>
       latestPerKey(r("stg_subscriptions"), "subscription_id")),
 
+    // ---- the reference README's OWN roadmap item (README.md:166-170):
+    // "make the int_*_current model an incremental table that keeps one
+    // latest row per subscription_id" — dbt incremental_strategy='merge'
+    // with unique_key, re-expressed as a MergeUpsert model. Each build
+    // keeps the latest row per key WITHIN the staging delta (rows past
+    // the prior's ingested_at frontier — the delta-only scan is the
+    // point: the view recomputes a whole-staging window on every ref,
+    // this maintains the same truth incrementally) and the merge
+    // displaces the stored row, restating only buckets containing
+    // delta keys. Semantics ≡ the view for append-monotone ingestion
+    // (later batches carry later ingested_at, so cross-batch "latest"
+    // is always the newer batch; within a batch the view's exact
+    // tiebreak order decides) — FinanceWarehouseSpec pins merged ≡ view
+    // over multi-batch ingestion and the touched-bucket-only rewrite.
+    // At 100 TB this is the materialization current-truth WANTS: consumers
+    // read a table sized |keys|, not a window over an ever-growing log.
+    Model.incremental("int_subscriptions_current_merged", Seq("stg_subscriptions"),
+      Materialization.MergeUpsert("subscription_id", 16),
+      checks = Seq(Checks.unique("subscription_id")))((_, r, prior) => {
+      val stg = r("stg_subscriptions")
+      val frontier = prior.map(_.agg(max(col("ingested_at"))).first())
+        .filter(!_.isNullAt(0)).map(_.getTimestamp(0))
+      val delta = frontier.fold(stg)(w => stg.filter(col("ingested_at") > lit(w)))
+      latestPerKey(delta, "subscription_id")
+    }),
+
     // ---- SCD2 snapshots on record_hash (snap_*.sql)
     Model("snap_accounts", Seq("int_accounts_current"),
       Materialization.Scd2Snapshot("account_id", Seq("record_hash")))(

@@ -563,6 +563,88 @@ class EngineSpec extends SparkSpec {
       .first().getLong(0) == 7000L)
   }
 
+  test("unit tests: fixtures drive the build logic; a failing one gates the node pre-build") {
+    val dir = tmpDir("engut")
+    // model doubles each input value — the unit test exercises LOGIC
+    // against fixture rows, never the real source
+    val models = Seq(
+      Model("dbl", Seq("src"), Materialization.Table)((_, r) =>
+        r("src").select($"id", ($"n" * 2).as("n2"))),
+      Model("down", Seq("dbl"), Materialization.Table)((_, r) => r("dbl")))
+    val fix = Map("src" -> Seq((1L, 10), (2L, 20)).toDF("id", "n"))
+    def eng(expect: org.apache.spark.sql.DataFrame) =
+      new Engine(spark, dir, Map("src" -> Seq((9L, 9)).toDF("id", "n")),
+        models, unitTests = Seq(UnitTest("ut_dbl", "dbl", fix, expect)))
+    // green: expected rows match (int fixture vs the model's output type)
+    assert(eng(Seq((1L, 20), (2L, 40)).toDF("id", "n2")).build().ok)
+    // red: wrong expectation fails the node BEFORE materializing and
+    // blocks downstream
+    val dir2 = tmpDir("engut2")
+    val e2 = new Engine(spark, dir2, Map("src" -> Seq((9L, 9)).toDF("id", "n")),
+      models, unitTests = Seq(UnitTest("ut_dbl", "dbl", fix,
+        Seq((1L, 21), (2L, 40)).toDF("id", "n2"))))
+    val r = e2.build()
+    assert(!r.ok)
+    assert(r("dbl").status == "unit_test_failed")
+    assert(r("dbl").failedChecks.exists(_.startsWith("ut_dbl")))
+    assert(r("down").status == "skipped_upstream")
+    assert(!new java.io.File(s"$dir2/dbl").exists, "failed unit test must not materialize")
+    // partial expect: naming a column subset checks just those columns
+    val dir3 = tmpDir("engut3")
+    val e3 = new Engine(spark, dir3, Map("src" -> Seq((9L, 9)).toDF("id", "n")),
+      models, unitTests = Seq(UnitTest("ut_subset", "dbl", fix,
+        Seq(Tuple1(1L), Tuple1(2L)).toDF("id"))))
+    assert(e3.build().ok)
+    // a ref the build reads without a fixture fails loudly, not silently
+    val dir4 = tmpDir("engut4")
+    val e4 = new Engine(spark, dir4, Map("src" -> Seq((9L, 9)).toDF("id", "n")),
+      models, unitTests = Seq(UnitTest("ut_nofix", "dbl", Map.empty,
+        Seq((1L, 20)).toDF("id", "n2"))))
+    val r4 = e4.build()
+    assert(r4("dbl").status == "unit_test_failed")
+    assert(r4("dbl").failedChecks.exists(_.contains("no fixture")))
+  }
+
+  test("test history: strict-JSON lines accumulate across builds for checks and unit tests") {
+    val dir = tmpDir("enghist")
+    var rows = Seq((1L, "a"), (2L, "b"))
+    // the model reads its source through ref() so the unit test can pin
+    // a FIXED fixture — the unit test stays green while the data check
+    // follows the (mutating) real source
+    def mk() = new Engine(spark, dir, Map("src" -> rows.toDF("id", "v")), Seq(
+      Model("tgt", Seq("src"), Materialization.Table,
+        checks = Seq(Checks.unique("id")))((_, r) => r("src"))),
+      unitTests = Seq(UnitTest("ut_identity", "tgt",
+        Map("src" -> Seq((5L, "x")).toDF("id", "v")),
+        Seq((5L, "x")).toDF("id", "v"))),
+      testHistory = true)
+    assert(mk().build().ok)
+    rows = Seq((1L, "a"), (1L, "dup"))
+    assert(!mk().build().ok) // unique check goes red (unit test stays green)
+    rows = Seq((1L, "a"), (2L, "b"))
+    assert(mk().build().ok)
+    val lines = scala.io.Source.fromFile(s"$dir/_audit/test_history.jsonl")
+      .getLines().toSeq
+    assert(lines.size == 6, lines.mkString("\n")) // (1 unit + 1 data) x 3 builds
+    // strict JSON: every line parses via Spark's JSON reader with a hard schema
+    val parsed = spark.read
+      .schema("model STRING, check STRING, kind STRING, status STRING, " +
+        "violations LONG, wall_ms LONG, batch_ts STRING, _corrupt_record STRING")
+      .option("mode", "PERMISSIVE")
+      .json(spark.createDataset(lines)(org.apache.spark.sql.Encoders.STRING))
+    assert(parsed.filter($"_corrupt_record".isNotNull).count() == 0)
+    // append order IS build order — assert the trend from the raw lines
+    val data = lines.filter(_.contains(""""kind":"data""""))
+    assert(data.map(l =>
+      """"status":"(\w+)"""".r.findFirstMatchIn(l).get.group(1)) ==
+      Seq("pass", "fail", "pass"))
+    assert(data.map(l =>
+      """"violations":(-?\d+)""".r.findFirstMatchIn(l).get.group(1).toLong) ==
+      Seq(0L, 1L, 0L))
+    assert(parsed.filter($"kind" === "unit" && $"status" === "pass").count() == 3)
+    assert(parsed.select($"model").distinct().collect().map(_.getString(0)).toSeq == Seq("tgt"))
+  }
+
   test("store_failures: a check that turns green clears its stale violation parquet") {
     val dir = tmpDir("engsfg")
     var batch = Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("id", "v")

@@ -373,4 +373,144 @@ class FinanceWarehouseSpec extends SparkSpec {
       .filter(abs($"mrr_end_mrr" - $"roll_end_mrr") > 0.005)
       .count() == 0)
   }
+
+  // ---- dbt 1.8 unit tests on the REAL finance models (reference
+  // README:158-160 "does my model produce expected outputs?"): fixture
+  // rows exercise fct_subscription_month's spine/trial/as-of logic and
+  // mart_mrr_waterfall_month's rollup/densify logic with hand-computed
+  // expectations, run pre-build on every dbt-build of the DAG.
+
+  private def d(s: String) = Date.valueOf(s)
+
+  private def fctSubMonthUnitTest = graft.engine.UnitTest(
+    "ut_fct_subscription_month", "fct_subscription_month",
+    given = Map(
+      "dim_date" -> Seq("2024-01-01", "2024-02-01", "2024-03-01")
+        .map(x => (d(x), true)).toDF("date_day", "is_month_start"),
+      // s1 paid, ends Feb 10 (active at Jan EOM, NOT at Feb EOM, and
+      // Feb is its is_end_month); s2 trial, open-ended from Feb
+      "int_subscriptions_current" -> Seq(
+        ("s1", "a1", d("2024-01-15"), Some(d("2024-02-10")), 100.0, false),
+        ("s2", "a2", d("2024-02-01"), Option.empty[Date], 50.0, true))
+        .toDF("subscription_id", "account_id", "start_date", "end_date",
+          "mrr_amount", "is_trial"),
+      // s2's version carries NO account_key — exercises the
+      // coalesce-fallback to the account dim's as-of key
+      "dim_subscription" -> Seq(
+        ("s1", "SK1", Some("AK1"), d("2024-01-15")),
+        ("s2", "SK2", Option.empty[String], d("2024-02-05")))
+        .toDF("subscription_id", "subscription_key", "account_key", "valid_from"),
+      "dim_account" -> Seq(
+        ("a1", "AK1a", d("2024-01-10")), ("a2", "AK2a", d("2024-02-02")))
+        .toDF("account_id", "account_key", "valid_from")),
+    expect = Seq(
+      ("SK1", "AK1", "s1", "a1", d("2024-01-01"), 100.0, true, true, false,
+        d("2024-01-15"), Some(d("2024-02-10"))),
+      ("SK1", "AK1", "s1", "a1", d("2024-02-01"), 0.0, false, false, true,
+        d("2024-01-15"), Some(d("2024-02-10"))),
+      ("SK2", "AK2a", "s2", "a2", d("2024-02-01"), 0.0, true, true, false,
+        d("2024-02-01"), Option.empty[Date]),
+      ("SK2", "AK2a", "s2", "a2", d("2024-03-01"), 0.0, true, false, false,
+        d("2024-02-01"), Option.empty[Date]))
+      .toDF("subscription_key", "account_key", "subscription_id", "account_id",
+        "month_start_date", "mrr_amount", "is_active_at_eom", "is_start_month",
+        "is_end_month", "subscription_start_date", "subscription_end_date"))
+
+  private def waterfallUnitTest(expectFebEnd: Double) = graft.engine.UnitTest(
+    "ut_mart_mrr_waterfall_month", "mart_mrr_waterfall_month",
+    given = Map(
+      "dim_date" -> Seq("2024-01-01", "2024-02-01", "2024-03-01")
+        .map(x => (d(x), true)).toDF("date_day", "is_month_start"),
+      // Jan: a1 new at 100; Feb: a1 upgrades to 150, a2 new at 80;
+      // Mar: no fact rows — the calendar densifies it to zeros
+      "fct_account_month" -> Seq(
+        (d("2024-01-01"), 0.0, 100.0, 100.0, 0.0, 0.0, 0.0, 0.0, "new"),
+        (d("2024-02-01"), 100.0, 150.0, 0.0, 0.0, 50.0, 0.0, 0.0, "upgrade"),
+        (d("2024-02-01"), 0.0, 80.0, 80.0, 0.0, 0.0, 0.0, 0.0, "new"))
+        .toDF("month_start_date", "mrr_begin_mrr", "mrr_end_mrr", "new_mrr",
+          "reactivation_mrr", "upgrade_mrr", "downgrade_mrr", "churn_mrr",
+          "movement_type")),
+    expect = Seq(
+      (d("2024-01-01"), 0.0, 100.0, 100.0, 100.0, 0.0, 0.0, 0.0, 0.0, 1L, 0L, 1L, 0L),
+      (d("2024-02-01"), 100.0, expectFebEnd, 130.0, 80.0, 0.0, 50.0, 0.0, 0.0, 2L, 0L, 1L, 0L),
+      (d("2024-03-01"), 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0L, 0L, 0L, 0L))
+      .toDF("month_start_date", "begin_mrr", "end_mrr", "net_mrr_change",
+        "new_mrr", "reactivation_mrr", "expansion_mrr", "contraction_mrr",
+        "churn_mrr", "active_accounts", "churned_accounts", "new_accounts",
+        "reactivated_accounts"))
+
+  test("merged int_subscriptions_current ≡ the view across batches; only delta-key buckets rewrite") {
+    val dir = tmpDir("whmrg")
+    // batch 1: s1 + s2; batch 2: s3 born (s1/s2 NOT re-ingested);
+    // batch 3: s1 churns (update). Raw is cumulative like a real
+    // landing zone — stg_subscriptions' HWM append takes the delta.
+    val raw1 = subs(b1Subs: _*)(ts(1))
+    val raw2 = raw1.unionByName(
+      subs(("s3", "a2", "Pro", "2024-04-05", "", 80.0, false))(ts(2)))
+    val raw3 = raw2.unionByName(
+      subs(("s1", "a1", "Basic", "2024-01-10", "2024-03-15", 100.0, false))(ts(3)))
+    def filesByBucket: Map[String, Set[String]] =
+      new java.io.File(s"$dir/int_subscriptions_current_merged").listFiles.toSeq
+        .filter(f => f.isDirectory && f.getName.startsWith("_graft_bucket="))
+        .map(b => b.getName -> b.listFiles.map(f =>
+          s"${f.getName}:${f.lastModified}:${f.length}").toSet).toMap
+    def check(e: Engine): Unit = {
+      val view = e.ref("int_subscriptions_current")
+      val merged = e.ref("int_subscriptions_current_merged")
+      val cols = view.columns.sorted.map(col).toSeq
+      assert(merged.count() == view.count())
+      assert(merged.select(cols: _*).exceptAll(view.select(cols: _*)).isEmpty &&
+        view.select(cols: _*).exceptAll(merged.select(cols: _*)).isEmpty,
+        "merged table diverged from the view's current truth")
+    }
+    val batches = Seq(ts(1) -> raw1, ts(2) -> raw2, ts(3) -> raw3)
+    var before: Map[String, Set[String]] = Map.empty
+    batches.zipWithIndex.foreach { case ((bt, raw), i) =>
+      val e = new Engine(spark, dir,
+        Map("raw_accounts" -> accounts(b1Accounts: _*)(bt),
+          "raw_subscriptions" -> raw, "raw_support_tickets" -> tickets(bt)),
+        FinanceWarehouse.models(vars))
+      val rpt = e.build(bt)
+      assert(rpt.ok, rpt.results.mkString("; "))
+      check(e)
+      val after = filesByBucket
+      if (i == 1) {
+        // batch 2's delta is s3 alone: every pre-existing bucket's
+        // files must be byte-identical — only s3's bucket rewrote
+        val touched = before.keySet.filter(b =>
+          after.getOrElse(b, Set.empty) != before(b)) ++
+          (after.keySet -- before.keySet)
+        val s3Bucket = "_graft_bucket=" + spark.range(1)
+          .select(pmod(hash(lit("s3")), lit(16)).cast("int")).first().getInt(0)
+        assert(touched == Set(s3Bucket),
+          s"expected only $s3Bucket to change, got $touched")
+      }
+      before = after
+    }
+  }
+
+  test("unit tests on fct_subscription_month and mart_mrr_waterfall_month run pre-build") {
+    val dir = tmpDir("whut")
+    val e = new Engine(spark, dir,
+      Map("raw_accounts" -> accounts(b1Accounts: _*)(ts(1)),
+        "raw_subscriptions" -> subs(b1Subs: _*)(ts(1)),
+        "raw_support_tickets" -> tickets(ts(1))),
+      FinanceWarehouse.models(vars),
+      unitTests = Seq(fctSubMonthUnitTest, waterfallUnitTest(230.0)))
+    val rpt = e.build(ts(1))
+    assert(rpt.ok, rpt.results.mkString("; "))
+
+    // a wrong expectation gates the mart (and would block downstream)
+    // without touching the materialized DAG state
+    val e2 = new Engine(spark, dir,
+      Map("raw_accounts" -> accounts(b1Accounts: _*)(ts(2)),
+        "raw_subscriptions" -> subs(b1Subs: _*)(ts(2)),
+        "raw_support_tickets" -> tickets(ts(2))),
+      FinanceWarehouse.models(vars),
+      unitTests = Seq(waterfallUnitTest(999.0)))
+    val rpt2 = e2.build(ts(2))
+    assert(!rpt2.ok)
+    assert(rpt2("mart_mrr_waterfall_month").status == "unit_test_failed",
+      rpt2.results.mkString("; "))
+  }
 }
