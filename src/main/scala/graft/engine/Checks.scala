@@ -86,4 +86,50 @@ object Checks {
   /** Numeric reconciliation helper used by the reference's singular tests
     * (`tests/test_waterfall_ties_out.sql:20-22`): |a-b| > tol rows. */
   def tiesOut(a: Column, b: Column, tol: Double = 1e-4): Column = abs(a - b) > tol
+
+  /** Elementary-style VOLUME ANOMALY test — the "anomalies" leg of the
+    * reference README:159's monitoring wishlist (freshness/anomalies/
+    * test-history/alerting): flags a build whose WRITTEN row count
+    * deviates more than `sigma` standard deviations from the model's
+    * trailing build history (per-batch volume is the signal that
+    * catches a broken upstream feed on an incremental model, where the
+    * total count still looks plausible). Requires
+    * `Engine(testHistory = true)`: every materialized node appends its
+    * build stats to `_audit/build_history.jsonl` pre-checks, and this
+    * check reads them back through the engine's `_build_history` ref —
+    * the newest line is THIS build, the rest are the baseline. Passes
+    * silently until `minBuilds` prior builds exist (no baseline, no
+    * verdict — Elementary's min training set). Cost: a driver-side read
+    * of one line per build per node, contract-bounded; no data scan.
+    * Failure gates the node and its downstream like any dbt test. */
+  def volumeAnomaly(model: String, sigma: Double = 3.0,
+      minBuilds: Int = 3): Check =
+    Check(s"volume_anomaly($model)", (_, r) => {
+      val hist = r("_build_history")
+        .filter(col("model") === model && col("status") === "ok")
+      val s = hist.sparkSession
+      import s.implicits._
+      val arr = hist.select(col("seq").cast("long"), col("rows").cast("long"))
+        .orderBy(col("seq").desc).as[(Long, Long)].collect()
+      require(arr.nonEmpty,
+        s"volume_anomaly($model) found no build history — it requires " +
+          "Engine(testHistory = true) and must be attached to a " +
+          "materialized (non-View) model")
+      val current = arr.head._2.toDouble
+      val prior = arr.tail.map(_._2.toDouble)
+      def empty = Seq.empty[(String, Long, Double, Double, Double)]
+        .toDF("model", "rows", "mean", "stddev", "z")
+      if (prior.length < minBuilds) empty
+      else {
+        val mean = prior.sum / prior.length
+        val sd = math.sqrt(prior.map(x => (x - mean) * (x - mean)).sum / prior.length)
+        val z =
+          if (sd == 0.0) { if (current == mean) 0.0 else Double.PositiveInfinity }
+          else (current - mean) / sd
+        if (math.abs(z) > sigma)
+          Seq((model, arr.head._2, mean, sd, z))
+            .toDF("model", "rows", "mean", "stddev", "z")
+        else empty
+      }
+    })
 }

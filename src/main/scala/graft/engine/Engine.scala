@@ -289,7 +289,8 @@ final class Engine(
 
   /** Resolve a ref the way a downstream model sees it. */
   def ref(name: String): DataFrame =
-    if (sources.contains(name)) sources(name)
+    if (name == "_build_history") buildHistoryDf
+    else if (sources.contains(name)) sources(name)
     else byName.get(name) match {
       case Some(m) if m.materialization == Materialization.View =>
         m.build(spark, ref)
@@ -924,15 +925,31 @@ final class Engine(
       s""","batch_ts":"${esc(batchTs.toString)}"}"""
 
   private val historyLock = new Object
-  private def appendTestHistory(lines: Seq[String]): Unit =
+  private def appendAudit(file: String, lines: Seq[String]): Unit =
     historyLock.synchronized {
-      val p = Paths.get(warehouseDir, "_audit", "test_history.jsonl")
+      val p = Paths.get(warehouseDir, "_audit", file)
       Files.createDirectories(p.getParent)
       Files.write(p, (lines.mkString("\n") + "\n").getBytes("UTF-8"),
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
       ()
     }
+  private def appendTestHistory(lines: Seq[String]): Unit =
+    appendAudit("test_history.jsonl", lines)
+
+  /** The build-volume trend log as a DataFrame — resolvable as
+    * `ref("_build_history")` so checks (Checks.volumeAnomaly) and
+    * monitoring models can read the engine's own audit state, the way
+    * Elementary's models read dbt artifacts. Empty-but-typed when no
+    * build has logged yet. */
+  private def buildHistoryDf: DataFrame = {
+    val schema = "model STRING, status STRING, rows LONG, " +
+      "elapsed_ms LONG, batch_ts STRING, seq LONG"
+    val p = Paths.get(warehouseDir, "_audit", "build_history.jsonl")
+    if (Files.exists(p)) spark.read.schema(schema).json(p.toString)
+    else spark.read.schema(schema).json(
+      spark.emptyDataset(org.apache.spark.sql.Encoders.STRING))
+  }
 
   /** Materialize one node + run its checks; `depBlocked` short-circuits
     * to the dbt skip status. */
@@ -988,6 +1005,16 @@ final class Engine(
       sc.setJobGroup(group, s"graft build: $name")
       val rows = try materialize(m, batchTs, fullRefresh) finally sc.clearJobGroup()
       org.apache.spark.graftaccess.SparkListenerAccess.drain(sc)
+      // build-volume trend line (consumed by Checks.volumeAnomaly via
+      // the `_build_history` ref): appended BEFORE the check pass so the
+      // newest line is this build; failed builds never reach here and so
+      // never pollute the anomaly baseline
+      if (testHistory && m.materialization != Materialization.View)
+        appendAudit("build_history.jsonl", Seq(
+          s"""{"model":"${esc(name)}","status":"ok","rows":$rows""" +
+            s""","elapsed_ms":${(System.nanoTime() - t0) / 1000000L}""" +
+            s""","batch_ts":"${esc(batchTs.toString)}"""" +
+            s""","seq":${Engine.nextSeq()}}"""))
       val sb =
         if (m.materialization == Materialization.View) -1L
         else shuffle.totalFor(group)
@@ -1295,6 +1322,15 @@ final class Engine(
       catalogJson().getBytes("UTF-8"))
     ()
   }
+}
+
+object Engine {
+  /** Monotone sequence for audit-log ordering: wall-clock millis bumped
+    * past the last issued value, so same-millisecond builds (and engine
+    * instances within one JVM) still order totally. */
+  private val lastSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+  private[engine] def nextSeq(): Long =
+    lastSeq.updateAndGet(prev => math.max(prev + 1, System.currentTimeMillis()))
 }
 
 /** dbt source-freshness config (`loaded_at_field` + `warn_after` /

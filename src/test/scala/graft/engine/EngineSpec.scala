@@ -645,6 +645,37 @@ class EngineSpec extends SparkSpec {
     assert(parsed.select($"model").distinct().collect().map(_.getString(0)).toSeq == Seq("tgt"))
   }
 
+  test("volume anomaly: steady batches pass, a deviant batch volume gates the node") {
+    val dir = tmpDir("enganom")
+    var n = 100
+    def mk() = new Engine(spark, dir, Map.empty, Seq(
+      Model("tgt", Seq(), Materialization.Table,
+        checks = Seq(Checks.volumeAnomaly("tgt", sigma = 3.0, minBuilds = 3)))(
+        (s, _) => s.range(n).toDF("id"))),
+      testHistory = true)
+    // builds 1-3: no baseline yet (fewer than minBuilds priors) — pass
+    (1 to 3).foreach(_ => assert(mk().build().ok))
+    // build 4: same volume as the baseline — pass (zero-variance, equal)
+    assert(mk().build().ok)
+    // build 5: 5x the baseline volume — anomaly gates the node
+    n = 500
+    val r = mk().build()
+    assert(!r.ok)
+    assert(r("tgt").status == "test_failed" &&
+      r("tgt").failedChecks == Seq("volume_anomaly(tgt)"),
+      r.results.mkString("; "))
+  }
+
+  test("volume anomaly without testHistory fails loudly, not silently green") {
+    val dir = tmpDir("enganom2")
+    val e = new Engine(spark, dir, Map.empty, Seq(
+      Model("tgt", Seq(), Materialization.Table,
+        checks = Seq(Checks.volumeAnomaly("tgt")))((s, _) => s.range(5).toDF("id"))))
+    val r = e.build()
+    assert(r("tgt").status == "error" &&
+      r("tgt").error.exists(_.contains("testHistory")), r.results.mkString("; "))
+  }
+
   test("store_failures: a check that turns green clears its stale violation parquet") {
     val dir = tmpDir("engsfg")
     var batch = Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("id", "v")
