@@ -100,6 +100,39 @@ object PipelineQueries {
         expr(s"(cum - n_tokens) div $budget").as("shard_id"))
   }
 
+  /** Fixed-context SEQUENCE PACKING map (the GPT-style "concatenate the
+    * corpus and cut every `ctx` tokens" training-batch prep, with
+    * boundary SPLITS — unlike [[shardPack]], a document straddling a
+    * cut contributes a row per sequence it touches, with the token span
+    * each sequence takes): for every (doc, seq) pair, `tok_from..tok_to`
+    * (1-based, inclusive) is the slice of the doc that lands in that
+    * sequence. Global token offsets come from the same two-phase prefix
+    * sum as shardPack (range buckets → per-bucket window → ≤|buckets|
+    * offset rows broadcast back) — never a single-task global window;
+    * the span explode is scan-local and fans out ≤ n/ctx + 1 rows per
+    * doc. */
+  def sequencePack(docs: DataFrame, idCol: String, tokens: Column,
+      ctx: Long, bucketWidth: Long = 64): DataFrame = {
+    val d = docs.select(col(idCol), tokens.cast("long").as("n_tokens"))
+      .withColumn("bucket", expr(s"$idCol div $bucketWidth"))
+    val boff = d.groupBy(col("bucket")).agg(sum(col("n_tokens")).as("btot"))
+      .withColumn("boff", coalesce(sum(col("btot")).over(
+        Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("bucket"), col("boff"))
+    val wi = Window.partitionBy(col("bucket")).orderBy(col(idCol))
+    d.join(boff, Seq("bucket")) // bucket offsets are broadcast-sized
+      .withColumn("start",
+        col("boff") + sum(col("n_tokens")).over(wi) - col("n_tokens"))
+      .withColumn("seq_id", explode(expr(
+        s"sequence(start div $ctx, (start + n_tokens - 1) div $ctx)")))
+      .select(col(idCol), col("seq_id"),
+        (greatest(col("seq_id") * ctx - col("start"), lit(0L)) + 1L)
+          .cast("int").as("tok_from"),
+        least((col("seq_id") + 1L) * ctx - col("start"), col("n_tokens"))
+          .cast("int").as("tok_to"))
+  }
+
   /** 4-hex-char keep threshold for a sampling rate: floor(rate·16^4) as
     * a zero-padded lowercase hex string; `hkey < threshold` keeps ~rate
     * of uniformly-hashed rows. Inlined verbatim into oracle SQL (the
@@ -402,6 +435,7 @@ object PipelineQueries {
 
   private val NGram = 8
   private val Budget = 512L
+  private val CtxLen = 64L // sequence-pack context length (tokens)
   private val ValRate = 0.1 // held-out fraction for the leakage-guarded split
   private val BlockTokens = 16 // block width for corpus-wide block dedup
   // en is the dominant stratum in the synthetic corpus; downsample it
@@ -503,6 +537,33 @@ object PipelineQueries {
     ) { (s, dir) =>
       shardPack(Tables.documents(s, dir), "doc_id",
         size(split(col("text"), " ")), Budget)
+    },
+
+    // ---- fixed-context SEQUENCE packing with boundary splits (the
+    // concat-and-cut-every-L training-batch map; shard_pack above is the
+    // whole-doc variant). Output = one row per (doc, sequence) pair with
+    // the 1-based token span the sequence takes from the doc — the map a
+    // loader needs to assemble context windows without re-tokenizing.
+    // All-integer arithmetic on both engines (prefix sums, div, min/max)
+    // so the comparison is exact at any corpus size; the oracle's single
+    // ORDER BY window is the semantic spec the distributed two-phase
+    // prefix sum must reproduce exactly.
+    Q.sql(
+      "q_pipeline_sequence_pack",
+      s"""WITH d AS (SELECT doc_id,
+         |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+         |           FROM documents),
+         |c AS (SELECT doc_id, n,
+         |             CAST(sum(n) OVER (ORDER BY doc_id) AS BIGINT) - n AS start
+         |      FROM d)
+         |SELECT doc_id, seq_id,
+         |       CAST(greatest(seq_id * $CtxLen - start, 0) + 1 AS INT) AS tok_from,
+         |       CAST(least((seq_id + 1) * $CtxLen - start, n) AS INT) AS tok_to
+         |FROM c, UNNEST(generate_series(start // $CtxLen,
+         |                               (start + n - 1) // $CtxLen)) AS u(seq_id)""".stripMargin
+    ) { (s, dir) =>
+      sequencePack(Tables.documents(s, dir), "doc_id",
+        size(split(col("text"), " ")), CtxLen)
     },
 
     // ---- cross-document repeated-n-gram coverage (boilerplate signal)

@@ -94,6 +94,53 @@ class PipelineSpec extends SparkSpec {
     assert(shards.distinct.sorted.sameElements(0L to shards.max)) // no gaps
   }
 
+  // ---------- sequence packing: boundary splits tile docs exactly ----------
+
+  test("sequencePack matches the single-window spec at several bucket widths") {
+    val docs = graft.Tables.documents(spark, dir)
+    val tokens = size(split($"text", " "))
+    val ctx = 64L
+    val d = docs.select($"doc_id", tokens.cast("long").as("n"))
+    val spec = d.withColumn("start",
+        sum($"n").over(Window.orderBy($"doc_id")) - $"n")
+      .withColumn("seq_id", explode(expr(
+        s"sequence(start div $ctx, (start + n - 1) div $ctx)")))
+      .select($"doc_id", $"seq_id",
+        (greatest($"seq_id" * ctx - $"start", lit(0L)) + 1L).cast("int"),
+        least(($"seq_id" + 1L) * ctx - $"start", $"n").cast("int"))
+      .as[(Long, Long, Int, Int)].collect().toSet
+    for (bw <- Seq(1L, 7L, 64L, 100000L)) {
+      val got = PipelineQueries.sequencePack(docs, "doc_id", tokens, ctx, bw)
+        .as[(Long, Long, Int, Int)].collect().toSet
+      assert(got == spec, s"bucketWidth=$bw diverges from the window spec")
+    }
+  }
+
+  test("sequencePack: spans tile each doc; every sequence but the last holds exactly ctx tokens") {
+    val docs = graft.Tables.documents(spark, dir)
+    val ctx = 64L
+    val out = PipelineQueries.sequencePack(docs, "doc_id",
+      size(split($"text", " ")), ctx).as[(Long, Long, Int, Int)].collect()
+    val nTok = docs.select($"doc_id", size(split($"text", " ")).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    // per doc: spans contiguous 1..n — nothing dropped, nothing doubled
+    out.groupBy(_._1).foreach { case (id, rows) =>
+      val spans = rows.sortBy(_._3).map(r => (r._3, r._4))
+      assert(spans.head._1 == 1 && spans.last._2 == nTok(id), s"doc $id")
+      spans.zip(spans.tail).foreach { case ((_, t), (f2, _)) =>
+        assert(f2 == t + 1, s"doc $id gap/overlap at $t") }
+    }
+    // per sequence: token mass exactly ctx except the final partial one
+    val bySeq = out.groupBy(_._2).map { case (sq, rows) =>
+      sq -> rows.map(r => r._4 - r._3 + 1L).sum }
+    val maxSeq = bySeq.keys.max
+    bySeq.foreach { case (sq, tot) =>
+      if (sq < maxSeq) assert(tot == ctx, s"seq $sq holds $tot tokens")
+      else assert(tot <= ctx) }
+    // and sequence ids are the contiguous range 0..maxSeq
+    assert(bySeq.keys.min == 0L && bySeq.size == maxSeq + 1)
+  }
+
   // ---------- mix sampling: deterministic, binomial-bounded ----------
 
   test("mixSample keep rates land within 4-sigma binomial bounds per stratum") {
