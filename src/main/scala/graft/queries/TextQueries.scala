@@ -599,11 +599,14 @@ object TextQueries {
     // (round(ln(N/df)·1e6) as BIGINT — identical operand bits into ln
     // on both engines, integer sums exact in ANY summation order) and
     // ties break (score DESC, doc_id ASC). Scale shape: the chunk/term
-    // generators are scan-local; ONE distinct exchange each for doc-
-    // and chunk-grain term sets; the ~250-row query-term×idf table
-    // broadcasts onto the chunk-term stream, so scored rows = matches
-    // only; the per-query window ranks ≤ |docs| rows and
-    // WindowGroupLimit keeps k per task.
+    // generators are scan-local, and BOTH term-set distincts are too —
+    // each generator row is one whole doc/chunk, so per-group distinct
+    // is array_distinct inside the scan, never a (key, tok)-grain
+    // exchange (r17: this removed the plan's two distinct exchanges;
+    // the only shuffle left is the tok-grain df aggregate). The
+    // ~250-row query-term×idf table broadcasts onto the chunk-term
+    // stream, so scored rows = matches only; the per-query window ranks
+    // ≤ |docs| rows and WindowGroupLimit keeps k per task.
     Q.sql(
       "q_rag_chunk_retrieval",
       s"""WITH toks AS (
@@ -644,8 +647,11 @@ object TextQueries {
     ) { (s, dir) =>
       val toks = Tables.documents(s, dir)
         .select(col("doc_id"), split(col("text"), " ").as("t"))
+      // per-doc distinct terms are a SCAN-LOCAL array_distinct (each row
+      // is one whole doc), not a (doc_id, tok)-grain distinct exchange —
+      // the same set, zero shuffles at any corpus size
       val dterm = toks
-        .select(col("doc_id"), explode(col("t")).as("tok")).distinct()
+        .select(col("doc_id"), explode(array_distinct(col("t"))).as("tok"))
       val dfreq = dterm.groupBy(col("tok")).agg(count(lit(1)).as("df"))
       val n = Tables.documents(s, dir).count()
       val qd = toks.select(col("doc_id")).orderBy(col("doc_id")).limit(5)
@@ -664,9 +670,12 @@ object TextQueries {
           col("t"))
         .select(col("doc_id"), col("chunk_id"),
           expr(s"slice(t, 1 + chunk_id * $ChunkStride, $ChunkW)").as("ct"))
+      // same trick at chunk grain: each row is one whole chunk, so the
+      // per-chunk distinct is array_distinct — the second distinct
+      // exchange disappears too
       val cterm = chunks
-        .select(col("doc_id"), col("chunk_id"), explode(col("ct")).as("tok"))
-        .distinct()
+        .select(col("doc_id"), col("chunk_id"),
+          explode(array_distinct(col("ct"))).as("tok"))
       val cs = cterm.join(broadcast(qw), Seq("tok"))
         .filter(col("doc_id") =!= col("query_id"))
         .groupBy(col("query_id"), col("doc_id"), col("chunk_id"))
