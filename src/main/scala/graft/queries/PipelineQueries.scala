@@ -112,7 +112,16 @@ object PipelineQueries {
     * the span explode is scan-local and fans out ≤ n/ctx + 1 rows per
     * doc. */
   def sequencePack(docs: DataFrame, idCol: String, tokens: Column,
-      ctx: Long, bucketWidth: Long = 64): DataFrame = {
+      ctx: Long, bucketWidth: Long = 64): DataFrame =
+    packSpans(packOffsets(docs, idCol, tokens, bucketWidth), idCol, ctx)
+
+  /** The packing-map STATE: each doc's global token offset
+    * (`start`, plus `end_tok = start + n_tokens` so an incremental
+    * maintainer reads its base as a footer-stats max) via the two-phase
+    * prefix sum. This is the table a 100 TB pipeline PERSISTS — spans
+    * re-derive from it scan-locally for any context length. */
+  def packOffsets(docs: DataFrame, idCol: String, tokens: Column,
+      bucketWidth: Long = 64): DataFrame = {
     val d = docs.select(col(idCol), tokens.cast("long").as("n_tokens"))
       .withColumn("bucket", expr(s"$idCol div $bucketWidth"))
     val boff = d.groupBy(col("bucket")).agg(sum(col("n_tokens")).as("btot"))
@@ -124,6 +133,14 @@ object PipelineQueries {
     d.join(boff, Seq("bucket")) // bucket offsets are broadcast-sized
       .withColumn("start",
         col("boff") + sum(col("n_tokens")).over(wi) - col("n_tokens"))
+      .select(col(idCol), col("n_tokens"), col("start"),
+        (col("start") + col("n_tokens")).as("end_tok"))
+  }
+
+  /** Scan-local span derivation from a packing-offset state: ≤ n/ctx+1
+    * rows per doc, zero exchanges. */
+  def packSpans(offsets: DataFrame, idCol: String, ctx: Long): DataFrame =
+    offsets
       .withColumn("seq_id", explode(expr(
         s"sequence(start div $ctx, (start + n_tokens - 1) div $ctx)")))
       .select(col(idCol), col("seq_id"),
@@ -131,7 +148,6 @@ object PipelineQueries {
           .cast("int").as("tok_from"),
         least((col("seq_id") + 1L) * ctx - col("start"), col("n_tokens"))
           .cast("int").as("tok_to"))
-  }
 
   /** 4-hex-char keep threshold for a sampling rate: floor(rate·16^4) as
     * a zero-padded lowercase hex string; `hkey < threshold` keeps ~rate
@@ -436,6 +452,22 @@ object PipelineQueries {
   private val NGram = 8
   private val Budget = 512L
   private val CtxLen = 64L // sequence-pack context length (tokens)
+
+  /** One-shot semantic spec for sequence packing — shared by the batch
+    * and incremental forms (incremental ≡ one-shot is the claim the
+    * driver checks). */
+  private val sequencePackOracleSql: String =
+    s"""WITH d AS (SELECT doc_id,
+       |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+       |           FROM documents),
+       |c AS (SELECT doc_id, n,
+       |             CAST(sum(n) OVER (ORDER BY doc_id) AS BIGINT) - n AS start
+       |      FROM d)
+       |SELECT doc_id, seq_id,
+       |       CAST(greatest(seq_id * $CtxLen - start, 0) + 1 AS INT) AS tok_from,
+       |       CAST(least((seq_id + 1) * $CtxLen - start, n) AS INT) AS tok_to
+       |FROM c, UNNEST(generate_series(start // $CtxLen,
+       |                               (start + n - 1) // $CtxLen)) AS u(seq_id)""".stripMargin
   private val ValRate = 0.1 // held-out fraction for the leakage-guarded split
   private val BlockTokens = 16 // block width for corpus-wide block dedup
   // en is the dominant stratum in the synthetic corpus; downsample it
@@ -550,20 +582,50 @@ object PipelineQueries {
     // prefix sum must reproduce exactly.
     Q.sql(
       "q_pipeline_sequence_pack",
-      s"""WITH d AS (SELECT doc_id,
-         |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n
-         |           FROM documents),
-         |c AS (SELECT doc_id, n,
-         |             CAST(sum(n) OVER (ORDER BY doc_id) AS BIGINT) - n AS start
-         |      FROM d)
-         |SELECT doc_id, seq_id,
-         |       CAST(greatest(seq_id * $CtxLen - start, 0) + 1 AS INT) AS tok_from,
-         |       CAST(least((seq_id + 1) * $CtxLen - start, n) AS INT) AS tok_to
-         |FROM c, UNNEST(generate_series(start // $CtxLen,
-         |                               (start + n - 1) // $CtxLen)) AS u(seq_id)""".stripMargin
+      sequencePackOracleSql
     ) { (s, dir) =>
       sequencePack(Tables.documents(s, dir), "doc_id",
         size(split(col("text"), " ")), CtxLen)
+    },
+
+    // ---- INCREMENTAL packing map — the maintained form: at 100 TB the
+    // offset table is engine STATE appended per crawl batch (new docs'
+    // offsets = prior frontier end_tok + delta-local prefix sum; the
+    // base reads as ONE footer-stats max), never a corpus-wide
+    // recompute. Docs enter in doc_id order past the HWM, so offsets
+    // are append-monotone and two-batch ≡ one-shot bit-exactly — the
+    // same oracle checks both. Spans re-derive scan-locally from the
+    // state at read time for ANY context length without touching
+    // offsets again.
+    Q.sql(
+      "q_pipeline_sequence_pack_incremental",
+      sequencePackOracleSql
+    ) { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      val b = docs.agg(min(col("doc_id")), max(col("doc_id"))).first()
+      val mid = (b.getLong(0) + b.getLong(1)) / 2
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_seqpack").toString
+      var src = docs.filter(col("doc_id") <= mid)
+      val e = new graft.engine.Engine(s, wh, Map.empty, Seq(
+        graft.engine.Model.incremental("pack_offsets", Seq(),
+          graft.engine.Materialization.IncrementalAppend("doc_id")) {
+          (_, _, prior) =>
+            val base = prior.map(_.agg(max(col("end_tok"))).first())
+              .filter(!_.isNullAt(0)).map(_.getLong(0)).getOrElse(0L)
+            val hwm = prior.map(_.agg(max(col("doc_id"))).first())
+              .filter(!_.isNullAt(0)).map(_.getLong(0)).getOrElse(Long.MinValue)
+            val delta = src.filter(col("doc_id") > hwm)
+            packOffsets(delta, "doc_id", col("n_tokens"))
+              .select(col("doc_id"), col("n_tokens"),
+                (col("start") + base).as("start"),
+                (col("end_tok") + base).as("end_tok"))
+        }))
+      val r0 = e.build(); require(r0.ok, r0.results.mkString("; "))
+      src = docs
+      val r1 = e.build(); require(r1.ok, r1.results.mkString("; "))
+      packSpans(s.read.parquet(s"$wh/pack_offsets"), "doc_id", CtxLen)
     },
 
     // ---- cross-document repeated-n-gram coverage (boilerplate signal)

@@ -42,7 +42,8 @@ object ScaleProbe {
       "q_mrr_waterfall", "q_mrr_waterfall_delta", "q_win_lag", "q_agg_rollup",
       // LLM-pipeline operators (documents-table amplification below)
       "q_pipeline_decontaminate", "q_pipeline_shard_pack",
-      "q_pipeline_sequence_pack", "q_dedup_minhash_lsh",
+      "q_pipeline_sequence_pack", "q_pipeline_sequence_pack_incremental",
+      "q_dedup_minhash_lsh",
       "q_pipeline_repeated_ngrams", "q_text_token_entropy",
       "q_pipeline_split_leakage", "q_pipeline_block_dedup",
       "q_text_pii_redact", "q_pipeline_mix_temperature", "q_dedup_semantic",

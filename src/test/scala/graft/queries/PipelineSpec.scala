@@ -141,6 +141,40 @@ class PipelineSpec extends SparkSpec {
     assert(bySeq.keys.min == 0L && bySeq.size == maxSeq + 1)
   }
 
+  test("incremental packing appends only delta offsets, continuing from the frontier") {
+    val docs = graft.Tables.documents(spark, dir).select($"doc_id",
+      size(split($"text", " ")).cast("long").as("n_tokens"))
+    val ids = docs.select($"doc_id").as[Long].collect().sorted
+    val mid = ids(ids.length / 2)
+    val wh = tmpDir("seqpackinc")
+    var src = docs.filter($"doc_id" <= mid)
+    val e = new graft.engine.Engine(spark, wh, Map.empty, Seq(
+      graft.engine.Model.incremental("pack_offsets", Seq(),
+        graft.engine.Materialization.IncrementalAppend("doc_id")) {
+        (_, _, prior) =>
+          val base = prior.map(_.agg(max($"end_tok")).first())
+            .filter(!_.isNullAt(0)).map(_.getLong(0)).getOrElse(0L)
+          val hwm = prior.map(_.agg(max($"doc_id")).first())
+            .filter(!_.isNullAt(0)).map(_.getLong(0)).getOrElse(Long.MinValue)
+          PipelineQueries.packOffsets(src.filter($"doc_id" > hwm),
+              "doc_id", $"n_tokens")
+            .select($"doc_id", $"n_tokens",
+              ($"start" + base).as("start"), ($"end_tok" + base).as("end_tok"))
+      }))
+    val r0 = e.build(); assert(r0.ok, r0.results.mkString("; "))
+    src = docs
+    val r1 = e.build(); assert(r1.ok, r1.results.mkString("; "))
+    // batch 2 wrote ONLY the delta's offset rows
+    assert(r1("pack_offsets").rows == ids.count(_ > mid).toLong)
+    // and the maintained state equals the one-shot offsets bit-for-bit
+    val oneShot = PipelineQueries.packOffsets(docs, "doc_id", $"n_tokens")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val maintained = spark.read.parquet(s"$wh/pack_offsets")
+      .select($"doc_id", $"n_tokens", $"start", $"end_tok")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(maintained == oneShot)
+  }
+
   // ---------- mix sampling: deterministic, binomial-bounded ----------
 
   test("mixSample keep rates land within 4-sigma binomial bounds per stratum") {
