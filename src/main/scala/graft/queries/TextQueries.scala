@@ -689,6 +689,70 @@ object TextQueries {
         .filter(col("rnk") <= 10)
         .select(col("query_id"), col("doc_id"),
           col("rnk").cast("int").as("rnk"), col("score"))
+    },
+
+    // ---- PMI collocation mining (Church & Hanks 1990): pointwise
+    // mutual information over adjacent-token bigrams — the corpus
+    // statistic that separates real collocations from frequency
+    // accidents, used for tokenizer-merge candidates and phrase
+    // detection in training-data prep. PMI = ln p(w1,w2) − ln p(w1)
+    // − ln p(w2), computed as three separately-quantized ln terms with
+    // IDENTICAL operand shapes on both engines (count·1.0/total — the
+    // idf idiom), so the subtraction chain is bit-exact and the
+    // round(·1e6) BIGINT hash-compares. min-count floor c12 ≥ 3 bounds
+    // the output to repeated pairs. Scale shape: the bigram generator
+    // is scan-local (transform over each doc's array, explode emits
+    // bare structs); ONE bigram-grain exchange with map-side combine +
+    // one vocab-grain exchange; the two unigram joins are vocab-sized
+    // (AQE picks broadcast when it fits); corpus totals are two scalar
+    // aggregates.
+    Q.sql(
+      "q_text_pmi_bigrams",
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |uni AS (
+         |  SELECT u.w, count(*) AS c
+         |  FROM toks, UNNEST(t) AS u(w) GROUP BY 1),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS tt FROM uni),
+         |big AS (
+         |  SELECT t[i] AS w1, t[i + 1] AS w2
+         |  FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+         |  WHERE len(t) >= 2),
+         |pc AS (SELECT w1, w2, count(*) AS pair_count FROM big GROUP BY 1, 2),
+         |nb AS (SELECT count(*) AS b FROM big)
+         |SELECT w1, w2, pair_count,
+         |       CAST(round((ln(pair_count * 1.0 / (SELECT b FROM nb))
+         |                   - ln(u1.c * 1.0 / (SELECT tt FROM tot))
+         |                   - ln(u2.c * 1.0 / (SELECT tt FROM tot)))
+         |                  * 1000000) AS BIGINT) AS pmi_q
+         |FROM pc JOIN uni u1 ON pc.w1 = u1.w JOIN uni u2 ON pc.w2 = u2.w
+         |WHERE pair_count >= 3""".stripMargin
+    ) { (s, dir) =>
+      val toks = Tables.documents(s, dir)
+        .select(split(col("text"), " ").as("t"))
+      val uni = toks.select(explode(col("t")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val big = toks.filter(size(col("t")) >= 2)
+        .select(explode(expr(
+          """transform(sequence(1, size(t) - 1),
+            | i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"""
+            .stripMargin)).as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      // corpus totals ride the plan as broadcast 1-row aggregates (no
+      // driver-side pre-jobs — one Spark job end-to-end)
+      val tot = uni.agg(sum(col("c")).cast("long").as("tt"))
+      val nb = big.agg(count(lit(1)).as("b"))
+      val pc = big.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("pair_count"))
+        .filter(col("pair_count") >= 3)
+      pc.crossJoin(broadcast(nb)).crossJoin(broadcast(tot))
+        .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("c", "c1"), Seq("w1"))
+        .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("c", "c2"), Seq("w2"))
+        .select(col("w1"), col("w2"), col("pair_count"),
+          round((log(col("pair_count") * 1.0 / col("b"))
+            - log(col("c1") * 1.0 / col("tt"))
+            - log(col("c2") * 1.0 / col("tt"))) * 1000000, 0)
+            .cast("long").as("pmi_q"))
     }
   )
 

@@ -45,6 +45,7 @@ object ScaleProbe {
       "q_pipeline_sequence_pack", "q_pipeline_sequence_pack_incremental",
       "q_dedup_minhash_lsh",
       "q_pipeline_repeated_ngrams", "q_text_token_entropy",
+      "q_text_pmi_bigrams",
       "q_pipeline_split_leakage", "q_pipeline_block_dedup",
       "q_text_pii_redact", "q_pipeline_mix_temperature", "q_dedup_semantic",
       "q_media_dedup_phash", "q_text_tfidf",
