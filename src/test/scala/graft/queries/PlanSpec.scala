@@ -344,6 +344,9 @@ class PlanSpec extends SparkSpec {
     val p = plan("q_dedup_substring_spans")
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
+    // r17 kernel: the exact recount groups by the K token columns — no
+    // gram string is ever materialized anywhere in the spans plan
+    assert(!p.contains("array_join"), p)
   }
 
   test("chunk windows: scan-local generators, ZERO exchanges") {
@@ -371,6 +374,13 @@ class PlanSpec extends SparkSpec {
     val p = plan("q_rag_chunk_retrieval")
     assert(p.contains("BroadcastHashJoin"), p)
     assert(p.contains("WindowGroupLimit"), p)
+    // r17: both term-set distincts are scan-local array_distinct inside
+    // the generators — the LOGICAL plan must carry no Deduplicate node
+    // at all (a .distinct() would shuffle every (key, tok) row)
+    val df = graft.SparkEntry.queries("q_rag_chunk_retrieval")(spark, dir)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("Deduplicate"), opt)
+    assert(opt.contains("array_distinct"), opt)
   }
 
   test("Matryoshka: prefix coarse stage is a partial topk_cos; window only over the bounded shortlist") {
