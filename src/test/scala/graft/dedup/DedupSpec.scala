@@ -212,4 +212,56 @@ class DedupSpec extends SparkSpec {
     assert(out.filter($"keep").count() <= 500)
     assert(out.filter($"keep").count() > 400) // synthetic corpus: few dups
   }
+
+  test("winnowing guarantee: any shared run of ≥ W+K-1 tokens yields a shared fingerprint") {
+    // Schleimer et al. 2003's detection property, checked adversarially:
+    // a shared 6-token run (= W+K-1 with W=4, K=3) contains W consecutive
+    // shared 3-grams — a complete window in BOTH docs — so the window's
+    // min-hash gram is the same gram in both and the pair MUST surface.
+    // Unrelated docs (unique vocabularies) must never pair.
+    val rnd = new scala.util.Random(7)
+    def words(n: Int, tag: String) =
+      (1 to n).map(_ => tag + rnd.nextInt(100000)).mkString(" ")
+    val planted = (0 until 40).flatMap { i =>
+      val shared = words(6, s"sh${i}_")
+      Seq(
+        (i * 2L, s"${words(5 + rnd.nextInt(25), s"a${i}_")} $shared ${words(5 + rnd.nextInt(25), s"b${i}_")}"),
+        (i * 2L + 1, s"${words(5 + rnd.nextInt(25), s"c${i}_")} $shared ${words(5 + rnd.nextInt(25), s"d${i}_")}"))
+    }
+    val lone = (1000 until 1010).map(i => (i.toLong, words(40, s"x${i}_")))
+    val dir = tmpDir("winnowg")
+    (planted ++ lone).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length($"text"))
+      .write.parquet(s"$dir/documents.parquet")
+    val pairs = graft.SparkEntry.queries("q_dedup_winnow_pairs")(spark, dir)
+      .as[(Long, Long)].collect().toSet
+    (0 until 40).foreach { i =>
+      assert(pairs.contains((i * 2L, i * 2L + 1)), s"planted pair $i missed")
+    }
+    lone.foreach { case (id, _) =>
+      assert(!pairs.exists(p => p._1 == id || p._2 == id), s"lone doc $id paired")
+    }
+    // fingerprint table self-consistency: every fingerprint's hash IS
+    // the md5 of the 3-gram at its claimed position
+    val fps = graft.SparkEntry.queries("q_dedup_winnow_fingerprints")(spark, dir)
+      .as[(Long, Int, String)].collect()
+    val text = (planted ++ lone).toMap
+    fps.foreach { case (id, pos, h) =>
+      val t = text(id).split(" ", -1)
+      assert(pos >= 1 && pos + 2 <= t.length, s"doc $id pos $pos out of range")
+      val gram = t.slice(pos - 1, pos + 2).mkString(" ")
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(gram.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(hex == h, s"doc $id pos $pos fingerprint mismatch")
+    }
+    // density sanity: every doc emits at least one fingerprint and far
+    // fewer than its gram count (expected ~2/(W+1))
+    val perDoc = fps.groupBy(_._1).map { case (id, xs) => id -> xs.length }
+    (planted ++ lone).foreach { case (id, tx) =>
+      val nGrams = math.max(tx.split(" ", -1).length - 2, 1)
+      assert(perDoc.getOrElse(id, 0) >= 1, s"doc $id has no fingerprint")
+      assert(perDoc(id) <= nGrams, s"doc $id over-fingerprinted")
+    }
+  }
 }
