@@ -487,6 +487,15 @@ class FinanceWarehouseSpec extends SparkSpec {
       }
       before = after
     }
+    // idempotent re-run: no new raw rows => empty delta => the merge is
+    // a byte-level no-op (no bucket rewrites, same truth)
+    val eAgain = new Engine(spark, dir,
+      Map("raw_accounts" -> accounts(b1Accounts: _*)(ts(3)),
+        "raw_subscriptions" -> raw3, "raw_support_tickets" -> tickets(ts(3))),
+      FinanceWarehouse.models(vars))
+    assert(eAgain.build(ts(4)).ok)
+    check(eAgain)
+    assert(filesByBucket == before, "empty-delta merge rewrote bucket files")
   }
 
   test("unit tests on fct_subscription_month and mart_mrr_waterfall_month run pre-build") {
