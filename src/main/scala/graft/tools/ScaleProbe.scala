@@ -44,6 +44,7 @@ object ScaleProbe {
       "q_pipeline_decontaminate", "q_pipeline_shard_pack",
       "q_pipeline_sequence_pack", "q_pipeline_sequence_pack_incremental",
       "q_dedup_winnow_fingerprints", "q_dedup_winnow_pairs",
+      "q_dedup_winnow_incremental",
       "q_dedup_minhash_lsh",
       "q_pipeline_repeated_ngrams", "q_text_token_entropy",
       "q_text_pmi_bigrams",
