@@ -1167,6 +1167,54 @@ class EngineSpec extends SparkSpec {
     assert(rpt("join").status == "skipped_upstream")
   }
 
+  test("parallel build (threads=4) with testHistory + unit tests: audit logs stay strict-JSON and complete") {
+    // worker threads append to the shared _audit logs concurrently — the
+    // synchronized writer must keep every line whole and none dropped
+    val mk = Seq(
+      Model("base", Seq("raw_orders"), Materialization.Table,
+        checks = Seq(Checks.unique("id")))((_, r) => r("raw_orders")),
+      Model("left", Seq("base"), Materialization.Table,
+        checks = Seq(Checks.notNull("status")))((_, r) =>
+        r("base").filter($"status" === "A")),
+      Model("right", Seq("base"), Materialization.Table,
+        checks = Seq(Checks.notNull("amount")))((_, r) =>
+        r("base").filter($"status" === "B")),
+      Model("join", Seq("left", "right"), Materialization.Table)((_, r) =>
+        r("left").unionByName(r("right"))))
+    val dir = tmpDir("engpaud")
+    val fix = Map("raw_orders" ->
+      Seq((9L, "A", 1.0, Timestamp.valueOf("2024-01-01 00:00:00")))
+        .toDF("id", "status", "amount", "ingested_at"))
+    val e = new Engine(spark, dir,
+      Map("raw_orders" -> Seq(
+        (1L, "A", 10.0, Timestamp.valueOf("2024-01-01 00:00:00")),
+        (2L, "B", 20.0, Timestamp.valueOf("2024-01-02 00:00:00"))
+      ).toDF("id", "status", "amount", "ingested_at")),
+      mk,
+      unitTests = Seq(UnitTest("ut_base", "base", fix,
+        Seq(Tuple1(9L)).toDF("id"))),
+      testHistory = true)
+    (1 to 2).foreach(_ => assert(e.build(threads = 4).ok))
+    def strictLines(f: String): Seq[String] = {
+      val lines = scala.io.Source.fromFile(s"$dir/_audit/$f").getLines().toSeq
+      val parsed = spark.read
+        .schema("model STRING, _corrupt_record STRING")
+        .json(spark.createDataset(lines)(org.apache.spark.sql.Encoders.STRING))
+      assert(parsed.filter($"_corrupt_record".isNotNull).count() == 0,
+        s"$f has corrupt lines")
+      lines
+    }
+    // 3 checks + 1 unit test per build × 2 builds
+    assert(strictLines("test_history.jsonl").size == 8)
+    // 4 materialized models per build × 2 builds
+    val bh = strictLines("build_history.jsonl")
+    assert(bh.size == 8)
+    // every model logged every build (no dropped lines under concurrency)
+    Seq("base", "left", "right", "join").foreach { m =>
+      assert(bh.count(_.contains(s""""model":"$m"""")) == 2, m)
+    }
+  }
+
   test("SCD2 snapshot storage: closed slice is append-only; a batch writes O(open+changed)") {
     val dir = tmpDir("engsnap")
     def ts(d: Int) = Timestamp.valueOf(f"2024-01-0$d%d 00:00:00")
