@@ -691,6 +691,67 @@ object TextQueries {
           col("rnk").cast("int").as("rnk"), col("score"))
     },
 
+    // ---- Zipf law fit (corpus-health diagnostic): least-squares slope
+    // of ln(freq) on ln(rank) over the top-100 vocabulary ranks — a
+    // healthy natural-language corpus sits near slope −1 (Zipf 1949);
+    // bot spam, boilerplate floods and template corpora bend it, so the
+    // slope is the single-number canary a crawl-intake pipeline trends.
+    // Determinism: quantize BEFORE summation — x=round(ln(rank)·1e6),
+    // y=round(ln(freq)·1e6) as BIGINTs (identical ln operand bits both
+    // engines), so Σx/Σy/Σxy/Σxx are EXACT integer sums in any order;
+    // the slope is then ONE double division of exact integers, and both
+    // engines emit the same round(·1e6) BIGINT. Ranks tie-break
+    // (count DESC, token ASC). Magnitudes: x ≤ 4.6e6, y ≤ ~2e7,
+    // Σxy ≤ 1e16, R·Σxy ≤ 1e18 — inside int64. Scale shape: one
+    // vocab-grain count exchange; the rank window runs over the top-R
+    // rows only (WindowGroupLimit-able k=100 slice after a count sort);
+    // the fit itself aggregates 100 rows.
+    Q.sql(
+      "q_text_zipf_fit",
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |uni AS (
+         |  SELECT u.w, count(*) AS c
+         |  FROM toks, UNNEST(t) AS u(w) GROUP BY 1),
+         |ranked AS (
+         |  SELECT c, row_number() OVER (ORDER BY c DESC, w) AS r
+         |  FROM uni QUALIFY r <= 100),
+         |q AS (
+         |  SELECT CAST(round(ln(r * 1.0) * 1000000) AS BIGINT) AS x,
+         |         CAST(round(ln(c * 1.0) * 1000000) AS BIGINT) AS y
+         |  FROM ranked),
+         |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |             CAST(sum(x * y) AS BIGINT) AS sxy,
+         |             CAST(sum(x * x) AS BIGINT) AS sxx
+         |      FROM q)
+         |SELECT n AS n_ranks,
+         |       CAST(round((n * sxy - sx * sy) * 1000000.0
+         |                  / (n * sxx - sx * sx)) AS BIGINT) AS zipf_slope_q
+         |FROM s""".stripMargin
+    ) { (s, dir) =>
+      val toks = Tables.documents(s, dir)
+        .select(split(col("text"), " ").as("t"))
+      val uni = toks.select(explode(col("t")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val ranked = uni
+        .withColumn("r", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("c").desc, col("w"))))
+        .filter(col("r") <= 100)
+      val q = ranked.select(
+        round(log(col("r") * 1.0) * 1000000, 0).cast("long").as("x"),
+        round(log(col("c") * 1.0) * 1000000, 0).cast("long").as("y"))
+      q.agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("n").as("n_ranks"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) * 1000000.0
+            / (col("n") * col("sxx") - col("sx") * col("sx")), 0)
+            .cast("long").as("zipf_slope_q"))
+    },
+
     // ---- PMI collocation mining (Church & Hanks 1990): pointwise
     // mutual information over adjacent-token bigrams — the corpus
     // statistic that separates real collocations from frequency

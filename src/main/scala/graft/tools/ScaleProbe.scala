@@ -47,7 +47,7 @@ object ScaleProbe {
       "q_dedup_winnow_incremental",
       "q_dedup_minhash_lsh",
       "q_pipeline_repeated_ngrams", "q_text_token_entropy",
-      "q_text_pmi_bigrams",
+      "q_text_pmi_bigrams", "q_text_zipf_fit",
       "q_pipeline_split_leakage", "q_pipeline_block_dedup",
       "q_text_pii_redact", "q_pipeline_mix_temperature", "q_dedup_semantic",
       "q_media_dedup_phash", "q_text_tfidf",
