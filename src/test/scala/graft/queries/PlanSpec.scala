@@ -383,6 +383,14 @@ class PlanSpec extends SparkSpec {
     assert(opt.contains("array_distinct"), opt)
   }
 
+  test("Zipf fit: the top-100 rank collapses to TakeOrderedAndProject; window runs over 100 rows") {
+    // an empty-partition rank + filter plans as a GLOBAL top-k
+    // (per-partition top-100 then merge) — the Window operator numbers
+    // only the 100 survivors, never the vocabulary
+    val p = plan("q_text_zipf_fit")
+    assert(p.contains("TakeOrderedAndProject(limit=100"), p)
+  }
+
   test("Matryoshka: prefix coarse stage is a partial topk_cos; window only over the bounded shortlist") {
     val p = plan("q_ann_matryoshka_rerank")
     // the N-candidate prefix scoring must collapse through the bounded
