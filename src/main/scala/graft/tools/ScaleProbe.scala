@@ -45,7 +45,7 @@ object ScaleProbe {
       "q_pipeline_sequence_pack", "q_pipeline_sequence_pack_incremental",
       "q_dedup_winnow_fingerprints", "q_dedup_winnow_pairs",
       "q_dedup_winnow_incremental",
-      "q_dedup_minhash_lsh",
+      "q_dedup_minhash_lsh", "q_dedup_keep_longest",
       "q_pipeline_repeated_ngrams", "q_text_token_entropy",
       "q_text_pmi_bigrams", "q_text_zipf_fit",
       "q_pipeline_split_leakage", "q_pipeline_block_dedup",
