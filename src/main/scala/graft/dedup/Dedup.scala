@@ -36,6 +36,14 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** @param pairs candidate pairs (doc_a, doc_b)
+    * @param maxIter hard bound on label-propagation rounds — rounds
+    *        needed = component diameter, so 30 covers any real near-dup
+    *        graph (cliques and near-cliques, diameter ≤ 3) with a wide
+    *        margin. Non-convergence at the bound FAILS LOUDLY rather
+    *        than returning partially-merged labels: a silent unconverged
+    *        result would split one true component into several clusters
+    *        and break the min-doc-id survivor contract (and any exact
+    *        oracle equivalence) with no signal.
     * @param smallGraphThreshold pair count below which the component
     *        computation runs as a driver-side union-find: the candidate
     *        GRAPH is orders of magnitude smaller than the corpus (it
@@ -45,7 +53,7 @@ object Dedup {
     * @return (doc_id, cluster) — cluster = min doc_id of the component */
   def connectedComponents(
       pairs: DataFrame,
-      maxIter: Int = 10,
+      maxIter: Int = 30,
       smallGraphThreshold: Long = 4000000L): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
@@ -106,6 +114,14 @@ object Dedup {
       labels = next.drop("chg")
       iter += 1
     }
+    // Partial labels are worse than no labels: an unconverged round
+    // leaves one true component split across clusters, silently electing
+    // extra survivors. maxIter is a cost bound, not a quality dial.
+    if (changed > 0) throw new IllegalStateException(
+      s"connectedComponents: label propagation did not converge after " +
+        s"$maxIter iterations ($changed labels still changing) — the " +
+        "candidate graph has a component with diameter > maxIter; raise " +
+        "maxIter or coarsen the candidate threshold")
     labels
   }
 

@@ -238,6 +238,21 @@ final class Engine(
     * rename it back — or (bucket committed, obsolete .old leftover) —
     * delete it, both because it is dead weight and because an unparsable
     * `bucket=N.old` dir name would poison partition-type discovery.
+    * A crash before the swap loop's cleanup also strands the `.merge`
+    * staging dir — deleted here so it cannot linger until the next merge
+    * build happens to overwrite it (safe: the staging dir is only live
+    * inside THIS model's own materialize call, and builds of one model
+    * never run concurrently with its reads).
+    *
+    * CONTRACT — per-bucket atomicity, not cross-bucket: each bucket is
+    * atomically old-or-new generation, but a crash mid-loop commits a
+    * MIXED-generation table (some buckets new, some old) that this heal
+    * preserves as-is. For merge upsert that torn state is self-repairing,
+    * not corrupt: every bucket is a valid generation, keys never move
+    * buckets (hash-bucketed), and the next build re-reads staging +
+    * re-merges the touched buckets. Cross-bucket all-or-nothing would
+    * need a generation manifest (a table-format commit log) — deliberate
+    * non-goal for a filesystem-parquet warehouse.
     * No-op in healthy states; called before every merge-model read. */
   private def healMergeBuckets(name: String): Unit = {
     Option(new java.io.File(path(name)).listFiles())
@@ -247,6 +262,8 @@ final class Engine(
         val target = old.getPath.stripSuffix(".old")
         if (!DirSwap.recover(target)) DirSwap.deleteRecursively(old.getPath)
       }
+    val stage = new java.io.File(path(name) + ".merge")
+    if (stage.isDirectory) DirSwap.deleteRecursively(stage.getPath)
   }
 
   /** Parquet read of a model dir, with footer schema merging exactly
@@ -937,6 +954,33 @@ final class Engine(
   private def appendTestHistory(lines: Seq[String]): Unit =
     appendAudit("test_history.jsonl", lines)
 
+  /** Amend one build_history line's provisional status (matched by its
+    * unique seq). The line is appended with status "ok" BEFORE the check
+    * pass — Checks.volumeAnomaly must see the current build as the
+    * newest row — then corrected here when the check pass fails (or the
+    * node errors), so failed builds never enter future anomaly
+    * baselines (volumeAnomaly filters status == "ok"). Whole-file
+    * rewrite under historyLock + atomic move: the log is line-oriented
+    * jsonl and a torn in-place patch would corrupt it; the file stays
+    * small (one line per materialized build). */
+  private def rewriteBuildStatus(seq: Long, status: String): Unit =
+    historyLock.synchronized {
+      val p = Paths.get(warehouseDir, "_audit", "build_history.jsonl")
+      if (Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        val needle = s""","seq":$seq}"""
+        val lines = Files.readAllLines(p).asScala.map { l =>
+          if (l.endsWith(needle))
+            l.replaceFirst("\"status\":\"[a-z_]+\"", s"\"status\":\"$status\"")
+          else l
+        }
+        val tmp = p.resolveSibling("build_history.jsonl.tmp")
+        Files.write(tmp, (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+        Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+
   /** The build-volume trend log as a DataFrame — resolvable as
     * `ref("_build_history")` so checks (Checks.volumeAnomaly) and
     * monitoring models can read the engine's own audit state, the way
@@ -957,6 +1001,9 @@ final class Engine(
       depBlocked: Boolean, shuffle: ShuffleBytesListener,
       buildTag: String, fullRefresh: Boolean = false): NodeResult = {
     val m = byName(name)
+    // seq of this node's provisional build_history line, for post-check
+    // status correction (see rewriteBuildStatus)
+    var histSeq: Option[Long] = None
     if (depBlocked) NodeResult(name, "skipped_upstream", 0)
     else try {
       val t0 = System.nanoTime()
@@ -1006,15 +1053,21 @@ final class Engine(
       val rows = try materialize(m, batchTs, fullRefresh) finally sc.clearJobGroup()
       org.apache.spark.graftaccess.SparkListenerAccess.drain(sc)
       // build-volume trend line (consumed by Checks.volumeAnomaly via
-      // the `_build_history` ref): appended BEFORE the check pass so the
-      // newest line is this build; failed builds never reach here and so
-      // never pollute the anomaly baseline
-      if (testHistory && m.materialization != Materialization.View)
+      // the `_build_history` ref): appended BEFORE the check pass — with
+      // a PROVISIONAL "ok" — so volumeAnomaly sees this build as the
+      // newest row while it runs. If the check pass then fails (or the
+      // node errors), rewriteBuildStatus corrects the line, so a build
+      // that failed its checks (including a volume anomaly itself)
+      // never enters future anomaly baselines.
+      if (testHistory && m.materialization != Materialization.View) {
+        val sq = Engine.nextSeq()
+        histSeq = Some(sq)
         appendAudit("build_history.jsonl", Seq(
           s"""{"model":"${esc(name)}","status":"ok","rows":$rows""" +
             s""","elapsed_ms":${(System.nanoTime() - t0) / 1000000L}""" +
             s""","batch_ts":"${esc(batchTs.toString)}"""" +
-            s""","seq":${Engine.nextSeq()}}"""))
+            s""","seq":$sq}"""))
+      }
       val sb =
         if (m.materialization == Materialization.View) -1L
         else shuffle.totalFor(group)
@@ -1024,14 +1077,18 @@ final class Engine(
       // was red last build and is green now leaves no stale rows
       // misreporting current state. (The per-check overwrite below only
       // fires for currently-failing checks, so it cannot clean these up.)
-      if (storeFailures && m.checks.nonEmpty) {
-        val prefix = s"${name}__".map(ch =>
-          if (ch.isLetterOrDigit || ch == '_') ch else '_')
-        Option(new java.io.File(s"$warehouseDir/_test_failures").listFiles())
-          .getOrElse(Array.empty)
-          .filter(f => f.isDirectory && f.getName.startsWith(prefix))
-          .foreach(f => DirSwap.deleteRecursively(f.getPath))
-      }
+      // Delete EXACTLY this model's declared check dirs, never a prefix
+      // scan: sanitization collapses distinct names (models "a.b" and
+      // "a_b" share a prefix) and a prefix match could delete a sibling
+      // model's stored failures — or race its in-flight write under
+      // threads > 1.
+      if (storeFailures && m.checks.nonEmpty)
+        m.checks.foreach { c =>
+          val safe = s"${name}__${c.name}".map(ch =>
+            if (ch.isLetterOrDigit || ch == '_') ch else '_')
+          val dir = new java.io.File(s"$warehouseDir/_test_failures/$safe")
+          if (dir.isDirectory) DirSwap.deleteRecursively(dir.getPath)
+        }
       // A check referencing a model that does not exist is skipped with
       // a warning, matching dbt (the reference declares tests against
       // nonexistent `dim_feature` / `mart_subscription_month_enriched`
@@ -1071,13 +1128,18 @@ final class Engine(
         case _: Materialization.IncrementalAppend => maxFilesPerPartition(name)
         case _ => -1
       }
-      if (failed.nonEmpty)
+      if (failed.nonEmpty) {
+        histSeq.foreach(rewriteBuildStatus(_, "test_failed"))
         NodeResult(name, "test_failed", rows, failed, shuffleBytes = sb,
           elapsedMs = ms, maxFilesPerPartition = debt)
-      else NodeResult(name, "ok", rows, shuffleBytes = sb, elapsedMs = ms,
+      } else NodeResult(name, "ok", rows, shuffleBytes = sb, elapsedMs = ms,
         maxFilesPerPartition = debt)
     } catch {
-      case e: Exception => NodeResult(name, "error", 0, error = Some(e.getMessage))
+      case e: Exception =>
+        // a post-materialize error (e.g. a check that threw) must not
+        // leave the provisional "ok" line in the anomaly baseline
+        histSeq.foreach(rewriteBuildStatus(_, "error"))
+        NodeResult(name, "error", 0, error = Some(e.getMessage))
     }
   }
 

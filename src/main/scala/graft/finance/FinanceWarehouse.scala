@@ -178,15 +178,37 @@ object FinanceWarehouse {
     // is always the newer batch; within a batch the view's exact
     // tiebreak order decides) — FinanceWarehouseSpec pins merged ≡ view
     // over multi-batch ingestion and the touched-bucket-only rewrite.
+    // The delta scan is INCLUSIVE of the frontier timestamp: a later
+    // batch may carry rows that TIE the prior max ingested_at, and a
+    // strict > would silently drop them (diverging merged from view).
+    // Re-scanning the frontier sliver alone would rewrite every
+    // frontier-key bucket on every build (for batch-stamped ingestion
+    // that is the whole previous batch), so rows the merged table
+    // already reflects are anti-joined out by (key, ingested_at): the
+    // delta is exactly "frontier-or-later rows not yet merged", the
+    // empty-delta build stays a byte-level no-op, and only genuinely
+    // new keys' buckets rewrite. Assumes the landing zone never emits
+    // two DIFFERENT rows for one (key, ingested_at) — the same
+    // ambiguity the view resolves by arbitrary tiebreak.
     // At 100 TB this is the materialization current-truth WANTS: consumers
     // read a table sized |keys|, not a window over an ever-growing log.
     Model.incremental("int_subscriptions_current_merged", Seq("stg_subscriptions"),
       Materialization.MergeUpsert("subscription_id", 16),
       checks = Seq(Checks.unique("subscription_id")))((_, r, prior) => {
       val stg = r("stg_subscriptions")
-      val frontier = prior.map(_.agg(max(col("ingested_at"))).first())
-        .filter(!_.isNullAt(0)).map(_.getTimestamp(0))
-      val delta = frontier.fold(stg)(w => stg.filter(col("ingested_at") > lit(w)))
+      val delta = prior.map(_.agg(max(col("ingested_at"))).first())
+        .filter(!_.isNullAt(0)).map(_.getTimestamp(0)) match {
+        case None => stg
+        case Some(w) =>
+          // reflected = merged rows AT the frontier ts: a pushed
+          // timestamp-equality scan of the |keys|-sized table yielding
+          // ~one batch of (key, ts) pairs — broadcastable by size
+          val reflected = prior.get.filter(col("ingested_at") === lit(w))
+            .select(col("subscription_id"), col("ingested_at"))
+          stg.filter(col("ingested_at") >= lit(w))
+            .join(broadcast(reflected),
+              Seq("subscription_id", "ingested_at"), "left_anti")
+      }
       latestPerKey(delta, "subscription_id")
     }),
 

@@ -19,6 +19,16 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("connected components: distributed path fails loudly when unconverged") {
+    // chain of 12 (diameter 11) with maxIter=3: min-label propagation
+    // cannot converge; partial labels must throw, never return
+    val pairs = (1L to 12L).sliding(2).map(w => (w(0), w(1))).toSeq
+      .toDF("doc_a", "doc_b")
+    val e = intercept[IllegalStateException](
+      Dedup.connectedComponents(pairs, maxIter = 3, smallGraphThreshold = 0L))
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("survivors: one keeper per cluster, unpaired docs keep themselves") {
     val docs = (1L to 6L).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("doc_a", "doc_b")

@@ -561,6 +561,14 @@ class EngineSpec extends SparkSpec {
     assert(e.ref("tgt").count() == full)
     assert(e.ref("tgt").filter($"id" === 7L).select($"v")
       .first().getLong(0) == 7000L)
+    // torn state C (crash before the staging-cleanup finally): an
+    // orphaned .merge dir left on disk → the next read heals it away
+    val stage = new java.io.File(s"$dir/tgt.merge")
+    java.nio.file.Files.createDirectory(stage.toPath)
+    java.nio.file.Files.write(stage.toPath.resolve("junk.parquet"),
+      Array[Byte](0))
+    assert(e.ref("tgt").count() == full)
+    assert(!stage.exists)
   }
 
   test("unit tests: fixtures drive the build logic; a failing one gates the node pre-build") {
@@ -664,6 +672,18 @@ class EngineSpec extends SparkSpec {
     assert(r("tgt").status == "test_failed" &&
       r("tgt").failedChecks == Seq("volume_anomaly(tgt)"),
       r.results.mkString("; "))
+    // build 5's history line must have been amended to test_failed —
+    // the SAME deviant volume must gate AGAIN (if the failed build had
+    // entered the baseline as "ok", mean/stddev would absorb it and
+    // z would drop inside sigma)
+    val r6 = mk().build()
+    assert(!r6.ok && r6("tgt").status == "test_failed",
+      r6.results.mkString("; "))
+    val statuses = scala.io.Source.fromFile(s"$dir/_audit/build_history.jsonl")
+      .getLines().toSeq.map(l =>
+        """"status":"(\w+)"""".r.findFirstMatchIn(l).get.group(1))
+    assert(statuses == Seq("ok", "ok", "ok", "ok", "test_failed", "test_failed"),
+      statuses.mkString(","))
   }
 
   test("volume anomaly without testHistory fails loudly, not silently green") {
@@ -674,6 +694,25 @@ class EngineSpec extends SparkSpec {
     val r = e.build()
     assert(r("tgt").status == "error" &&
       r("tgt").error.exists(_.contains("testHistory")), r.results.mkString("; "))
+  }
+
+  test("store_failures: sanitization collisions cannot delete a sibling's failures") {
+    val dir = tmpDir("engsfc")
+    // model "a.b" sanitizes to the same "a_b__" prefix as model "a_b";
+    // a prefix-scan cleanup would let a.b's green pass wipe a_b's
+    // freshly stored violations — exact-dir cleanup must not
+    val e = new Engine(spark, dir, Map.empty, Seq(
+      Model("a_b", Seq(), Materialization.Table,
+        checks = Seq(Checks.unique("id")))(
+        (_, _) => Seq((1L, "x"), (1L, "y")).toDF("id", "v")),
+      Model("a.b", Seq(), Materialization.Table,
+        checks = Seq(Checks.notNull("id")))(
+        (_, _) => Seq((2L, "z")).toDF("id", "v"))),
+      storeFailures = true)
+    val r = e.build()
+    assert(r("a_b").status == "test_failed" && r("a.b").status == "ok",
+      r.results.mkString("; "))
+    assert(new java.io.File(s"$dir/_test_failures/a_b__unique_id_").exists)
   }
 
   test("store_failures: a check that turns green clears its stale violation parquet") {

@@ -1,7 +1,7 @@
 package graft.finance
 
 import graft.SparkSpec
-import graft.engine.{Engine, Snapshot}
+import graft.engine.{Engine, Materialization, Model, Snapshot}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -438,6 +438,47 @@ class FinanceWarehouseSpec extends SparkSpec {
         "new_mrr", "reactivation_mrr", "expansion_mrr", "contraction_mrr",
         "churn_mrr", "active_accounts", "churned_accounts", "new_accounts",
         "reactivated_accounts"))
+
+  test("merged model absorbs frontier-timestamp ties; reflected buckets stay byte-identical") {
+    val dir = tmpDir("whmrgtie")
+    // staging stubbed as a full-rebuild Table so frontier TIES actually
+    // reach the merged model (the real stg_subscriptions' own HWM would
+    // drop them upstream — this pins the merged layer's own guard)
+    var staged = Seq(
+      ("s1", 100.0, ts(1), "f1", "h1"),
+      ("s2", 200.0, ts(2), "f1", "h2"))
+      .toDF("subscription_id", "mrr", "ingested_at", "source_file", "record_hash")
+    val merged = FinanceWarehouse.models(vars)
+      .find(_.name == "int_subscriptions_current_merged").get
+    def mk() = new Engine(spark, dir, Map.empty, Seq(
+      Model("stg_subscriptions", Seq(), Materialization.Table)((_, _) => staged),
+      merged))
+    assert(mk().build().ok)
+    def filesByBucket: Map[String, Set[String]] =
+      new java.io.File(s"$dir/int_subscriptions_current_merged").listFiles.toSeq
+        .filter(f => f.isDirectory && f.getName.startsWith("_graft_bucket="))
+        .map(b => b.getName -> b.listFiles.map(f =>
+          s"${f.getName}:${f.lastModified}:${f.length}").toSet).toMap
+    val before = filesByBucket
+    // batch 2 carries s3 stamped EXACTLY at the prior frontier ts(2): a
+    // strict > delta scan would silently drop it forever
+    staged = staged.unionByName(Seq(("s3", 300.0, ts(2), "f2", "h3"))
+      .toDF("subscription_id", "mrr", "ingested_at", "source_file", "record_hash"))
+    val e2 = mk()
+    assert(e2.build().ok)
+    val out = e2.ref("int_subscriptions_current_merged")
+    assert(out.count() == 3 &&
+      out.filter($"subscription_id" === "s3").count() == 1,
+      "frontier-tie row was dropped by the merged delta scan")
+    // and the already-reflected frontier row (s2) did NOT force its
+    // bucket to rewrite: only s3's bucket changed
+    val touched = (before.keySet ++ filesByBucket.keySet).filter(b =>
+      before.getOrElse(b, Set.empty) != filesByBucket.getOrElse(b, Set.empty))
+    val s3Bucket = "_graft_bucket=" + spark.range(1)
+      .select(pmod(hash(lit("s3")), lit(16)).cast("int")).first().getInt(0)
+    assert(touched == Set(s3Bucket),
+      s"expected only $s3Bucket to change, got $touched")
+  }
 
   test("merged int_subscriptions_current ≡ the view across batches; only delta-key buckets rewrite") {
     val dir = tmpDir("whmrg")
