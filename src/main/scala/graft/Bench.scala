@@ -53,8 +53,9 @@ object Bench {
 
   /** One bench output line. `ph` (phases) and `sh` (per-query
     * shuffle-write bytes) are parameters because the headline line is
-    * byte-budgeted (empty objects there); the full maps appear only on
-    * the full line / target/bench.json. */
+    * byte-budgeted: it carries PACKED subsets (slowest phase splits,
+    * top shuffle writers) while the full maps appear on the full line /
+    * target/bench.json. */
   def line(total: Double, repeats: Int, singleShot: Double,
       qs: String, ph: String, sh: String, errs: String, sfDir: String): String =
     f"""{"metric":"total","value":$total%.3f,"unit":"sec","repeats":$repeats,"single_shot_total":$singleShot%.3f,"queries":$qs,"phases":$ph,"shuffle_bytes":$sh,"errors":$errs,"sf":"$sfDir"}"""
@@ -69,6 +70,49 @@ object Bench {
       used += k.length + 12; used <= budget
     }.sortBy(_._1)
   }
+
+  /** JSON form of the build-vs-query phase map (shared by the full line
+    * and the headline). */
+  def phasesJson(entries: Seq[(String, (Double, Double))]): String =
+    entries.map { case (k, (b, q)) =>
+      "\"" + k + f"""":{"build_s":$b%.3f,"query_s":$q%.3f}"""
+    }.mkString("{", ",", "}")
+
+  /** JSON form of the per-query shuffle-write-bytes map. */
+  def shuffleJsonOf(entries: Seq[(String, Long)]): String =
+    entries.map { case (k, v) => "\"" + k + s"""":$v""" }
+      .mkString("{", ",", "}")
+
+  /** Slowest-first packing of phase splits into a headline sub-budget —
+    * the self-attribution signal the archived BENCH_rN.json was missing:
+    * a build-dominated outlier (an incremental entry whose engine-DAG
+    * construction ate the wall time while its probe ran in ms) reads
+    * directly off the artifact instead of needing a same-session rerun.
+    * Entry cost = name + ~44 bytes of fixed structure. */
+  def headlinePackPhases(entries: Seq[(String, (Double, Double))],
+      budget: Int): Seq[(String, (Double, Double))] = {
+    var used = 0
+    entries.sortBy { case (_, (b, q)) => -(b + q) }.takeWhile { case (k, _) =>
+      used += k.length + 44; used <= budget
+    }.sortBy(_._1)
+  }
+
+  /** Largest-first packing of shuffle-write bytes into a headline
+    * sub-budget: the top exchanges are the plan-shape regression signal.
+    * Entry cost = name + ~17 bytes (13-digit value + punctuation). */
+  def headlinePackShuffle(entries: Seq[(String, Long)],
+      budget: Int): Seq[(String, Long)] = {
+    var used = 0
+    entries.sortBy { case (_, v) => -v }.takeWhile { case (k, _) =>
+      used += k.length + 17; used <= budget
+    }.sortBy(_._1)
+  }
+
+  /** Headline sub-budgets: phases carry the attribution signal (≈ 8
+    * slowest entries), shuffle the top exchanges (≈ 5); queries get the
+    * remainder of [[HeadlineBudget]] after errors are charged. */
+  val PhaseBudget = 420
+  val ShuffleBudget = 200
 
   /** Headline form of the failed-query list: a mass failure (e.g. a
     * missing SF dir failing most of the ~150-query board) would make
@@ -147,10 +191,10 @@ object Bench {
       }
     }
     org.apache.spark.graftaccess.SparkListenerAccess.drain(spark.sparkContext)
-    val shuffleJson = timed.collect {
+    val shuffleEntries = timed.collect {
       case (k, (med, _, _)) if med >= 0 =>
-        "\"" + k + s"""":${shuffle.totalFor(s"graft.bench.$k")}"""
-    }.mkString("{", ",", "}")
+        k -> shuffle.totalFor(s"graft.bench.$k")
+    }
     val results = timed.map { case (k, (med, _, _)) => k -> med }
     val failed = results.collect { case (k, v) if v < 0 => k }
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -161,12 +205,13 @@ object Bench {
     // construction phase (eager collects — codebook training, query
     // assignment) costs ≥ 0.2 s — conflating either with the probe
     // action can mask a probe regression under build noise
-    val phases = timed.collect {
+    val phaseEntries = timed.collect {
       case (k, (med, _, (b, q)))
           if med >= 0 && (k.contains("_incremental") || b >= 0.2) =>
-        "\"" + k + f"""":{"build_s":$b%.3f,"query_s":$q%.3f}"""
-    }.mkString("{", ",", "}")
-    val full = line(total, Repeats, singleShot, toJson(results), phases, shuffleJson, errs, sfDir)
+        k -> (b, q)
+    }
+    val full = line(total, Repeats, singleShot, toJson(results),
+      phasesJson(phaseEntries), shuffleJsonOf(shuffleEntries), errs, sfDir)
     // Full per-query map → file (survives any log truncation).
     try {
       val out = java.nio.file.Paths.get("target", "bench.json")
@@ -181,9 +226,12 @@ object Bench {
     println(full)
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec"}""")
     val errsH = headlineErrs(failed)
+    val phasesH = phasesJson(headlinePackPhases(phaseEntries, PhaseBudget))
+    val shufH = shuffleJsonOf(headlinePackShuffle(shuffleEntries, ShuffleBudget))
     println(line(total, Repeats, singleShot,
-      toJson(headlinePack(results, HeadlineBudget - errsH.length)),
-      "{}", "{}", errsH, sfDir))
+      toJson(headlinePack(results,
+        HeadlineBudget - errsH.length - phasesH.length - shufH.length)),
+      phasesH, shufH, errsH, sfDir))
     spark.stop()
   }
 }

@@ -27,6 +27,38 @@ class BenchLineSpec extends AnyFunSuite {
     assert(len < 2000, s"headline $len chars would blow the driver tail")
   }
 
+  test("headline carries NON-EMPTY packed phase + shuffle maps and still fits") {
+    // the r17 lesson: an archived headline with empty phases cannot
+    // self-attribute a build-dominated outlier. Pin that on the CURRENT
+    // board the headline keeps real phase/shuffle entries within budget.
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val results = names.map(_ -> 9999.999)
+    val phaseEntries = names.filter(_.contains("_incremental"))
+      .map(k => k -> (9999.999, 9999.999))
+    val shuffleEntries = names.map(_ -> 9999999999999L)
+    val phasesH = Bench.phasesJson(
+      Bench.headlinePackPhases(phaseEntries, Bench.PhaseBudget))
+    val shufH = Bench.shuffleJsonOf(
+      Bench.headlinePackShuffle(shuffleEntries, Bench.ShuffleBudget))
+    assert(phasesH.length > 2 && phasesH.contains("build_s"),
+      "current board must yield a non-empty packed phase map")
+    assert(shufH.length > 2, "non-empty packed shuffle map expected")
+    assert(phasesH.length <= Bench.PhaseBudget + 2, s"${phasesH.length}")
+    assert(shufH.length <= Bench.ShuffleBudget + 2, s"${shufH.length}")
+    val len = Bench.line(
+      total = 99999.999, repeats = 3, singleShot = 99999.999,
+      qs = Bench.toJson(Bench.headlinePack(results,
+        Bench.HeadlineBudget - phasesH.length - shufH.length - 2)),
+      ph = phasesH, sh = shufH, errs = "[]",
+      sfDir = "/root/testdata/sf0.1").length
+    assert(len < 2000, s"headline $len chars would blow the driver tail")
+    // the packed phase subset is the SLOWEST entries (signal first)
+    val packed = Bench.headlinePackPhases(
+      names.zipWithIndex.map { case (k, i) => k -> (i * 1.0, 0.5) },
+      Bench.PhaseBudget).map(_._1).toSet
+    assert(packed.contains(names.zipWithIndex.maxBy(_._2)._1))
+  }
+
   test("headline packing respects the budget under adversarial growth") {
     // 500 queries with 60-char names: packing must drop entries, not
     // stretch the line
