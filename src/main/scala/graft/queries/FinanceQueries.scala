@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -67,19 +67,25 @@ object FinanceQueries {
       |         (o_orderkey % 20 = 0) AS is_trial
       |  FROM orders)""".stripMargin
 
+  /** Global "max month" bound (the reference's scalar subquery over the
+    * subscriptions table): max month of coalesce(end, start). */
+  private def maxMonthCol: Column =
+    max(date_trunc("month", coalesce(col("end_date"), col("start_date"))).cast("date"))
+
   /** fct_subscription_month: one row per subscription × active month with
     * EOM-activity flag and trial-aware MRR.
     * Reference: `fct_subscription_month.sql:44-92`. */
   private def fctSubscriptionMonth(s: SparkSession, dir: String): DataFrame = {
     val subs = subscriptions(s, dir)
-    // global max month — single scalar, the reference's scalar subquery
-    val maxMonth = subs
-      .agg(max(date_trunc("month", coalesce(col("end_date"), col("start_date"))).cast("date")))
-      .first().getDate(0)
     val spine = subs
+      // global max month — the reference's scalar subquery, kept IN-PLAN
+      // as a broadcast 1-row agg: one job instead of a driver pre-collect
+      // plus the main job (~35% faster — BASELINE.md r17 measurement)
+      .crossJoin(broadcast(subs.agg(maxMonthCol.as("_max_month"))))
       .withColumn("start_month", date_trunc("month", col("start_date")).cast("date"))
       .withColumn("end_month_b",
-        least(coalesce(date_trunc("month", col("end_date")).cast("date"), lit(maxMonth)), lit(maxMonth)))
+        least(coalesce(date_trunc("month", col("end_date")).cast("date"),
+          col("_max_month")), col("_max_month")))
       .withColumn("month_start_date",
         explode(sequence(col("start_month"), col("end_month_b"), expr("interval 1 month"))))
     val nextMonth = add_months(col("month_start_date"), 1)
@@ -174,21 +180,24 @@ object FinanceQueries {
     * this month's delta. */
   private def fctAccountMonthDelta(s: SparkSession, dir: String): DataFrame = {
     val subs = subscriptions(s, dir)
-    val maxMonth = subs
-      .agg(max(date_trunc("month", coalesce(col("end_date"), col("start_date"))).cast("date")))
-      .first().getDate(0)
+    // max month as a broadcast 1-row agg (see fctSubscriptionMonth):
+    // the crossJoin'd `_max_month` column replaces the old driver
+    // pre-collect; one job, and the broadcast exchange is reused by
+    // every subtree that needs the bound
+    val subsB = subs.crossJoin(broadcast(subs.agg(maxMonthCol.as("_max_month"))))
     val startMonth = date_trunc("month", col("start_date")).cast("date")
     val presEnd = least(
-      coalesce(date_trunc("month", col("end_date")).cast("date"), lit(maxMonth)), lit(maxMonth))
+      coalesce(date_trunc("month", col("end_date")).cast("date"),
+        col("_max_month")), col("_max_month"))
     // presence bounds ≡ the months the sub-month spine would emit
-    val bounds = subs
+    val bounds = subsB
       .groupBy(col("account_id"))
       .agg(min(startMonth).as("first_m"), max(presEnd).as("last_m"))
     // last month the sub is active AT EOM: the month of (end+1 day) minus
     // one month — equals month(end) exactly when end is its month's last day
-    val eomEnd = when(col("end_date").isNull, lit(maxMonth))
+    val eomEnd = when(col("end_date").isNull, col("_max_month"))
       .otherwise(add_months(date_trunc("month", date_add(col("end_date"), 1)).cast("date"), -1))
-    val events = subs
+    val events = subsB
       .filter(!col("is_trial") && col("mrr_amount").isNotNull)
       .withColumn("sm", startMonth)
       .withColumn("ee", eomEnd)
@@ -328,23 +337,24 @@ object FinanceQueries {
     */
   private def waterfallDelta(s: SparkSession, dir: String): DataFrame = {
     val subs = subscriptions(s, dir)
-    val maxMonth = subs
-      .agg(max(date_trunc("month", coalesce(col("end_date"), col("start_date"))).cast("date")))
-      .first().getDate(0)
+    // max-month bound in-plan (broadcast 1-row agg, reused exchange)
+    // instead of a driver pre-collect — see fctSubscriptionMonth
     val em = date_trunc("month", col("end_date")).cast("date")
-    val base = subs.select(
-      col("account_id"),
-      date_trunc("month", col("start_date")).cast("date").as("start_month"),
-      least(coalesce(em, lit(maxMonth)), lit(maxMonth)).as("end_month_b"),
-      // last month the sub is active at EOM: its end month if it ends on
-      // the month's last day, else the month before
-      when(col("end_date").isNull, lit(maxMonth))
-        .otherwise(least(
-          when(col("end_date") === last_day(col("end_date")), em)
-            .otherwise(add_months(em, -1)),
-          lit(maxMonth))).as("active_end"),
-      when(!col("is_trial"), coalesce(col("mrr_amount"), lit(0.0)))
-        .otherwise(0.0).as("m"))
+    val base = subs
+      .crossJoin(broadcast(subs.agg(maxMonthCol.as("_max_month"))))
+      .select(
+        col("account_id"),
+        date_trunc("month", col("start_date")).cast("date").as("start_month"),
+        least(coalesce(em, col("_max_month")), col("_max_month")).as("end_month_b"),
+        // last month the sub is active at EOM: its end month if it ends on
+        // the month's last day, else the month before
+        when(col("end_date").isNull, col("_max_month"))
+          .otherwise(least(
+            when(col("end_date") === last_day(col("end_date")), em)
+              .otherwise(add_months(em, -1)),
+            col("_max_month"))).as("active_end"),
+        when(!col("is_trial"), coalesce(col("mrr_amount"), lit(0.0)))
+          .otherwise(0.0).as("m"))
     val contributing = base.filter(col("m") =!= 0.0 && col("active_end") >= col("start_month"))
     val deltas = contributing
       .select(col("account_id"), col("start_month").as("month"), col("m").as("d"))
@@ -403,12 +413,14 @@ object FinanceQueries {
       .select(col("x.month"), col("x.p"))
       .groupBy(col("month")).agg(sum(col("p")).as("pres_d"))
     // calendar spine across the global range; prefix sums at month grain
-    // (≤ a few dozen rows — the single-partition window is intentional)
-    val bounds = base.agg(
-      min(col("start_month")).as("lo"),
-      add_months(max(col("end_month_b")), 1).as("hi")).first()
-    val cal = s.range(1).select(explode(sequence(
-      lit(bounds.getDate(0)), lit(bounds.getDate(1)), expr("interval 1 month"))).as("month"))
+    // (≤ a few dozen rows — the single-partition window is intentional).
+    // The spine unnests directly from the 1-row bounds agg: no driver
+    // collect, no extra job.
+    val cal = base.agg(
+        min(col("start_month")).as("lo"),
+        add_months(max(col("end_month_b")), 1).as("hi"))
+      .select(explode(sequence(
+        col("lo"), col("hi"), expr("interval 1 month"))).as("month"))
     val w = Window.orderBy(col("month")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     cal.join(byMonth, Seq("month"), "left")
       .join(presence, Seq("month"), "left")

@@ -183,7 +183,10 @@ object RelationalQueries {
         .select("c_custkey", "c_name")
     },
 
-    // ---- P8: scalar subquery in predicate (collected driver-side, SURVEY §4)
+    // ---- P8: scalar subquery in predicate, kept IN-PLAN as a broadcast
+    // 1-row agg (crossJoin(broadcast(agg))): one job, no driver
+    // pre-collect — the repo's measured ~35% win over .first() scalars
+    // (BASELINE.md r17 notes)
     Q.sql(
       "q_scalar_subquery",
       """SELECT l_returnflag, count(*) AS n_above_avg
@@ -192,8 +195,8 @@ object RelationalQueries {
         |GROUP BY l_returnflag""".stripMargin
     ) { (s, dir) =>
       val li = Tables.lineitem(s, dir)
-      val avgQty = li.agg(avg(col("l_quantity"))).first().getDouble(0)
-      li.filter(col("l_quantity") > lit(avgQty))
+      li.crossJoin(broadcast(li.agg(avg(col("l_quantity")).as("_avg_qty"))))
+        .filter(col("l_quantity") > col("_avg_qty"))
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_above_avg"))
     },

@@ -17,6 +17,40 @@ class PlanSpec extends SparkSpec {
     df.queryExecution.executedPlan.toString
   }
 
+  test("scalar bounds are in-plan broadcast aggs: construction launches zero jobs") {
+    // the max-month / global-average scalars ride a crossJoin(broadcast(
+    // 1-row agg)) INSIDE the plan — a .first() pre-collect would launch
+    // a driver job at DataFrame construction time (measured ~35% slower,
+    // BASELINE.md r17 notes). Pin: building these queries runs no job.
+    class JobCounter extends org.apache.spark.scheduler.SparkListener {
+      val sites = new java.util.concurrent.ConcurrentLinkedQueue[String]
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        sites.add(js.stageInfos.lastOption.map(_.name).getOrElse(""))
+        ()
+      }
+    }
+    val counter = new JobCounter
+    val qs = Seq("q_fct_subscription_month", "q_fct_account_month_delta",
+      "q_mrr_waterfall_delta", "q_scalar_subquery")
+    spark.sparkContext.addSparkListener(counter)
+    try {
+      for (q <- qs) {
+        org.apache.spark.graftaccess.SparkListenerAccess.drain(spark.sparkContext)
+        counter.sites.clear()
+        graft.SparkEntry.queries(q)(spark, dir) // construction only, no action
+        org.apache.spark.graftaccess.SparkListenerAccess.drain(spark.sparkContext)
+        // parquet footer/schema-inference jobs ("parquet at ...") are
+        // per-read session metadata; any OTHER job at construction time
+        // is a driver pre-collect (first/collect) — the regression
+        import scala.jdk.CollectionConverters._
+        val preJobs = counter.sites.asScala.filterNot(_.startsWith("parquet at"))
+        assert(preJobs.isEmpty,
+          s"$q launched pre-collect job(s) at construction: $preJobs")
+      }
+    } finally { spark.sparkContext.removeSparkListener(counter); () }
+  }
+
   test("semantic decontamination scans against a broadcast eval side (no corpus shuffle)") {
     val p = plan("q_pipeline_decontaminate_semantic")
     // eval embeddings broadcast under the corpus scan: the cross join
@@ -63,14 +97,16 @@ class PlanSpec extends SparkSpec {
     assert(plan("q_join_anti").contains("LeftAnti"))
   }
 
-  test("account-month fact is two exchanges, no join, no window sort") {
+  test("account-month fact is two exchanges, no fact join, no window sort") {
     // the month->MRR map formulation: monthly rollup (exchange 1) +
     // per-account map collect (exchange 2); everything downstream is
     // per-row expressions. A regression to the spine-join formulation
-    // would show a Join operator and extra exchanges.
+    // would show a SortMergeJoin/BroadcastHashJoin and extra exchanges.
+    // The only join allowed is the 1-row max-month broadcast bound
+    // (BroadcastNestedLoopJoin — the in-plan scalar-subquery idiom).
     // AQE prints Final + Initial plan sections; count the final only
     val p = plan("q_fct_account_month").split("== Initial Plan ==")(0)
-    assert(!p.contains("Join"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(exchanges == 2, s"expected 2 exchanges, got $exchanges in:\n$p")
   }
