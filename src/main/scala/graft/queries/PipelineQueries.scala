@@ -322,21 +322,24 @@ object PipelineQueries {
 
   /** The end-to-end curation decision — the row a production pipeline
     * materializes per document before shard writing: quality score band,
-    * token-entropy floor (boilerplate/low-information cut), cross-doc
-    * repetition ceiling, then deterministic stratified sampling; `keep`
-    * is the conjunction. Composes [[TextQueries.qualityScore]],
-    * [[TextQueries.tokenEntropy]], [[repeatedNgrams]] and the
-    * [[mixSample]] hash rule — all doc-grain frames, so the joins
-    * shuffle on the id and every signal stays independently testable.
-    * Documents too short to carry an n-gram have no repetition evidence:
-    * their ratio coalesces to 0 (kept by that stage), matching the
-    * oracle's LEFT JOIN. Thresholds compare on ROUNDED values so the
-    * cut is engine-portable. */
+    * classifier score (the CCNet-style learned gate), token-entropy
+    * floor (boilerplate/low-information cut), cross-doc repetition
+    * ceiling, then deterministic stratified sampling; `keep` is the
+    * conjunction. Composes [[TextQueries.qualityScore]],
+    * [[qualityClassifier]], [[TextQueries.tokenEntropy]],
+    * [[repeatedNgrams]] and the [[mixSample]] hash rule — all doc-grain
+    * frames, so the joins shuffle on the id and every signal stays
+    * independently testable. Documents too short to carry an n-gram
+    * have no repetition evidence: their ratio coalesces to 0 (kept by
+    * that stage), matching the oracle's LEFT JOIN. Thresholds compare
+    * on ROUNDED values so the cut is engine-portable. */
   def curationFunnel(docs: DataFrame, idCol: String, textCol: String,
       stratumCol: String, rates: Map[String, Double], n: Int,
       minEntropy: Double, maxRepeat: Double): DataFrame = {
     val qual = TextQueries.qualityScore(docs, idCol, textCol)
       .select(col(idCol), col("quality_score"), col("keep").as("q_keep"))
+    val clf = qualityClassifier(docs, idCol, textCol)
+      .select(col(idCol), col("score").as("clf_score"))
     val ent = TextQueries.tokenEntropy(docs, idCol, textCol)
       .select(col(idCol), col("token_entropy"))
     val rep = repeatedNgrams(docs, idCol, textCol, n)
@@ -347,16 +350,67 @@ object PipelineQueries {
     docs.select(col(idCol), col(stratumCol),
         substring(md5(col(idCol).cast("string")), 1, 4).as("hkey"))
       .join(qual, Seq(idCol))
+      .join(clf, Seq(idCol))
       .join(ent, Seq(idCol))
       .join(rep, Seq(idCol), "left")
       .join(sampled, Seq(idCol), "left")
       .select(col(idCol), col(stratumCol),
-        col("quality_score"), col("token_entropy"),
+        col("quality_score"), col("clf_score"), col("token_entropy"),
         coalesce(col("repeated_ratio"), lit(0.0)).as("repeated_ratio"),
         col("hkey"),
-        (col("q_keep") && col("token_entropy") >= minEntropy &&
+        (col("q_keep") && col("clf_score") > 0 &&
+          col("token_entropy") >= minEntropy &&
           coalesce(col("repeated_ratio"), lit(0.0)) <= maxRepeat &&
           coalesce(col("s_keep"), lit(false))).as("keep"))
+  }
+
+  /** Hashed-feature buckets for the linear quality classifier: 16 bits
+    * of md5 (the repo's engine-portable hash), so the weight table is
+    * 65,536 rows — ~1 MB broadcast, the fastText "hashing trick" bucket
+    * count scaled to the fixture. */
+  val ClfBuckets = 65536
+
+  /** The classifier's integer-quantized weight vector as a DataFrame —
+    * the shape a LEARNED model ships in (weights are data, not code):
+    * one row per hash bucket, weight a deterministic Knuth-multiply
+    * spread over [-1000, 1000]. A production pipeline would load this
+    * table from the training job's output; the query plan is identical
+    * (broadcast hash join on bucket). */
+  def classifierWeights(s: SparkSession): DataFrame =
+    s.range(ClfBuckets).select(
+      col("id").as("bucket"),
+      ((col("id") * lit(2654435761L)) % 2001 - 1000).as("w"))
+
+  /** CCNet/LLaMA-style classifier quality filter: a fixed linear model
+    * over hashed unigram+bigram features (the fastText architecture
+    * minus the learned embedding — a dot product of integer-quantized
+    * per-bucket weights), thresholded at logistic 0.5 (score > 0), so
+    * the decision is EXACT in integers on any engine.
+    *
+    * Scale shape: feature generation (split + bigram zip) and bucket
+    * hashing are scan-local; the 65k-row weight table broadcast-joins
+    * onto the exploded feature stream (codegen hash join, no corpus
+    * shuffle); the only exchange is the |docs|-row per-doc score
+    * aggregation — partial sums already collapse each doc to one row
+    * per input partition before the shuffle. At 100 TB the broadcast
+    * is ~1 MB and nothing else grows super-linearly. */
+  def qualityClassifier(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val s = docs.sparkSession
+    val t = col("t")
+    val bigrams = when(size(t) >= 2,
+      transform(sequence(lit(1), size(t) - 1),
+        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    docs
+      .select(col(idCol), split(col(textCol), " ").as("t"))
+      .select(col(idCol), explode(concat(t, bigrams)).as("feat"))
+      .select(col(idCol),
+        conv(substring(md5(col("feat")), 1, 4), 16, 10).cast("long").as("bucket"))
+      .join(broadcast(classifierWeights(s)), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feats"), sum(col("w")).as("score"))
+      .select(col(idCol), col("n_feats"), col("score"),
+        (col("score") > 0).as("keep"))
   }
 
   /** Leakage-guarded train/val split: assign each document a split with
@@ -484,6 +538,24 @@ object PipelineQueries {
   private val diversity: Column = expr(
     "(cast(size(array_distinct(split(text, ' '))) as bigint) * 10000)" +
       " div size(split(text, ' '))")
+
+  /** DuckDB replay of [[qualityClassifier]]'s score: the weight formula
+    * inlined per feature (bucket = first 16 md5 bits, weight = the same
+    * Knuth-multiply spread the broadcast table carries) — identical
+    * integers, so sum/threshold hash-match exactly. */
+  private val clfCteSql: String =
+    """clf AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+      |         CAST(sum((('0x' || substr(md5(feat), 1, 4))::BIGINT
+      |                   * 2654435761) % 2001 - 1000) AS BIGINT) AS score
+      |  FROM (
+      |    SELECT doc_id,
+      |           unnest(t || CASE WHEN len(t) >= 2 THEN
+      |               list_transform(generate_series(1, len(t) - 1),
+      |                              i -> t[i] || ' ' || t[i+1])
+      |             ELSE []::VARCHAR[] END) AS feat
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
+      |  GROUP BY 1)""".stripMargin
 
   val qs: Seq[Q] = Seq(
 
@@ -791,11 +863,14 @@ object PipelineQueries {
          |  SELECT g.doc_id,
          |         round(CAST(sum(CASE WHEN fr.ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
          |               / count(*), 4) AS repeated_ratio
-         |  FROM g JOIN fr USING (ng) GROUP BY 1)
-         |SELECT d.doc_id, d.lang, qual.quality_score, ent.token_entropy,
+         |  FROM g JOIN fr USING (ng) GROUP BY 1),
+         |$clfCteSql
+         |SELECT d.doc_id, d.lang, qual.quality_score, clf.score AS clf_score,
+         |       ent.token_entropy,
          |       coalesce(rep.repeated_ratio, 0.0) AS repeated_ratio,
          |       substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) AS hkey,
          |       (qual.quality_score >= 4
+         |        AND clf.score > 0
          |        AND ent.token_entropy >= $MinEntropy
          |        AND coalesce(rep.repeated_ratio, 0.0) <= $MaxRepeat
          |        AND CASE
@@ -805,11 +880,22 @@ object PipelineQueries {
          |            THEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < '${rateThreshold(0.8)}'
          |          ELSE true END) AS keep
          |FROM documents d
-         |JOIN qual USING (doc_id) JOIN ent USING (doc_id)
+         |JOIN qual USING (doc_id) JOIN clf USING (doc_id) JOIN ent USING (doc_id)
          |LEFT JOIN rep USING (doc_id)""".stripMargin
     ) { (s, dir) =>
       curationFunnel(Tables.documents(s, dir), "doc_id", "text", "lang",
         MixRates, NGram, MinEntropy, MaxRepeat)
+    },
+
+    // ---- classifier-based quality filtering (CCNet/LLaMA-style
+    // fastText scorer: hashed unigram+bigram features, integer weights
+    // broadcast, logistic-0.5 threshold exact in integers)
+    Q.sql(
+      "q_pipeline_quality_classifier",
+      s"""WITH $clfCteSql
+         |SELECT doc_id, n_feats, score, score > 0 AS keep FROM clf""".stripMargin
+    ) { (s, dir) =>
+      qualityClassifier(Tables.documents(s, dir), "doc_id", "text")
     },
 
     // ---- per-language quality-quantile gate (exact form; the sketch

@@ -16,6 +16,33 @@ class CurationOpsSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
+  // ---------- classifier quality filter: closed-form score ----------
+
+  test("quality classifier: hashed unigram+bigram features score exactly") {
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def w(feat: String): Long = {
+      val b = java.lang.Long.parseLong(md5hex(feat).take(4), 16)
+      (b * 2654435761L) % 2001 - 1000
+    }
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "solo"))
+      .toDF("doc_id", "text")
+    val out = PipelineQueries.qualityClassifier(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    // doc 1: 3 unigrams + 2 bigrams; doc 2: 1 unigram, no bigram
+    val f1 = Seq("alpha", "beta", "gamma", "alpha beta", "beta gamma")
+    assert(out(1L) == ((5L, f1.map(w).sum, f1.map(w).sum > 0)), out(1L))
+    assert(out(2L) == ((1L, w("solo"), w("solo") > 0)), out(2L))
+    // and repeated features count each occurrence (bag, not set)
+    val rep = PipelineQueries.qualityClassifier(
+      Seq((9L, "dup dup")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().head
+    assert(rep.getLong(1) == 3L &&
+      rep.getLong(2) == 2 * w("dup") + w("dup dup"))
+  }
+
   // ---------- PII patterns: closed-form redaction ----------
 
   test("PII patterns redact emails, IPs and phones and nothing else") {

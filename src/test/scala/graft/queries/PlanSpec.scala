@@ -51,6 +51,17 @@ class PlanSpec extends SparkSpec {
     } finally { spark.sparkContext.removeSparkListener(counter); () }
   }
 
+  test("quality classifier: weights broadcast onto the feature stream, ONE doc exchange") {
+    // fastText-style scorer: feature gen + bucket hash scan-local, 65k
+    // weight table broadcast (codegen hash join — never a corpus
+    // shuffle), per-doc score agg is the single exchange
+    val p = plan("q_pipeline_quality_classifier").split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges in:\n$p")
+  }
+
   test("semantic decontamination scans against a broadcast eval side (no corpus shuffle)") {
     val p = plan("q_pipeline_decontaminate_semantic")
     // eval embeddings broadcast under the corpus scan: the cross join
