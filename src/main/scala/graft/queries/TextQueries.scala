@@ -50,6 +50,12 @@ object TextQueries {
   private[queries] val IpPat    = """\b\d{1,3}(\.\d{1,3}){3}\b"""
   private[queries] val PhonePat = """\+\d{1,2} \d{3} \d{4}"""
 
+  /** Gopher word-count band, fixture-tuned: the paper's 50..100k floor
+    * would cut most of the short synthetic docs; 20 keeps the gate
+    * non-degenerate while still cutting the short tail. */
+  val GopherMinWords = 20L
+  val GopherMaxWords = 100000L
+
   val qs: Seq[Q] = Seq(
 
     // ---- scalar string functions over customer (trim/lower/nullif/…;
@@ -331,6 +337,54 @@ object TextQueries {
         |             - sum(c * ln(CAST(c AS DOUBLE))) / sum(c), 4) AS token_entropy
         |FROM tf GROUP BY 1""".stripMargin
     ) { (s, dir) => tokenEntropy(Tables.documents(s, dir), "doc_id", "text") },
+
+    // ---- Gopher repetition-rule battery (Rae et al. quality
+    // heuristics): dup line/paragraph fractions (fixed-width token
+    // blocks stand in for lines — the corpus has no newlines),
+    // top-2/3/4-gram char coverage, symbol-to-word, mean word length.
+    // All ratios quantize-before-divide so the gates are integer-exact.
+    Q.sql(
+      "q_text_gopher_rules",
+      s"""WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+         |b AS (SELECT doc_id, text, t,
+         |  list_transform(generate_series(0, (len(t)+7)//8 - 1),
+         |                 i -> array_to_string(t[i*8+1:i*8+8], ' ')) AS ls,
+         |  list_transform(generate_series(0, (len(t)+31)//32 - 1),
+         |                 i -> array_to_string(t[i*32+1:i*32+32], ' ')) AS ps,
+         |  CASE WHEN len(t) >= 2 THEN list_transform(generate_series(1, len(t)-1),
+         |    i -> array_to_string(t[i:i+1], ' ')) ELSE []::VARCHAR[] END AS g2,
+         |  CASE WHEN len(t) >= 3 THEN list_transform(generate_series(1, len(t)-2),
+         |    i -> array_to_string(t[i:i+2], ' ')) ELSE []::VARCHAR[] END AS g3,
+         |  CASE WHEN len(t) >= 4 THEN list_transform(generate_series(1, len(t)-3),
+         |    i -> array_to_string(t[i:i+3], ' ')) ELSE []::VARCHAR[] END AS g4
+         |  FROM d),
+         |m AS (SELECT doc_id,
+         |  CAST(len(t) AS BIGINT) AS n_words,
+         |  (CAST(length(replace(text, ' ', '')) AS BIGINT) * 10000) // len(t) AS mean_word_len_q,
+         |  (((length(text) - length(replace(text, '#', ''))) +
+         |    (length(text) - length(replace(text, '...', ''))) // 3)
+         |   * CAST(10000 AS BIGINT)) // len(t) AS sym_ratio_q,
+         |  ((CAST(len(ls) AS BIGINT) - len(list_distinct(ls))) * 10000) // len(ls) AS dup_line_q,
+         |  ((CAST(len(ps) AS BIGINT) - len(list_distinct(ps))) * 10000) // len(ps) AS dup_para_q,
+         |  (coalesce(list_max(list_transform(list_distinct(g2),
+         |     g -> CAST(len(list_filter(g2, x -> x = g)) AS BIGINT) * length(g))), 0)
+         |   * 10000) // length(text) AS top2_q,
+         |  (coalesce(list_max(list_transform(list_distinct(g3),
+         |     g -> CAST(len(list_filter(g3, x -> x = g)) AS BIGINT) * length(g))), 0)
+         |   * 10000) // length(text) AS top3_q,
+         |  (coalesce(list_max(list_transform(list_distinct(g4),
+         |     g -> CAST(len(list_filter(g4, x -> x = g)) AS BIGINT) * length(g))), 0)
+         |   * 10000) // length(text) AS top4_q
+         |  FROM b)
+         |SELECT doc_id, n_words, mean_word_len_q, sym_ratio_q,
+         |       dup_line_q, dup_para_q, top2_q, top3_q, top4_q,
+         |       (n_words BETWEEN $GopherMinWords AND $GopherMaxWords
+         |        AND mean_word_len_q BETWEEN 30000 AND 100000
+         |        AND sym_ratio_q <= 1000
+         |        AND dup_line_q < 3000 AND dup_para_q < 3000
+         |        AND top2_q < 2000 AND top3_q < 1800 AND top4_q < 1600) AS pass
+         |FROM m""".stripMargin
+    ) { (s, dir) => gopherRules(Tables.documents(s, dir), "doc_id", "text") },
 
     // ---- PII detection + redaction (emails / IPv4 / phone numbers).
     // The corpus is synthetic, so PII is planted deterministically from
@@ -832,6 +886,71 @@ object TextQueries {
       round(log(sum(col("c")).cast("double"))
         - sum(col("c") * log(col("c").cast("double"))) / sum(col("c")), 4)
         .as("token_entropy"))
+  }
+
+  /** Gopher repetition-rule battery (Rae et al. 2021 §A1.1 quality
+    * heuristics) over any `(id, text)` frame: duplicate-line and
+    * duplicate-paragraph fractions, top-2/3/4-gram character coverage,
+    * symbol-to-word ratio, mean word length, word count — with the
+    * corpus's fixed-width token blocks standing in for lines/paragraphs
+    * (the synthetic text has no newline structure; same stand-in as
+    * blockDedup). Every ratio is integer-quantized BEFORE dividing
+    * (×10000 `div` denominator) so the per-rule gates and the composite
+    * `pass` flag are exact on any engine.
+    *
+    * The top-n-gram metric is the deterministic max-cover variant:
+    * max over distinct n-grams of count(g) × charlen(g), as a fraction
+    * of total characters — no most-frequent tiebreak to replay.
+    *
+    * Scale shape: ENTIRELY scan-local (array expressions over the
+    * per-row token array — zero exchanges, PlanSpec-pinned); the
+    * per-doc n-gram mode is O(distinct-grams × grams) inside the row,
+    * bounded by document length, never corpus-sized. */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String,
+      lineTokens: Int = 8, paraTokens: Int = 32): DataFrame = {
+    def blocks(k: Int) =
+      s"transform(sequence(0, (size(t) + ${k - 1}) div $k - 1), " +
+        s"i -> array_join(slice(t, i * $k + 1, $k), ' '))"
+    def grams(n: Int) =
+      s"case when size(t) >= $n then transform(sequence(1, size(t) - ${n - 1}), " +
+        s"i -> array_join(slice(t, i, $n), ' ')) " +
+        "else cast(array() as array<string>) end"
+    def dupQ(c: String) =
+      s"((cast(size($c) as bigint) - size(array_distinct($c))) * 10000) div size($c)"
+    def coverQ(c: String) =
+      s"(coalesce(aggregate(array_distinct($c), cast(0 as bigint), " +
+        s"(acc, g) -> greatest(acc, cast(size(filter($c, x -> x = g)) as bigint) " +
+        "* length(g))), cast(0 as bigint)) * 10000) div length(text)"
+    val symQ =
+      "(((length(text) - length(replace(text, '#', ''))) + " +
+        "(length(text) - length(replace(text, '...', ''))) div 3) " +
+        "* cast(10000 as bigint)) div size(t)"
+    docs
+      .select(col(idCol), col(textCol).as("text"))
+      .withColumn("t", split(col("text"), " "))
+      .withColumn("ls", expr(blocks(lineTokens)))
+      .withColumn("ps", expr(blocks(paraTokens)))
+      .withColumn("g2", expr(grams(2)))
+      .withColumn("g3", expr(grams(3)))
+      .withColumn("g4", expr(grams(4)))
+      .select(
+        col(idCol),
+        expr("cast(size(t) as bigint)").as("n_words"),
+        expr("(cast(length(replace(text, ' ', '')) as bigint) * 10000) div size(t)")
+          .as("mean_word_len_q"),
+        expr(symQ).as("sym_ratio_q"),
+        expr(dupQ("ls")).as("dup_line_q"),
+        expr(dupQ("ps")).as("dup_para_q"),
+        expr(coverQ("g2")).as("top2_q"),
+        expr(coverQ("g3")).as("top3_q"),
+        expr(coverQ("g4")).as("top4_q"))
+      .withColumn("pass",
+        col("n_words").between(GopherMinWords, GopherMaxWords) &&
+          col("mean_word_len_q").between(30000L, 100000L) &&
+          col("sym_ratio_q") <= 1000L &&
+          col("dup_line_q") < 3000L && col("dup_para_q") < 3000L &&
+          col("top2_q") < 2000L && col("top3_q") < 1800L &&
+          col("top4_q") < 1600L)
   }
 
   /** Composite quality score over any `(id, text)` frame — the filter

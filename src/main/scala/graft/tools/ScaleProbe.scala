@@ -62,7 +62,7 @@ object ScaleProbe {
       // r14: the r13 scan-local ADC probes + the r13 bench outliers
       "q_ann_ivf_pq_multiprobe_kernel", "q_ann_ivf_pq_residual_multiprobe_kernel",
       "q_pipeline_curation_funnel", "q_pipeline_quality_classifier",
-      "q_ts_resample_locf",
+      "q_text_gopher_rules", "q_ts_resample_locf",
       // r14: filtered vector search (predicate-on-candidate-scan forms)
       "q_ann_filtered_topk", "q_ann_ivf_incremental_filtered",
       // r15: retrieval + tokenizer-induction pack

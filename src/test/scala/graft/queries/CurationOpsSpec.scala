@@ -43,6 +43,56 @@ class CurationOpsSpec extends SparkSpec {
       rep.getLong(2) == 2 * w("dup") + w("dup dup"))
   }
 
+  // ---------- Gopher rules: planted-fixture metrics ----------
+
+  test("Gopher rules: planted repetition and symbols hit exactly the right gates") {
+    val line = (1 to 8).map(i => s"w$i").mkString(" ") // one 8-token "line"
+    val docs = Seq(
+      // 4 identical lines → dup_line_q = 7500 (3 of 4 blocks duplicate),
+      // dup_para_q = 0 (32 tokens = one paragraph block)
+      (1L, Seq.fill(4)(line).flatMap(_.split(" ")).mkString(" ")),
+      // "x y" repeated 20 times: the bigram "y x" covers 19×3 chars of
+      // 79 → top2_q floor((57*10000)/79)=7215; all 40 tokens in 2 words
+      (2L, Seq.fill(20)("x y").mkString(" ")),
+      // symbol-heavy: 24 words, 5 '#' → sym_ratio_q = 50000/24 = 2083
+      (3L, ((1 to 19).map(i => s"tok$i") ++ Seq.fill(5)("#")).mkString(" ")),
+      // clean 100-word doc: passes every gate (length matters — a
+      // unique 4-gram covers >16% of a very short doc by itself)
+      (4L, (1 to 100).map(i => s"word$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = TextQueries.gopherRules(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("dup_line_q") == 7500L, out(1L))
+    assert(out(1L).getAs[Long]("dup_para_q") == 0L)
+    assert(!out(1L).getAs[Boolean]("pass")) // dup_line_q >= 3000
+    val d2 = out(2L)
+    assert(d2.getAs[Long]("top2_q") > 2000L, d2) // repetitive bigram cut
+    assert(!d2.getAs[Boolean]("pass"))
+    val d3 = out(3L)
+    assert(d3.getAs[Long]("sym_ratio_q") > 1000L, d3)
+    assert(!d3.getAs[Boolean]("pass"))
+    assert(out(4L).getAs[Boolean]("pass"), out(4L))
+  }
+
+  test("Gopher rules compose with the curation funnel as a doc-grain conjunct") {
+    // the composition shape a pipeline runs: funnel keep ∧ gopher pass,
+    // one doc-grain join — gopher adds no corpus exchange of its own
+    val docs = graft.Tables.documents(spark, dir)
+    val funnel = PipelineQueries.curationFunnel(docs, "doc_id", "text",
+      "lang", Map("en" -> 0.5), 8, 0.0, 1.0)
+      .select($"doc_id", $"keep")
+    val gated = funnel.join(
+      TextQueries.gopherRules(docs, "doc_id", "text")
+        .select($"doc_id", $"pass"), Seq("doc_id"))
+      .select($"doc_id", ($"keep" && $"pass").as("keep"))
+    val n = docs.count()
+    assert(gated.count() == n) // every doc gets a decision
+    val kept = gated.filter($"keep").count()
+    val funnelKept = funnel.filter($"keep").count()
+    assert(kept <= funnelKept) // gopher only tightens the gate
+    assert(kept > 0) // and is non-degenerate on the corpus
+  }
+
   // ---------- PII patterns: closed-form redaction ----------
 
   test("PII patterns redact emails, IPs and phones and nothing else") {

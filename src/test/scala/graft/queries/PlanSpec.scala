@@ -51,6 +51,15 @@ class PlanSpec extends SparkSpec {
     } finally { spark.sparkContext.removeSparkListener(counter); () }
   }
 
+  test("Gopher rules: entirely scan-local (zero exchanges, no join, no window)") {
+    // every metric is an array expression over the per-row token array;
+    // a corpus-grain exchange here would mean the per-doc n-gram mode
+    // accidentally became a groupBy
+    val p = plan("q_text_gopher_rules").split("== Initial Plan ==")(0)
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+  }
+
   test("quality classifier: weights broadcast onto the feature stream, ONE doc exchange") {
     // fastText-style scorer: feature gen + bucket hash scan-local, 65k
     // weight table broadcast (codegen hash join — never a corpus
