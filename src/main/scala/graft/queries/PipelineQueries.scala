@@ -364,6 +364,61 @@ object PipelineQueries {
           coalesce(col("s_keep"), lit(false))).as("keep"))
   }
 
+  /** Best-fit sequence packing: first-fit-decreasing bin packing within
+    * salted groups — the padding-minimizing packer training loaders
+    * prefer when documents must NOT split across sequence boundaries
+    * (complement of [[packSpans]]' concat-and-cut, which splits). Bin
+    * ids are (salt, bin) — deterministic: the salt is an md5 slice of
+    * the doc id and the in-group FFD order is (n desc, doc_id).
+    * Documents longer than `capacity` open a dedicated overflow bin
+    * (flagged) rather than being truncated here.
+    *
+    * Scale shape: FFD is inherently sequential, so exactness is scoped
+    * to salted groups — ONE exchange (groupBy salt), then the whole
+    * pack runs as an `aggregate` fold over the group's sorted doc array
+    * inside the scan. Group size is corpus/salts: at 100 TB the salt
+    * count scales so groups stay ~10k docs and the fold's O(group ×
+    * bins) stays row-local work; cross-group padding cost of salting is
+    * bounded (each group wastes < capacity tokens in its last bin).
+    * The oracle replays the identical fold as a recursive CTE. */
+  def packBestFit(docs: DataFrame, idCol: String, textCol: String,
+      capacity: Int, salts: Int): DataFrame = {
+    val fold =
+      s"""aggregate(
+         |  ds,
+         |  named_struct(
+         |    'loads', cast(array() as array<bigint>),
+         |    'asg', cast(array() as array<struct<doc_id:bigint,n:bigint,bin:bigint>>)),
+         |  (acc, x) -> named_struct(
+         |    'loads',
+         |    if(array_position(transform(acc.loads, l -> l + x.n <= $capacity), true) = 0,
+         |       concat(acc.loads, array(x.n)),
+         |       transform(acc.loads, (l, i) ->
+         |         if(cast(i as bigint) =
+         |            array_position(transform(acc.loads, l2 -> l2 + x.n <= $capacity), true) - 1,
+         |            l + x.n, l))),
+         |    'asg',
+         |    concat(acc.asg, array(named_struct(
+         |      'doc_id', x.k2, 'n', x.n,
+         |      'bin', coalesce(
+         |        nullif(array_position(transform(acc.loads, l -> l + x.n <= $capacity), true), 0L),
+         |        cast(size(acc.loads) + 1 as bigint)))))))""".stripMargin
+    docs
+      .select(
+        col(idCol).cast("long").as("doc_id"),
+        (expr(s"cast(conv(substring(md5(cast($idCol as string)), 1, 4), 16, 10) as bigint)")
+          % salts).as("salt"),
+        expr(s"cast(size(split($textCol, ' ')) as bigint)").as("n"))
+      .groupBy(col("salt"))
+      // FFD total order (n desc, doc_id) via struct sort on (-n, doc_id)
+      .agg(array_sort(collect_list(
+        struct((-col("n")).as("k1"), col("doc_id").as("k2"), col("n")))).as("ds"))
+      .select(col("salt"), explode(expr(fold).getField("asg")).as("a"))
+      .select(col("a.doc_id").as("doc_id"), col("a.n").as("n_tokens"),
+        col("salt"), col("a.bin").as("bin"),
+        (col("a.n") > capacity).as("overflow"))
+  }
+
   /** Hashed-feature buckets for the linear quality classifier: 16 bits
     * of md5 (the repo's engine-portable hash), so the weight table is
     * 65,536 rows — ~1 MB broadcast, the fastText "hashing trick" bucket
@@ -522,6 +577,8 @@ object PipelineQueries {
        |       CAST(least((seq_id + 1) * $CtxLen - start, n) AS INT) AS tok_to
        |FROM c, UNNEST(generate_series(start // $CtxLen,
        |                               (start + n - 1) // $CtxLen)) AS u(seq_id)""".stripMargin
+  private val PackCapacity = 128 // best-fit bin capacity (tokens)
+  private val PackSalts = 8 // salted FFD groups at fixture scale
   private val ValRate = 0.1 // held-out fraction for the leakage-guarded split
   private val BlockTokens = 16 // block width for corpus-wide block dedup
   // en is the dominant stratum in the synthetic corpus; downsample it
@@ -658,6 +715,48 @@ object PipelineQueries {
     ) { (s, dir) =>
       sequencePack(Tables.documents(s, dir), "doc_id",
         size(split(col("text"), " ")), CtxLen)
+    },
+
+    // ---- best-fit packing (FFD within salted groups, no doc splits):
+    // the oracle replays the identical deterministic fold as a
+    // recursive CTE — bin ids hash-match, not just fill statistics
+    Q.sql(
+      "q_pipeline_pack_bestfit",
+      s"""WITH RECURSIVE d AS (
+         |  SELECT doc_id,
+         |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % $PackSalts AS salt,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+         |  FROM documents),
+         |o AS (SELECT salt, doc_id, n,
+         |        row_number() OVER (PARTITION BY salt ORDER BY n DESC, doc_id) AS rn
+         |      FROM d),
+         |sz AS (SELECT salt, count(*) AS cnt FROM o GROUP BY 1),
+         |pack AS (
+         |  SELECT salt, CAST(0 AS BIGINT) AS rn, []::BIGINT[] AS loads,
+         |         []::STRUCT(doc_id BIGINT, n BIGINT, bin BIGINT)[] AS asg
+         |  FROM sz
+         |  UNION ALL
+         |  SELECT p.salt, p.rn + 1,
+         |    CASE WHEN coalesce(list_position(
+         |                list_transform(p.loads, l -> l + o.n <= $PackCapacity), true), 0) = 0
+         |         THEN list_append(p.loads, o.n)
+         |         ELSE list_concat(list_concat(
+         |                p.loads[1:list_position(list_transform(p.loads, l -> l + o.n <= $PackCapacity), true)-1],
+         |                [p.loads[list_position(list_transform(p.loads, l -> l + o.n <= $PackCapacity), true)] + o.n]),
+         |                p.loads[list_position(list_transform(p.loads, l -> l + o.n <= $PackCapacity), true)+1:]) END,
+         |    list_append(p.asg, {'doc_id': o.doc_id, 'n': o.n,
+         |      'bin': CAST(coalesce(nullif(list_position(
+         |               list_transform(p.loads, l -> l + o.n <= $PackCapacity), true), 0),
+         |             len(p.loads) + 1) AS BIGINT)})
+         |  FROM pack p JOIN o ON o.salt = p.salt AND o.rn = p.rn + 1),
+         |f AS (SELECT p.salt, unnest(p.asg) AS a
+         |      FROM pack p JOIN sz USING (salt) WHERE p.rn = sz.cnt)
+         |SELECT a.doc_id AS doc_id, a.n AS n_tokens, f.salt AS salt,
+         |       a.bin AS bin, a.n > $PackCapacity AS overflow
+         |FROM f""".stripMargin
+    ) { (s, dir) =>
+      packBestFit(Tables.documents(s, dir), "doc_id", "text",
+        PackCapacity, PackSalts)
     },
 
     // ---- INCREMENTAL packing map — the maintained form: at 100 TB the

@@ -43,6 +43,7 @@ object ScaleProbe {
       // LLM-pipeline operators (documents-table amplification below)
       "q_pipeline_decontaminate", "q_pipeline_shard_pack",
       "q_pipeline_sequence_pack", "q_pipeline_sequence_pack_incremental",
+      "q_pipeline_pack_bestfit",
       "q_dedup_winnow_fingerprints", "q_dedup_winnow_pairs",
       "q_dedup_winnow_incremental",
       "q_dedup_minhash_lsh", "q_dedup_keep_longest",

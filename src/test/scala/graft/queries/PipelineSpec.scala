@@ -141,6 +141,54 @@ class PipelineSpec extends SparkSpec {
     assert(bySeq.keys.min == 0L && bySeq.size == maxSeq + 1)
   }
 
+  test("packBestFit: valid FFD packing, no doc splits, padding beats concat-and-cut's split rate") {
+    val docs = graft.Tables.documents(spark, dir)
+    val cap = 128
+    val out = PipelineQueries.packBestFit(docs, "doc_id", "text", cap, 8)
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+    // every document appears exactly once — docs never split across bins
+    assert(out.length == docs.count() &&
+      out.map(_._1).distinct.length == out.length)
+    // bin loads respect capacity (overflow bins hold exactly one doc)
+    val byBin = out.groupBy(r => (r._3, r._4))
+    byBin.foreach { case (bin, rows) =>
+      val load = rows.map(_._2).sum
+      if (rows.exists(_._5)) assert(rows.length == 1, s"overflow bin $bin shared")
+      else assert(load <= cap, s"bin $bin overfull: $load")
+    }
+    // bin ids per salt are the contiguous range 1..nbins
+    byBin.keys.toSeq.groupBy(_._1).foreach { case (salt, bins) =>
+      val ids = bins.map(_._2).sorted
+      assert(ids == (1L to ids.length).toSeq, s"salt $salt bins $ids")
+    }
+    // FFD correctness: a doc opened a NEW bin only if no earlier bin of
+    // its salt could have held it at its insertion time — spot-check by
+    // replaying the fold driver-side
+    out.groupBy(_._3).foreach { case (salt, rows) =>
+      val sorted = rows.sortBy(r => (-r._2, r._1))
+      val loads = scala.collection.mutable.ArrayBuffer.empty[Long]
+      sorted.foreach { r =>
+        val idx = loads.indexWhere(_ + r._2 <= cap)
+        val bin = if (idx < 0) { loads += r._2; loads.length } else {
+          loads(idx) += r._2; idx + 1
+        }
+        assert(bin.toLong == r._4, s"salt $salt doc ${r._1}: bin ${r._4} != FFD $bin")
+      }
+    }
+    // the headline economics: best-fit wastes less than concat-and-cut
+    // fragments — padding fraction ≤ the split-doc fraction
+    val realBins = byBin.filter(!_._2.exists(_._5))
+    val padFrac = 1.0 - realBins.values.map(_.map(_._2).sum).sum.toDouble /
+      (realBins.size.toLong * cap)
+    val seq = PipelineQueries.sequencePack(docs, "doc_id",
+      size(split($"text", " ")), 64L).as[(Long, Long, Int, Int)].collect()
+    val splitFrac = seq.groupBy(_._1).count(_._2.map(_._2).distinct.length > 1)
+      .toDouble / seq.map(_._1).distinct.length
+    assert(padFrac <= splitFrac,
+      f"padding $padFrac%.4f should not exceed split rate $splitFrac%.4f")
+    assert(padFrac < 0.1, f"padding $padFrac%.4f unexpectedly high")
+  }
+
   test("incremental packing appends only delta offsets, continuing from the frontier") {
     val docs = graft.Tables.documents(spark, dir).select($"doc_id",
       size(split($"text", " ")).cast("long").as("n_tokens"))
