@@ -36,6 +36,42 @@ object TextQueries {
 
   /** BPE pair-statistics top-k and bigram-LM worst-document list size. */
   private[queries] val BpeTopK = 30
+  private[queries] val BpeMerges = 16
+
+  /** DuckDB replay of [[bpeVocab]]: the 16 greedy merge rounds unrolled
+    * as materialized CTE stages (w0 → p_i count → m_i argmax → w_i
+    * rewrite). MATERIALIZED is load-bearing: DuckDB inlines plain CTEs,
+    * and a 16-deep chain re-evaluates w0's parquet scan exponentially
+    * ("too many open files"). The rewrite uses the same wrapped-symbol
+    * string replace as the Spark side, so merge tables are identical. */
+  private def bpeVocabOracleSql: String = {
+    val w0 =
+      """w0 AS MATERIALIZED (
+        |  SELECT regexp_replace(w, '(.)', '<\1>', 'g') AS s, count(*) AS freq
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY 1)""".stripMargin
+    val stages = (1 to BpeMerges).flatMap { i =>
+      Seq(
+        s"""p$i AS (
+           |  SELECT pr.l AS l, pr.r AS r, CAST(sum(freq) AS BIGINT) AS cnt
+           |  FROM (SELECT string_split(substr(s, 2, length(s) - 2), '><') AS sy, freq
+           |        FROM w${i - 1}),
+           |       UNNEST(list_transform(generate_series(1, len(sy) - 1),
+           |              i -> {'l': sy[i], 'r': sy[i + 1]})) AS u(pr)
+           |  GROUP BY 1, 2)""".stripMargin,
+        s"m$i AS MATERIALIZED (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1)",
+        s"""w$i AS MATERIALIZED (
+           |  SELECT replace(s, '<' || m.l || '><' || m.r || '>',
+           |                 '<' || m.l || m.r || '>') AS s, freq
+           |  FROM w${i - 1}, m$i m)""".stripMargin)
+    }
+    val union = (1 to BpeMerges)
+      .map(i => s"SELECT $i AS it, l, r, l || r AS merged, cnt FROM m$i")
+      .mkString("\nUNION ALL\n")
+    "WITH " + (w0 +: stages).mkString(",\n") +
+      "\nSELECT CAST(it AS INT) AS it, l, r, merged, cnt FROM (" + union +
+      ") ORDER BY it"
+  }
   private[queries] val LmTopN = 50
 
   /** RAG chunking grid (q_text_chunk_windows): window W tokens, stride
@@ -527,6 +563,14 @@ object TextQueries {
         col("pair"), col("cnt"))
     },
 
+    // ---- full BPE vocabulary induction: the 16-round tokenizer-
+    // training loop (greedy merge table), oracle = the same rounds
+    // unrolled as materialized DuckDB CTE stages
+    Q.sql(
+      "q_text_bpe_vocab",
+      bpeVocabOracleSql
+    ) { (s, dir) => bpeVocab(Tables.documents(s, dir), "text", BpeMerges) },
+
     // ---- bigram language-model scoring: the CCNet-style perplexity
     // quality filter — train bigram MLE counts on the corpus itself,
     // score each document by its average negative log-likelihood
@@ -870,6 +914,60 @@ object TextQueries {
             .cast("long").as("pmi_q"))
     }
   )
+
+  /** Full BPE vocabulary induction — the tokenizer-training loop that
+    * q_text_bpe_pairs' one-merge decision table feeds: `merges` greedy
+    * rounds, each (1) counting adjacent symbol pairs over the DISTINCT
+    * word table weighted by word frequency — ONE exchange, (2) picking
+    * the argmax pair deterministically (count desc, then (l, r) lex —
+    * a 1-row TakeOrdered collect: loop CONTROL, not data movement),
+    * (3) rewriting every word's symbol stream scan-locally.
+    *
+    * Symbol streams are wrapped strings (`<s><y><m>`), so the rewrite
+    * is a plain string `replace('<l><r>' → '<lr>')` — both engines
+    * replace left-to-right non-overlapping, which IS greedy BPE merge
+    * order, and wrapped symbols never share boundary characters (the
+    * reason for per-symbol brackets rather than a separator).
+    *
+    * Scale: the loop state is the distinct-word table (|vocab| rows,
+    * corpus-independent after the initial word count — the standard
+    * BPE-training compression), localCheckpoint'd per round so lineage
+    * stays flat. The merge table returned is the model artifact (16
+    * rows). Fails loudly if the corpus exhausts mergeable pairs. */
+  def bpeVocab(docs: DataFrame, textCol: String, merges: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    var words = docs
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .groupBy(regexp_replace(col("w"), "(.)", "<$1>").as("s"))
+      .agg(count(lit(1)).as("freq"))
+      .localCheckpoint()
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    for (it <- 1 to merges) {
+      val top = words
+        .select(split(expr("substring(s, 2, length(s) - 2)"), "><").as("sy"),
+          col("freq"))
+        .filter(size(col("sy")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(sy) - 1), " +
+            "i -> struct(element_at(sy, i) as l, element_at(sy, i + 1) as r))"))
+          .as("pr"), col("freq"))
+        .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      require(top.nonEmpty,
+        s"bpeVocab: corpus exhausted mergeable pairs at round $it of $merges")
+      val (l, r, cnt) =
+        (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+      out += ((it, l, r, l + r, cnt))
+      words = words.select(
+        call_function("replace", col("s"),
+          lit(s"<$l><$r>"), lit(s"<$l$r>")).as("s"),
+        col("freq")).localCheckpoint()
+    }
+    out.toSeq.toDF("it", "l", "r", "merged", "cnt")
+  }
 
   /** Token-distribution Shannon entropy over any `(id, text)` frame —
     * see the q_text_token_entropy doc for the plan shape (one doc_id

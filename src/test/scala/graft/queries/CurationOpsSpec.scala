@@ -43,6 +43,30 @@ class CurationOpsSpec extends SparkSpec {
       rep.getLong(2) == 2 * w("dup") + w("dup dup"))
   }
 
+  // ---------- BPE vocab induction ----------
+
+  test("bpeVocab: greedy merges match a hand-replay and are layout-independent") {
+    // closed-form corpus: "abab" x3 + "abc" x2 + "cd"
+    // round 1: (a,b) cnt 8 beats (b,a) 3, (b,c) 2, (c,d) 1
+    // round 2: pairs over merged streams: (ab,ab) 3, (ab,c) 2, (c,d) 1
+    val docs = Seq((1L, "abab abab abab abc abc cd")).toDF("doc_id", "text")
+    val m = TextQueries.bpeVocab(docs, "text", 4)
+      .as[(Int, String, String, String, Long)].collect().sortBy(_._1)
+    assert(m(0) == ((1, "a", "b", "ab", 8L)), m(0))
+    assert(m(1) == ((2, "ab", "ab", "abab", 3L)), m(1))
+    assert(m(2) == ((3, "ab", "c", "abc", 2L)), m(2))
+    assert(m(3) == ((4, "c", "d", "cd", 1L)), m(3))
+    // layout independence: the merge table is identical however the
+    // corpus is partitioned (partial-agg order must never leak into
+    // the argmax — counts are exact integers, tiebreak is total)
+    val real = graft.Tables.documents(spark, dir)
+    val a = TextQueries.bpeVocab(real, "text", 8)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    val b = TextQueries.bpeVocab(real.repartition(17, $"lang"), "text", 8)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(a == b, s"merge table depends on layout:\n$a\n$b")
+  }
+
   // ---------- Gopher rules: planted-fixture metrics ----------
 
   test("Gopher rules: planted repetition and symbols hit exactly the right gates") {
