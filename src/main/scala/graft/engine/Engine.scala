@@ -1156,10 +1156,14 @@ final class Engine(
     */
   /** dbt-style node selection (`dbt build --select`): a plain name
     * selects one model, `+name` adds its transitive upstream, `name+`
-    * its transitive downstream. Unselected upstream models are NOT
-    * rebuilt — refs resolve to their existing materialized state, which
-    * is exactly dbt's behavior (and the point: restate one fact without
-    * paying the whole DAG). */
+    * its transitive downstream. `state:modified` selects models whose
+    * declared fingerprint differs from the stored manifest.json (or that
+    * the manifest has never seen) — dbt's slim-CI selector against the
+    * previous invocation's manifest; `state:modified+` adds each one's
+    * transitive consumers. Unselected upstream models are NOT rebuilt —
+    * refs resolve to their existing materialized state, which is exactly
+    * dbt's behavior (and the point: restate one fact without paying the
+    * whole DAG). */
   private def selectNodes(select: Seq[String]): Set[String] = {
     val parents = models.map(m => m.name -> m.deps.filter(byName.contains)).toMap
     val children = mutable.Map.empty[String, List[String]].withDefaultValue(Nil)
@@ -1176,10 +1180,54 @@ final class Engine(
     def known(s: String): String =
       if (byName.contains(s)) s else throw new UnknownRefException(s)
     select.flatMap {
+      case s if s == "state:modified" || s == "state:modified+" =>
+        val mod = modifiedSinceManifest
+        if (s.endsWith("+")) mod.flatMap(closure(_, children(_))) else mod
       case s if s.startsWith("+") => closure(known(s.drop(1)), parents(_))
       case s if s.endsWith("+") => closure(known(s.dropRight(1)), children(_))
       case s => Set(known(s))
     }.toSet
+  }
+
+  /** Models whose fingerprint differs from the stored manifest (or are
+    * absent from it). The manifest is rewritten after every build, so
+    * the comparison state is the PREVIOUS invocation — a build selected
+    * by `state:modified` immediately re-baselines itself, like dbt slim
+    * CI promoting the new manifest. No manifest on disk = everything is
+    * modified (first invocation). Parsing rides the writer's own fixed
+    * field order (fingerprint last in each node object). */
+  private def modifiedSinceManifest: Set[String] = {
+    val p = Paths.get(warehouseDir, "manifest.json")
+    if (!Files.exists(p)) models.map(_.name).toSet
+    else {
+      val text = new String(Files.readAllBytes(p), "UTF-8")
+      val stored = """"name":"((?:[^"\\]|\\.)*)"[^{}]*?"fingerprint":"([0-9a-f]+)"""".r
+        .findAllMatchIn(text).map(m => m.group(1) -> m.group(2)).toMap
+      models.filter(m => !stored.get(m.name).contains(fingerprint(m)))
+        .map(_.name).toSet
+    }
+  }
+
+  /** `dbt retry`: re-execute exactly the nodes the LAST invocation left
+    * unfinished — status != ok in run_results.json (errors, failed
+    * tests, and their skipped downstream, which run_results already
+    * enumerates) — resolving refs to successful nodes from warehouse
+    * state. Returns an empty report when there is nothing to retry,
+    * like dbt's "Nothing to do". */
+  def buildRetry(batchTs: java.sql.Timestamp =
+      new java.sql.Timestamp(System.currentTimeMillis()),
+      threads: Int = 1): BuildReport = {
+    val p = Paths.get(warehouseDir, "run_results.json")
+    require(Files.exists(p),
+      "buildRetry: no run_results.json in the warehouse — run build() first")
+    val text = new String(Files.readAllBytes(p), "UTF-8")
+    // writer-controlled format (runResultsJson): name first, status second
+    val redo = """\{"name":"((?:[^"\\]|\\.)*)","status":"([^"]*)"""".r
+      .findAllMatchIn(text)
+      .collect { case m if m.group(2) != "ok" => m.group(1) }
+      .filter(byName.contains).toSeq
+    if (redo.isEmpty) BuildReport(Nil)
+    else build(batchTs, threads, select = redo)
   }
 
   /** `fullRefresh` = dbt's `--full-refresh` (reference `README.md:115`):
@@ -1303,11 +1351,25 @@ final class Engine(
   private def arr(xs: Seq[String]): String =
     xs.map(x => s""""${esc(x)}"""").mkString("[", ",", "]")
 
+  /** Content fingerprint of a model's DECLARED definition: name, deps,
+    * materialization, check names, contract and logic `version` — the
+    * `state:modified` change signal (dbt hashes the model's SQL text;
+    * the closure equivalent is the declared version, see Model). */
+  private def fingerprint(m: Model): String = {
+    val text = Seq(m.name, m.deps.mkString(","),
+      m.materialization.toString, m.checks.map(_.name).mkString(","),
+      m.contract.map { case (c, t) => s"$c:$t" }.mkString(","),
+      m.version.toString).mkString("|")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
   def manifestJson: String = {
     val nodes = topoOrder.map(byName).map { m =>
       s"""{"name":"${esc(m.name)}","deps":${arr(m.deps)}""" +
         s""","materialization":"${esc(m.materialization.toString)}"""" +
-        s""","checks":${arr(m.checks.map(_.name))}}"""
+        s""","checks":${arr(m.checks.map(_.name))}""" +
+        s""","fingerprint":"${fingerprint(m)}"}"""
     }
     s"""{"sources":${arr(sources.keys.toSeq.sorted)},"nodes":${nodes.mkString("[", ",", "]")}}"""
   }

@@ -329,7 +329,14 @@ final class Model(
       * types — checked BEFORE materializing, so a producer-side change
       * fails the node instead of silently rewriting the table's shape
       * for every consumer. Empty = no contract (dbt's default). */
-    val contract: Seq[(String, String)] = Nil) {
+    val contract: Seq[(String, String)] = Nil,
+    /** Declared logic version, the `state:modified` change signal for
+      * the build FUNCTION itself: Scala closures have no stable content
+      * hash across compilations (dbt diffs SQL text; there is no text
+      * here), so a logic change that alters none of the declared shape
+      * (deps/materialization/checks/contract) is announced by bumping
+      * this. Shape changes are fingerprinted automatically. */
+    val version: Int = 0) {
   /** Non-incremental view of the build (views, specs). */
   def build(spark: SparkSession, ref: String => DataFrame): DataFrame =
     buildFn(spark, ref, None)
@@ -341,10 +348,11 @@ object Model {
       deps: Seq[String],
       materialization: Materialization,
       checks: Seq[Check] = Nil,
-      contract: Seq[(String, String)] = Nil)(
+      contract: Seq[(String, String)] = Nil,
+      version: Int = 0)(
       build: (SparkSession, String => DataFrame) => DataFrame): Model =
     new Model(name, deps, materialization, checks, (s, r, _) => build(s, r),
-      contract)
+      contract, version)
 
   /** Model whose build sees its own prior target (`{{ this }}`). */
   def incremental(
@@ -352,7 +360,8 @@ object Model {
       deps: Seq[String],
       materialization: Materialization,
       checks: Seq[Check] = Nil,
-      contract: Seq[(String, String)] = Nil)(
+      contract: Seq[(String, String)] = Nil,
+      version: Int = 0)(
       build: (SparkSession, String => DataFrame, Option[DataFrame]) => DataFrame): Model =
-    new Model(name, deps, materialization, checks, build, contract)
+    new Model(name, deps, materialization, checks, build, contract, version)
 }

@@ -696,6 +696,59 @@ class EngineSpec extends SparkSpec {
       r("tgt").error.exists(_.contains("testHistory")), r.results.mkString("; "))
   }
 
+  test("buildRetry re-executes exactly the failed node and its skipped downstream") {
+    val dir = tmpDir("engretry")
+    var bRows = Seq((1L, "x"), (1L, "y")) // duplicate id → unique check fails
+    def mk() = new Engine(spark, dir, Map.empty, Seq(
+      Model("a", Seq(), Materialization.Table)((s, _) => s.range(3).toDF("id")),
+      Model("b", Seq("a"), Materialization.Table,
+        checks = Seq(Checks.unique("id")))((_, _) => bRows.toDF("id", "v")),
+      Model("c", Seq("b"), Materialization.Table)((_, r) => r("b"))))
+    val r1 = mk().build()
+    assert(!r1.ok && r1("a").status == "ok" && r1("b").status == "test_failed" &&
+      r1("c").status == "skipped_upstream", r1.results.mkString("; "))
+    val aFiles = new java.io.File(s"$dir/a").listFiles.map(f =>
+      s"${f.getName}:${f.lastModified}:${f.length}").toSet
+    // fixture fixed: retry must run b and c ONLY — a's files stay put
+    bRows = Seq((1L, "x"), (2L, "y"))
+    val r2 = mk().buildRetry()
+    assert(r2.ok, r2.results.mkString("; "))
+    assert(r2.results.map(_.name).toSet == Set("b", "c"),
+      r2.results.mkString("; "))
+    assert(new java.io.File(s"$dir/a").listFiles.map(f =>
+      s"${f.getName}:${f.lastModified}:${f.length}").toSet == aFiles,
+      "retry rebuilt an already-successful node")
+    // everything green: nothing to retry
+    assert(mk().buildRetry().results.isEmpty)
+  }
+
+  test("state:modified selects changed models (+consumers); unchanged DAG selects nothing") {
+    val dir = tmpDir("engstate")
+    def mk(bVersion: Int) = new Engine(spark, dir, Map.empty, Seq(
+      Model("a", Seq(), Materialization.Table)((s, _) => s.range(3).toDF("id")),
+      Model("b", Seq("a"), Materialization.Table, version = bVersion)(
+        (_, r) => r("a")),
+      Model("c", Seq("b"), Materialization.Table)((_, r) => r("b"))))
+    assert(mk(0).build().ok) // manifest baseline
+    // unchanged DAG: state:modified+ selects nothing (empty no-op build)
+    val r0 = mk(0).build(select = Seq("state:modified+"))
+    assert(r0.results.isEmpty, r0.results.mkString("; "))
+    // bump b's version: b AND its consumer c build; a untouched
+    val aFiles = new java.io.File(s"$dir/a").listFiles.map(f =>
+      s"${f.getName}:${f.lastModified}:${f.length}").toSet
+    val r1 = mk(1).build(select = Seq("state:modified+"))
+    assert(r1.ok && r1.results.map(_.name).toSet == Set("b", "c"),
+      r1.results.mkString("; "))
+    assert(new java.io.File(s"$dir/a").listFiles.map(f =>
+      s"${f.getName}:${f.lastModified}:${f.length}").toSet == aFiles)
+    // the selected build re-baselined the manifest: selecting again is a no-op
+    assert(mk(1).build(select = Seq("state:modified+")).results.isEmpty)
+    // bare state:modified (no +): only the changed node itself
+    val r2 = mk(2).build(select = Seq("state:modified"))
+    assert(r2.ok && r2.results.map(_.name).toSet == Set("b"),
+      r2.results.mkString("; "))
+  }
+
   test("store_failures: sanitization collisions cannot delete a sibling's failures") {
     val dir = tmpDir("engsfc")
     // model "a.b" sanitizes to the same "a_b__" prefix as model "a_b";
