@@ -2,8 +2,13 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** One-off diagnostic (r17): where does q_dedup_substring_spans' query
-  * phase go at sf0.1? Times each stage in isolation, median-of-3. */
+/** Substring-dedup stage diagnostic. r17: where does the query phase go
+  * at sf0.1 (answer: the scan floor)? r18: is the "generator runs under
+  * each consumer" recomputation a lever (answer: NO — v2 caches the wide
+  * position stream and is 2.5× SLOWER, v3 caches just the candidate
+  * survivors and is a wash; regeneration is codegen-cheap, the 16× cost
+  * is the 9M-row hash-count exchange). Interleaved v1 controls bracket
+  * each variant. Stage times are median-of-3. */
 object SubstringProbe {
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
@@ -53,6 +58,71 @@ object SubstringProbe {
     t("s4_exact_recount")(cnt)
     t("s5_full_v1")(graft.SparkEntry.queries("q_dedup_substring_spans")(spark, dir))
     t("s6_full_remove")(graft.SparkEntry.queries("q_dedup_substring_remove")(spark, dir))
+    // v2: generator runs ONCE into a cached wide position stream
+    // (doc_id, pos, h, tk0..tk7); the hash-count branch prunes to the h
+    // column off the columnar cache, the candidate branch probes it
+    def spansV2(): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+      val tokCols = (0 until SpanK).map(j =>
+        expr(s"element_at(t, pos + $j)").as(s"tk$j"))
+      val wide = win.select(Seq(col("doc_id"), col("pos"), col("h")) ++ tokCols: _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val hc2 = wide.groupBy(col("h")).agg(count(lit(1)).as("ch"))
+        .filter(col("ch") >= 2).select(col("h"))
+      val keys = (0 until SpanK).map(j => s"tk$j")
+      val cand2 = wide.join(broadcast(hc2), Seq("h"))
+      val cnt2 = cand2.groupBy(keys.map(col): _*).agg(count(lit(1)).as("c"))
+      val dup2 = cand2.join(broadcast(cnt2.filter(col("c") >= 2)), keys)
+        .withColumn("run_key", col("pos") - org.apache.spark.sql.functions
+          .row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("doc_id")).orderBy(col("pos"))))
+      (dup2.groupBy(col("doc_id"), col("run_key"))
+        .agg(min(col("pos")).cast("int").as("span_start"),
+          (max(col("pos")) + (SpanK - 1)).cast("int").as("span_end"),
+          count(lit(1)).cast("int").as("n_grams"))
+        .select(col("doc_id"), col("span_start"), col("span_end"), col("n_grams")),
+        wide)
+    }
+    (1 to 3).foreach { i =>
+      val t0 = System.nanoTime()
+      val (df, wide) = spansV2()
+      df.write.format("noop").mode("overwrite").save()
+      println(f"s7_full_v2_cached run$i ${(System.nanoTime() - t0) / 1e9}%.3fs")
+      wide.unpersist(); ()
+    }
+    // interleaved v1 re-run (same-session A/B control)
+    t("s8_full_v1_again")(graft.SparkEntry.queries("q_dedup_substring_spans")(spark, dir))
+    // v3: cache only the CANDIDATE survivors (~9% of positions) — v1
+    // recomputes the generator under BOTH consumers of cand (the exact
+    // recount and the dup join), i.e. three generator runs per query
+    def spansV3(): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+      val tokCols = (0 until SpanK).map(j =>
+        expr(s"element_at(t, pos + $j)").as(s"tk$j"))
+      val hc3 = win.groupBy(col("h")).agg(count(lit(1)).as("ch"))
+        .filter(col("ch") >= 2).select(col("h"))
+      val cand3 = win.join(broadcast(hc3), Seq("h"))
+        .select(Seq(col("doc_id"), col("pos")) ++ tokCols: _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val keys = (0 until SpanK).map(j => s"tk$j")
+      val cnt3 = cand3.groupBy(keys.map(col): _*).agg(count(lit(1)).as("c"))
+      val dup3 = cand3.join(broadcast(cnt3.filter(col("c") >= 2)), keys)
+        .withColumn("run_key", col("pos") - org.apache.spark.sql.functions
+          .row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("doc_id")).orderBy(col("pos"))))
+      (dup3.groupBy(col("doc_id"), col("run_key"))
+        .agg(min(col("pos")).cast("int").as("span_start"),
+          (max(col("pos")) + (SpanK - 1)).cast("int").as("span_end"),
+          count(lit(1)).cast("int").as("n_grams"))
+        .select(col("doc_id"), col("span_start"), col("span_end"), col("n_grams")),
+        cand3)
+    }
+    (1 to 3).foreach { i =>
+      val t0 = System.nanoTime()
+      val (df, c) = spansV3()
+      df.write.format("noop").mode("overwrite").save()
+      println(f"s9_full_v3_candcache run$i ${(System.nanoTime() - t0) / 1e9}%.3fs")
+      c.unpersist(); ()
+    }
+    t("s10_full_v1_again")(graft.SparkEntry.queries("q_dedup_substring_spans")(spark, dir))
     spark.stop()
   }
 }
