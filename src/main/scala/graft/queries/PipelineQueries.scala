@@ -376,13 +376,17 @@ object PipelineQueries {
     * Scale shape: FFD is inherently sequential, so exactness is scoped
     * to salted groups — ONE exchange (groupBy salt), then the whole
     * pack runs as an `aggregate` fold over the group's sorted doc array
-    * inside the scan. Group size is corpus/salts: at 100 TB the salt
-    * count scales so groups stay ~10k docs and the fold's O(group ×
-    * bins) stays row-local work; cross-group padding cost of salting is
-    * bounded (each group wastes < capacity tokens in its last bin).
-    * The oracle replays the identical fold as a recursive CTE. */
+    * inside the scan. The salt count DERIVES FROM THE CORPUS in-plan
+    * (ceil(count/targetGroup) via a broadcast 1-row agg), so groups stay
+    * ~targetGroup docs at any scale and the fold's O(group × bins) cost
+    * is a constant per group — the r18 anchor measured a FIXED salt
+    * count going quadratic (8.9 s at sf0.1) exactly as the scaladoc
+    * predicted; the adaptive count is the designed fix, not a tuning.
+    * Cross-group padding cost of salting is bounded (each group wastes
+    * < capacity tokens in its last bin). The oracle replays the
+    * identical fold as a recursive CTE with the same derived count. */
   def packBestFit(docs: DataFrame, idCol: String, textCol: String,
-      capacity: Int, salts: Int): DataFrame = {
+      capacity: Int, targetGroup: Int): DataFrame = {
     val fold =
       s"""aggregate(
          |  ds,
@@ -403,12 +407,16 @@ object PipelineQueries {
          |      'bin', coalesce(
          |        nullif(array_position(transform(acc.loads, l -> l + x.n <= $capacity), true), 0L),
          |        cast(size(acc.loads) + 1 as bigint)))))))""".stripMargin
-    docs
-      .select(
-        col(idCol).cast("long").as("doc_id"),
-        (expr(s"cast(conv(substring(md5(cast($idCol as string)), 1, 4), 16, 10) as bigint)")
-          % salts).as("salt"),
-        expr(s"cast(size(split($textCol, ' ')) as bigint)").as("n"))
+    val base = docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      expr(s"cast(conv(substring(md5(cast($idCol as string)), 1, 4), 16, 10) as bigint)")
+        .as("h16"),
+      expr(s"cast(size(split($textCol, ' ')) as bigint)").as("n"))
+    base
+      .crossJoin(broadcast(base.agg(expr(
+        s"cast((count(1) + ${targetGroup - 1}) div $targetGroup as bigint)")
+        .as("nsalts"))))
+      .select(col("doc_id"), (col("h16") % col("nsalts")).as("salt"), col("n"))
       .groupBy(col("salt"))
       // FFD total order (n desc, doc_id) via struct sort on (-n, doc_id)
       .agg(array_sort(collect_list(
@@ -578,7 +586,11 @@ object PipelineQueries {
        |FROM c, UNNEST(generate_series(start // $CtxLen,
        |                               (start + n - 1) // $CtxLen)) AS u(seq_id)""".stripMargin
   private val PackCapacity = 128 // best-fit bin capacity (tokens)
-  private val PackSalts = 8 // salted FFD groups at fixture scale
+  // target docs per salted FFD group: the fold is O(group²)-ish
+  // (interpreted HOF + assignment-array copies), so group size is the
+  // latency knob — 320 measured 2.6 s vs 625's 6.6 s at sf0.1 with
+  // padding unchanged (~3%); the salt count derives as ceil(docs/group)
+  private val PackGroup = 320
   private val ValRate = 0.1 // held-out fraction for the leakage-guarded split
   private val BlockTokens = 16 // block width for corpus-wide block dedup
   // en is the dominant stratum in the synthetic corpus; downsample it
@@ -724,7 +736,9 @@ object PipelineQueries {
       "q_pipeline_pack_bestfit",
       s"""WITH RECURSIVE d AS (
          |  SELECT doc_id,
-         |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % $PackSalts AS salt,
+         |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+         |           % (SELECT (count(*) + ${PackGroup - 1}) // $PackGroup
+         |              FROM documents) AS salt,
          |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n
          |  FROM documents),
          |o AS (SELECT salt, doc_id, n,
@@ -756,7 +770,7 @@ object PipelineQueries {
          |FROM f""".stripMargin
     ) { (s, dir) =>
       packBestFit(Tables.documents(s, dir), "doc_id", "text",
-        PackCapacity, PackSalts)
+        PackCapacity, PackGroup)
     },
 
     // ---- INCREMENTAL packing map — the maintained form: at 100 TB the

@@ -144,7 +144,9 @@ class PipelineSpec extends SparkSpec {
   test("packBestFit: valid FFD packing, no doc splits, padding beats concat-and-cut's split rate") {
     val docs = graft.Tables.documents(spark, dir)
     val cap = 128
-    val out = PipelineQueries.packBestFit(docs, "doc_id", "text", cap, 8)
+    // targetGroup 20 forces several salted groups even on the sf0.001
+    // corpus, so the per-salt replay below exercises real salting
+    val out = PipelineQueries.packBestFit(docs, "doc_id", "text", cap, 20)
       .as[(Long, Long, Long, Long, Boolean)].collect()
     // every document appears exactly once — docs never split across bins
     assert(out.length == docs.count() &&
@@ -186,7 +188,9 @@ class PipelineSpec extends SparkSpec {
       .toDouble / seq.map(_._1).distinct.length
     assert(padFrac <= splitFrac,
       f"padding $padFrac%.4f should not exceed split rate $splitFrac%.4f")
-    assert(padFrac < 0.1, f"padding $padFrac%.4f unexpectedly high")
+    // the 20-doc groups pay ~1 part-filled bin each (amortized over few
+    // bins); production-sized groups (625) measured ~2.6% padding
+    assert(padFrac < 0.15, f"padding $padFrac%.4f unexpectedly high")
   }
 
   test("incremental packing appends only delta offsets, continuing from the frontier") {

@@ -62,12 +62,14 @@ class PlanSpec extends SparkSpec {
 
   test("best-fit packing: ONE salt exchange; the FFD fold runs inside the scan") {
     // groupBy(salt) is the only shuffle — the pack itself is an
-    // aggregate() fold over the group's sorted array, never a
-    // per-doc iterative job or a driver loop
+    // aggregate() fold over the group's sorted array, never a per-doc
+    // iterative job or a driver loop. The only join is the 1-row
+    // derived-salt-count broadcast (the in-plan scalar idiom).
     val p = plan("q_pipeline_pack_bestfit").split("== Initial Plan ==")(0)
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(exchanges == 1, s"expected 1 exchange, got $exchanges in:\n$p")
-    assert(!p.contains("Join") && !p.contains("Window"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+      !p.contains("Window"), p)
   }
 
   test("quality classifier: weights broadcast onto the feature stream, ONE doc exchange") {
