@@ -77,6 +77,8 @@ object GraftFunctions {
       "dot_i64", exprs => DotI64(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "topk_cos", TopKCos.fromArgs, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "md5_bucket16", exprs => Md5Bucket16(exprs(0)), "built-in")
   }
 }
 
@@ -97,5 +99,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[TopKCos].getName, "topk_cos"),
       TopKCos.fromArgs))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("md5_bucket16"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[Md5Bucket16].getName, "md5_bucket16"),
+      (exprs: Seq[Expression]) => Md5Bucket16(exprs(0))))
   }
 }

@@ -387,6 +387,7 @@ object PipelineQueries {
     * identical fold as a recursive CTE with the same derived count. */
   def packBestFit(docs: DataFrame, idCol: String, textCol: String,
       capacity: Int, targetGroup: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val fold =
       s"""aggregate(
          |  ds,
@@ -409,8 +410,7 @@ object PipelineQueries {
          |        cast(size(acc.loads) + 1 as bigint)))))))""".stripMargin
     val base = docs.select(
       col(idCol).cast("long").as("doc_id"),
-      expr(s"cast(conv(substring(md5(cast($idCol as string)), 1, 4), 16, 10) as bigint)")
-        .as("h16"),
+      expr(s"cast(md5_bucket16(cast($idCol as string)) as bigint)").as("h16"),
       expr(s"cast(size(split($textCol, ' ')) as bigint)").as("n"))
     base
       .crossJoin(broadcast(base.agg(expr(
@@ -459,6 +459,7 @@ object PipelineQueries {
     * is ~1 MB and nothing else grows super-linearly. */
   def qualityClassifier(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val s = docs.sparkSession
+    graft.functions.GraftFunctions.register(s)
     val t = col("t")
     val bigrams = when(size(t) >= 2,
       transform(sequence(lit(1), size(t) - 1),
@@ -467,8 +468,11 @@ object PipelineQueries {
     docs
       .select(col(idCol), split(col(textCol), " ").as("t"))
       .select(col(idCol), explode(concat(t, bigrams)).as("feat"))
+      // md5_bucket16 = the native-expression form of
+      // conv(substring(md5(feat), 1, 4), 16, 10) — bit-identical,
+      // measured 2.5× on this hot path (Md5Bucket16 scaladoc)
       .select(col(idCol),
-        conv(substring(md5(col("feat")), 1, 4), 16, 10).cast("long").as("bucket"))
+        expr("md5_bucket16(feat)").cast("long").as("bucket"))
       .join(broadcast(classifierWeights(s)), Seq("bucket"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_feats"), sum(col("w")).as("score"))

@@ -69,7 +69,7 @@ object ScaleProbe {
       // r15: retrieval + tokenizer-induction pack
       "q_text_bm25_topk", "q_text_bm25_incremental", "q_hybrid_search_rrf",
       "q_ann_recall_eval", "q_ann_mmr_rerank", "q_ann_ivf_retrain",
-      "q_text_bpe_pairs", "q_text_lm_score",
+      "q_text_bpe_pairs", "q_text_bpe_vocab", "q_text_lm_score",
       "q_ann_ivf_incremental_retrain",
       // r15b: compression/mining/mixing pack
       "q_ann_binary_hamming", "q_ann_matryoshka_rerank",

@@ -419,10 +419,12 @@ class PipelineSpec extends SparkSpec {
       .select($"doc_id", $"repeated_ratio").as[(Long, Double)].collect().toMap
     val sampled = PipelineQueries.mixSample(docs, "doc_id", "lang", rates)
       .select($"doc_id").as[Long].collect().toSet
+    val clf = PipelineQueries.qualityClassifier(docs, "doc_id", "text")
+      .select($"doc_id", $"score").as[(Long, Long)].collect().toMap
     val ids = docs.select($"doc_id").as[Long].collect()
     assert(ids.nonEmpty)
     ids.foreach { id =>
-      val expected = qual(id) && ent(id) >= 2.8 &&
+      val expected = qual(id) && clf(id) > 0 && ent(id) >= 2.8 &&
         rep.getOrElse(id, 0.0) <= 0.5 && sampled(id)
       assert(funnel(id) == expected, s"doc $id")
     }
