@@ -1262,8 +1262,15 @@ final class Engine(
           case None => () // raw source: passes through `sources` below
         }
       sub.flatMap(_.deps).distinct.foreach(visit)
+      // forward the audit/test surface: a selected build (including
+      // buildRetry and state:modified) must still gate on unit tests,
+      // log trend lines and persist failures for the selected nodes —
+      // dropping the flags here would silently weaken partial builds
       val eng = new Engine(spark, warehouseDir,
-        sources ++ pinned.map(n => n -> ref(n)).toMap, sub ++ viewsAlong.values)
+        sources ++ pinned.map(n => n -> ref(n)).toMap, sub ++ viewsAlong.values,
+        storeFailures = storeFailures,
+        unitTests = unitTests.filter(ut => sel(ut.model)),
+        testHistory = testHistory)
       val rpt = eng.build(batchTs, threads, Nil, fullRefresh)
       if (viewsRegistered) registerViews()
       writeManifest() // the inner engine wrote the subset's view; the

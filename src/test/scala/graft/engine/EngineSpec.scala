@@ -696,6 +696,27 @@ class EngineSpec extends SparkSpec {
       r("tgt").error.exists(_.contains("testHistory")), r.results.mkString("; "))
   }
 
+  test("selected builds keep the audit/test surface: unit tests gate, history logs") {
+    val dir = tmpDir("engselaudit")
+    def mk(expectN2: Long) = new Engine(spark, dir, Map.empty, Seq(
+      Model("a", Seq(), Materialization.Table)((s, _) => s.range(3).toDF("id")),
+      Model("b", Seq("a"), Materialization.Table)((_, r) =>
+        r("a").withColumn("n2", col("id") * 2))),
+      unitTests = Seq(UnitTest("ut_b", "b",
+        Map("a" -> Seq(1L).toDF("id")),
+        Seq((1L, expectN2)).toDF("id", "n2"))),
+      testHistory = true)
+    assert(mk(2L).build().ok)
+    // a SELECTED build must still run b's unit test (red expectation
+    // fails the node) and append its build_history line when green
+    val bad = mk(99L).build(select = Seq("b"))
+    assert(bad("b").status == "unit_test_failed", bad.results.mkString("; "))
+    assert(mk(2L).build(select = Seq("b")).ok)
+    val hist = scala.io.Source.fromFile(s"$dir/_audit/build_history.jsonl")
+      .getLines().toSeq.filter(_.contains(""""model":"b""""))
+    assert(hist.size == 2, hist.mkString("\n")) // full build + selected build
+  }
+
   test("buildRetry re-executes exactly the failed node and its skipped downstream") {
     val dir = tmpDir("engretry")
     var bRows = Seq((1L, "x"), (1L, "y")) // duplicate id → unique check fails
