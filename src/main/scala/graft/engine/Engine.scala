@@ -84,10 +84,21 @@ final class Engine(
       * builds so trends are queryable from storage. Off by default: the
       * trend log needs exact violation counts, which upgrades a green
       * check's short-circuit `isEmpty` probe to a full `count()`. */
-    val testHistory: Boolean = false) {
+    val testHistory: Boolean = false,
+    /** dbt exposures: declared downstream consumers — manifest entries
+      * that participate in selection (`[+]exposure:name`). */
+    val exposures: Seq[Exposure] = Nil) {
 
   private val byName: Map[String, Model] = models.map(m => m.name -> m).toMap
   require(byName.size == models.size, "duplicate model names")
+  exposures.foreach { e =>
+    val unknown = e.dependsOn.filterNot(byName.contains)
+    require(unknown.isEmpty,
+      s"exposure '${e.name}' depends on unknown model(s): ${unknown.mkString(", ")}")
+  }
+  private val exposureByName: Map[String, Exposure] =
+    exposures.map(e => e.name -> e).toMap
+  require(exposureByName.size == exposures.size, "duplicate exposure names")
 
   private def path(name: String): String = s"$warehouseDir/$name"
 
@@ -1044,6 +1055,17 @@ final class Engine(
       if (utFailed.nonEmpty)
         return NodeResult(name, "unit_test_failed", 0, utFailed,
           elapsedMs = (System.nanoTime() - t0) / 1000000L)
+      // dbt pre/post-hooks run inside the node's slot; a throwing hook
+      // fails the node (outer catch → status "error") and, like any
+      // error, blocks transitive downstream.
+      def runHooks(hooks: Seq[Hook], phase: String): Unit = hooks.foreach { h =>
+        try h.run(spark, ref)
+        catch {
+          case e: Exception => throw new RuntimeException(
+            s"${phase}_hook '${h.name}' on $name failed: ${e.getMessage}", e)
+        }
+      }
+      runHooks(m.preHooks, "pre")
       // Tag THIS node's jobs (thread-local property — safe under
       // threads>1) so the listener can attribute shuffle bytes; drain
       // the async bus before reading the total so it is final.
@@ -1051,6 +1073,7 @@ final class Engine(
       val sc = spark.sparkContext
       sc.setJobGroup(group, s"graft build: $name")
       val rows = try materialize(m, batchTs, fullRefresh) finally sc.clearJobGroup()
+      runHooks(m.postHooks, "post")
       org.apache.spark.graftaccess.SparkListenerAccess.drain(sc)
       // build-volume trend line (consumed by Checks.volumeAnomaly via
       // the `_build_history` ref): appended BEFORE the check pass — with
@@ -1179,10 +1202,21 @@ final class Engine(
     // empty no-op build look like success.
     def known(s: String): String =
       if (byName.contains(s)) s else throw new UnknownRefException(s)
+    // dbt `[+]exposure:name`: the exposure's declared model deps; the
+    // "+" form adds their transitive upstream — "build what this
+    // dashboard needs".
+    def exposureDeps(n: String): Seq[String] =
+      exposureByName.getOrElse(n,
+        throw new UnknownRefException(s"exposure:$n")).dependsOn
     select.flatMap {
       case s if s == "state:modified" || s == "state:modified+" =>
         val mod = modifiedSinceManifest
         if (s.endsWith("+")) mod.flatMap(closure(_, children(_))) else mod
+      case s if s.startsWith("+exposure:") =>
+        exposureDeps(s.stripPrefix("+exposure:"))
+          .flatMap(closure(_, parents(_))).toSet
+      case s if s.startsWith("exposure:") =>
+        exposureDeps(s.stripPrefix("exposure:")).toSet
       case s if s.startsWith("+") => closure(known(s.drop(1)), parents(_))
       case s if s.endsWith("+") => closure(known(s.dropRight(1)), children(_))
       case s => Set(known(s))
@@ -1366,7 +1400,9 @@ final class Engine(
     val text = Seq(m.name, m.deps.mkString(","),
       m.materialization.toString, m.checks.map(_.name).mkString(","),
       m.contract.map { case (c, t) => s"$c:$t" }.mkString(","),
-      m.version.toString).mkString("|")
+      m.version.toString,
+      (m.preHooks.map("pre:" + _.name) ++ m.postHooks.map("post:" + _.name))
+        .mkString(",")).mkString("|")
     java.security.MessageDigest.getInstance("MD5")
       .digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
@@ -1378,7 +1414,13 @@ final class Engine(
         s""","checks":${arr(m.checks.map(_.name))}""" +
         s""","fingerprint":"${fingerprint(m)}"}"""
     }
-    s"""{"sources":${arr(sources.keys.toSeq.sorted)},"nodes":${nodes.mkString("[", ",", "]")}}"""
+    val exps = exposures.sortBy(_.name).map { e =>
+      s"""{"name":"${esc(e.name)}","depends_on":${arr(e.dependsOn)}""" +
+        s""","owner":"${esc(e.owner)}","url":"${esc(e.url)}"}"""
+    }
+    s"""{"sources":${arr(sources.keys.toSeq.sorted)}""" +
+      s""","nodes":${nodes.mkString("[", ",", "]")}""" +
+      s""","exposures":${exps.mkString("[", ",", "]")}}"""
   }
 
   /** dbt's OTHER per-invocation artifact, `target/run_results.json`: one

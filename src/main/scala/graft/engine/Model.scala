@@ -336,11 +336,37 @@ final class Model(
       * here), so a logic change that alters none of the declared shape
       * (deps/materialization/checks/contract) is announced by bumping
       * this. Shape changes are fingerprinted automatically. */
-    val version: Int = 0) {
+    val version: Int = 0,
+    /** dbt pre-hooks: named side actions run INSIDE the node's slot,
+      * after unit tests gate but before materialization (dbt runs them
+      * in the model's transaction). A throwing hook fails the node with
+      * status "error" and blocks downstream. `ref` resolves upstream
+      * state; the model's own target only exists if a prior build made
+      * it. */
+    val preHooks: Seq[Hook] = Nil,
+    /** dbt post-hooks: run right after materialization, before the
+      * check pass — the audit-row / grant / cache-pin slot. `ref(name)`
+      * sees the freshly materialized target. */
+    val postHooks: Seq[Hook] = Nil) {
   /** Non-incremental view of the build (views, specs). */
   def build(spark: SparkSession, ref: String => DataFrame): DataFrame =
     buildFn(spark, ref, None)
 }
+
+/** A named pre/post-hook (dbt `pre-hook:`/`post-hook:`). A Scala
+  * function rather than a SQL string: on Spark the realistic hook
+  * effects are engine-side (audit appends, cache pins, catalog ops),
+  * and a function composes with `ref` — a SQL-string hook is just
+  * `Hook(n, (s, _) => { s.sql(text); () })` when wanted. */
+final case class Hook(name: String,
+    run: (SparkSession, String => DataFrame) => Unit)
+
+/** dbt exposure: a DECLARED downstream consumer (dashboard, notebook,
+  * ML job) outside the DAG — documentation that participates in
+  * selection (`+exposure:name` builds everything the consumer needs)
+  * and lands in manifest.json for lineage tooling. */
+final case class Exposure(name: String, dependsOn: Seq[String],
+    owner: String = "", url: String = "")
 
 object Model {
   def apply(
@@ -349,10 +375,33 @@ object Model {
       materialization: Materialization,
       checks: Seq[Check] = Nil,
       contract: Seq[(String, String)] = Nil,
-      version: Int = 0)(
+      version: Int = 0,
+      preHooks: Seq[Hook] = Nil,
+      postHooks: Seq[Hook] = Nil)(
       build: (SparkSession, String => DataFrame) => DataFrame): Model =
     new Model(name, deps, materialization, checks, (s, r, _) => build(s, r),
-      contract, version)
+      contract, version, preHooks, postHooks)
+
+  /** dbt seed: a version-controlled CSV materialized as a table — the
+    * small reference data (currency codes, country maps, test fixtures)
+    * a project checks in next to its models. Header + type inference
+    * like the reference's loader, WITHOUT lineage stamping (a seed is
+    * declared data, not an ingested feed — dbt seeds carry no
+    * ingested_at either); `columnTypes` pins dialect-sensitive columns
+    * (dbt's `seeds: +column_types:`). Rebuilt in full every build, like
+    * `dbt seed`. */
+  def seed(
+      name: String,
+      csvPath: String,
+      columnTypes: Map[String, String] = Map.empty,
+      checks: Seq[Check] = Nil): Model =
+    Model(name, Seq(), Materialization.Table, checks) { (s, _) =>
+      val raw = s.read.option("header", "true")
+        .option("inferSchema", "true").csv(csvPath)
+      columnTypes.foldLeft(raw) { case (df, (c, t)) =>
+        df.withColumn(c, org.apache.spark.sql.functions.col(c).cast(t))
+      }
+    }
 
   /** Model whose build sees its own prior target (`{{ this }}`). */
   def incremental(

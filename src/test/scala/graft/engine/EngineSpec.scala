@@ -696,6 +696,83 @@ class EngineSpec extends SparkSpec {
       r("tgt").error.exists(_.contains("testHistory")), r.results.mkString("; "))
   }
 
+  test("seeds: version-controlled CSV materializes as a typed table models can ref") {
+    val dir = tmpDir("engseed")
+    val csv = java.nio.file.Files.createTempDirectory("graft_seed")
+      .resolve("currency.csv")
+    java.nio.file.Files.write(csv,
+      "code,rate,active\nUSD,1.0,true\nEUR,1.08,true\nXXX,0,false\n"
+        .getBytes("UTF-8"))
+    val e = new Engine(spark, dir, Map.empty, Seq(
+      Model.seed("seed_currency", csv.toString,
+        columnTypes = Map("rate" -> "decimal(10,4)"),
+        checks = Seq(Checks.unique("code"))),
+      Model("rates", Seq("seed_currency"), Materialization.Table)((_, r) =>
+        r("seed_currency").filter(col("active")))))
+    val rpt = e.build()
+    assert(rpt.ok, rpt.results.mkString("; "))
+    val seed = e.ref("seed_currency")
+    // column_types pin dialect-sensitive columns; the rest infer
+    assert(seed.schema("rate").dataType.typeName == "decimal(10,4)", seed.schema)
+    assert(seed.schema("active").dataType.typeName == "boolean")
+    assert(seed.count() == 3 && e.ref("rates").count() == 2)
+    // no lineage stamping: a seed is declared data, not an ingested feed
+    assert(!seed.columns.contains("ingested_at"))
+  }
+
+  test("pre/post-hooks run in order inside the node slot; a throwing hook fails it") {
+    val dir = tmpDir("enghooks")
+    val log = scala.collection.mutable.ArrayBuffer.empty[String]
+    val e = new Engine(spark, dir, Map.empty, Seq(
+      Model("tgt", Seq(), Materialization.Table,
+        preHooks = Seq(Hook("audit_pre", (_, _) => { log += "pre"; () })),
+        postHooks = Seq(Hook("audit_post", (_, r) => {
+          // post-hook sees the freshly materialized target through ref
+          log += s"post:${r("tgt").count()}"; ()
+        })))((s, _) => { log += "build"; s.range(4).toDF("id") })))
+    assert(e.build().ok)
+    assert(log.toSeq == Seq("pre", "build", "post:4"), log)
+    // a throwing PRE-hook fails the node before materializing and
+    // blocks downstream
+    val dir2 = tmpDir("enghooks2")
+    val e2 = new Engine(spark, dir2, Map.empty, Seq(
+      Model("a", Seq(), Materialization.Table,
+        preHooks = Seq(Hook("boom", (_, _) =>
+          throw new IllegalStateException("nope"))))((s, _) =>
+        s.range(1).toDF("id")),
+      Model("b", Seq("a"), Materialization.Table)((_, r) => r("a"))))
+    val r2 = e2.build()
+    assert(r2("a").status == "error" &&
+      r2("a").error.exists(m => m.contains("pre_hook 'boom'") && m.contains("nope")),
+      r2.results.mkString("; "))
+    assert(r2("b").status == "skipped_upstream")
+    assert(!new java.io.File(s"$dir2/a").exists, "pre-hook failure must gate the write")
+  }
+
+  test("exposures: manifest entries + [+]exposure selection; unknown deps fail loudly") {
+    val dir = tmpDir("engexpo")
+    def mk() = new Engine(spark, dir, Map.empty, Seq(
+      Model("a", Seq(), Materialization.Table)((s, _) => s.range(2).toDF("id")),
+      Model("b", Seq("a"), Materialization.Table)((_, r) => r("a")),
+      Model("c", Seq(), Materialization.Table)((s, _) => s.range(9).toDF("id"))),
+      exposures = Seq(Exposure("finance_dash", Seq("b"),
+        owner = "analytics", url = "https://bi/finance")))
+    assert(mk().build().ok)
+    val man = mk().manifestJson
+    assert(man.contains(""""exposures":[{"name":"finance_dash"""") &&
+      man.contains(""""depends_on":["b"]"""), man)
+    // exposure:name = the dashboard's direct deps; + adds upstream
+    val r1 = mk().build(select = Seq("exposure:finance_dash"))
+    assert(r1.results.map(_.name) == Seq("b"), r1.results.mkString("; "))
+    val r2 = mk().build(select = Seq("+exposure:finance_dash"))
+    assert(r2.results.map(_.name).toSet == Set("a", "b"), r2.results.mkString("; "))
+    intercept[IllegalArgumentException] {
+      new Engine(spark, dir, Map.empty, Seq(
+        Model("a", Seq(), Materialization.Table)((s, _) => s.range(1).toDF("id"))),
+        exposures = Seq(Exposure("dash", Seq("ghost"))))
+    }
+  }
+
   test("selected builds keep the audit/test surface: unit tests gate, history logs") {
     val dir = tmpDir("engselaudit")
     def mk(expectN2: Long) = new Engine(spark, dir, Map.empty, Seq(
