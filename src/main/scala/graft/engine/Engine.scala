@@ -1073,15 +1073,16 @@ final class Engine(
       val sc = spark.sparkContext
       sc.setJobGroup(group, s"graft build: $name")
       val rows = try materialize(m, batchTs, fullRefresh) finally sc.clearJobGroup()
-      runHooks(m.postHooks, "post")
-      org.apache.spark.graftaccess.SparkListenerAccess.drain(sc)
       // build-volume trend line (consumed by Checks.volumeAnomaly via
-      // the `_build_history` ref): appended BEFORE the check pass — with
-      // a PROVISIONAL "ok" — so volumeAnomaly sees this build as the
-      // newest row while it runs. If the check pass then fails (or the
-      // node errors), rewriteBuildStatus corrects the line, so a build
-      // that failed its checks (including a volume anomaly itself)
-      // never enters future anomaly baselines.
+      // the `_build_history` ref): appended IMMEDIATELY after
+      // materialize — before post-hooks and the check pass — with a
+      // PROVISIONAL "ok", so every COMMITTED generation is represented
+      // in the trend log even when a post-hook throws (the table swap
+      // has already happened by then; skipping the line would make
+      // future volumeAnomaly baselines silently miss a generation that
+      // changed the table). If a post-hook or the check pass then fails
+      // (or the node errors), rewriteBuildStatus corrects the line, so
+      // a failed build never enters future anomaly baselines as "ok".
       if (testHistory && m.materialization != Materialization.View) {
         val sq = Engine.nextSeq()
         histSeq = Some(sq)
@@ -1091,6 +1092,8 @@ final class Engine(
             s""","batch_ts":"${esc(batchTs.toString)}"""" +
             s""","seq":$sq}"""))
       }
+      runHooks(m.postHooks, "post")
+      org.apache.spark.graftaccess.SparkListenerAccess.drain(sc)
       val sb =
         if (m.materialization == Materialization.View) -1L
         else shuffle.totalFor(group)
@@ -1100,18 +1103,22 @@ final class Engine(
       // was red last build and is green now leaves no stale rows
       // misreporting current state. (The per-check overwrite below only
       // fires for currently-failing checks, so it cannot clean these up.)
-      // Delete EXACTLY this model's declared check dirs, never a prefix
-      // scan: sanitization collapses distinct names (models "a.b" and
-      // "a_b" share a prefix) and a prefix match could delete a sibling
+      // Delete EXACTLY this model's check dirs, never a prefix scan:
+      // sanitization collapses distinct names (models "a.b" and "a_b"
+      // share a prefix) and a prefix match could delete a sibling
       // model's stored failures — or race its in-flight write under
-      // threads > 1.
-      if (storeFailures && m.checks.nonEmpty)
-        m.checks.foreach { c =>
-          val safe = s"${name}__${c.name}".map(ch =>
-            if (ch.isLetterOrDigit || ch == '_') ch else '_')
+      // threads > 1. The dir set is declared checks ∪ the checks the
+      // stored manifest recorded for this model LAST invocation, so a
+      // check that was renamed or removed cannot leave its old red
+      // violation parquet behind misreporting current state.
+      if (storeFailures) {
+        val checkDirs = (m.checks.map(_.name) ++ storedCheckNames(name))
+          .distinct.map(cn => sanitizeDirName(s"${name}__$cn"))
+        checkDirs.foreach { safe =>
           val dir = new java.io.File(s"$warehouseDir/_test_failures/$safe")
           if (dir.isDirectory) DirSwap.deleteRecursively(dir.getPath)
         }
+      }
       // A check referencing a model that does not exist is skipped with
       // a warning, matching dbt (the reference declares tests against
       // nonexistent `dim_feature` / `mart_subscription_month_enriched`
@@ -1127,8 +1134,7 @@ final class Engine(
             if (testHistory) v.count() else if (v.isEmpty) 0L else -1L
           val bad = nViol != 0L
           if (bad && storeFailures) {
-            val safe = s"${name}__${c.name}".map(ch =>
-              if (ch.isLetterOrDigit || ch == '_') ch else '_')
+            val safe = sanitizeDirName(s"${name}__${c.name}")
             v.write.mode("overwrite")
               .parquet(s"$warehouseDir/_test_failures/$safe")
           }
@@ -1230,17 +1236,57 @@ final class Engine(
     * CI promoting the new manifest. No manifest on disk = everything is
     * modified (first invocation). Parsing rides the writer's own fixed
     * field order (fingerprint last in each node object). */
-  private def modifiedSinceManifest: Set[String] = {
+  private def modifiedSinceManifest: Set[String] =
+    models.filterNot(m => storedFingerprints.get(m.name).contains(fingerprint(m)))
+      .map(_.name).toSet
+
+  /** Fingerprints as the LAST written manifest recorded them (empty map
+    * when no manifest exists). Read both by `state:modified` (the
+    * comparison side) and by manifest writing (the carry-forward side —
+    * see writeManifest). Parsing rides the writer's own fixed field
+    * order (fingerprint last in each node object); a node written with
+    * the non-hex "unbuilt" sentinel simply fails the hex match and stays
+    * absent — i.e. still modified. */
+  private def storedFingerprints: Map[String, String] = {
     val p = Paths.get(warehouseDir, "manifest.json")
-    if (!Files.exists(p)) models.map(_.name).toSet
+    if (!Files.exists(p)) Map.empty
     else {
       val text = new String(Files.readAllBytes(p), "UTF-8")
-      val stored = """"name":"((?:[^"\\]|\\.)*)"[^{}]*?"fingerprint":"([0-9a-f]+)"""".r
+      """"name":"((?:[^"\\]|\\.)*)"[^{}]*?"fingerprint":"([0-9a-f]+)"""".r
         .findAllMatchIn(text).map(m => m.group(1) -> m.group(2)).toMap
-      models.filter(m => !stored.get(m.name).contains(fingerprint(m)))
-        .map(_.name).toSet
     }
   }
+
+  /** Check names the stored manifest recorded for `model` on the LAST
+    * invocation (empty when no manifest / model unknown to it). Drives
+    * store_failures staleness cleanup: a renamed or removed check's
+    * violation dir is only discoverable through this record. */
+  private def storedCheckNames(model: String): Seq[String] = {
+    val p = Paths.get(warehouseDir, "manifest.json")
+    if (!Files.exists(p)) Nil
+    else {
+      val text = new String(Files.readAllBytes(p), "UTF-8")
+      (""""name":"""" + java.util.regex.Pattern.quote(esc(model)) +
+        """"[^{}]*?"checks":\[([^\]]*)\]""").r
+        .findFirstMatchIn(text).map(_.group(1)).toSeq
+        .flatMap(inner => """"((?:[^"\\]|\\.)*)"""".r
+          .findAllMatchIn(inner).map(_.group(1)))
+        .map(unesc)
+    }
+  }
+
+  private def unesc(s: String): String =
+    """\\(u[0-9a-fA-F]{4}|.)""".r.replaceAllIn(s, m => {
+      val g = m.group(1)
+      java.util.regex.Matcher.quoteReplacement(
+        if (g.startsWith("u")) Integer.parseInt(g.drop(1), 16).toChar.toString
+        else g)
+    })
+
+  /** One sanitization for every `_test_failures` dir derivation — write
+    * and cleanup MUST agree on it byte-for-byte. */
+  private def sanitizeDirName(s: String): String =
+    s.map(ch => if (ch.isLetterOrDigit || ch == '_') ch else '_')
 
   /** `dbt retry`: re-execute exactly the nodes the LAST invocation left
     * unfinished — status != ok in run_results.json (errors, failed
@@ -1305,10 +1351,21 @@ final class Engine(
         storeFailures = storeFailures,
         unitTests = unitTests.filter(ut => sel(ut.model)),
         testHistory = testHistory)
+      // capture the pre-build fingerprints NOW: the inner engine's own
+      // manifest write (subset view) clobbers the file before the full
+      // rewrite below, and unselected nodes must carry forward their
+      // PRE-build state, not the subset view's
+      val prior = storedFingerprints
       val rpt = eng.build(batchTs, threads, Nil, fullRefresh)
       if (viewsRegistered) registerViews()
-      writeManifest() // the inner engine wrote the subset's view; the
-      return BuildReport(rpt.results.filter(r => sel(r.name))) // full project wins
+      // the inner engine wrote the subset's view; the full project wins.
+      // Promote only SELECTED nodes that built green — a ride-along view
+      // or unselected model keeps its prior fingerprint, so
+      // state:modified still sees it (dbt promotes --state only on green)
+      writeManifest(
+        rpt.results.filter(r => sel(r.name) && r.status == "ok").map(_.name).toSet,
+        prior)
+      return BuildReport(rpt.results.filter(r => sel(r.name)))
     }
     val order = topoOrder
     // Per-build shuffle accounting: one listener, removed on exit; the
@@ -1371,7 +1428,11 @@ final class Engine(
       }
     } finally spark.sparkContext.removeSparkListener(shuffle)
     if (viewsRegistered) registerViews() // refresh pinned file listings
-    writeManifest()
+    // promote fingerprints only for green nodes; errored/test-failed/
+    // skipped ones carry forward so state:modified re-selects them
+    writeManifest(
+      report.results.filter(_.status == "ok").map(_.name).toSet,
+      storedFingerprints)
     Files.write(Paths.get(warehouseDir, "run_results.json"),
       runResultsJson(report).getBytes("UTF-8"))
     report
@@ -1407,12 +1468,26 @@ final class Engine(
       .digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
 
-  def manifestJson: String = {
+  def manifestJson: String = manifestJson(models.map(_.name).toSet, Map.empty)
+
+  /** The manifest view with SELECTIVE fingerprint promotion — the dbt
+    * slim-CI state rule. Only nodes in `promote` (those this invocation
+    * actually built green) get their CURRENT fingerprint; every other
+    * node carries forward its fingerprint from `prior` (the manifest as
+    * it stood before the build), so a modified-but-unselected (or
+    * failed) model is NOT silently re-baselined — a later
+    * `state:modified` still selects it. A node that is neither promoted
+    * nor previously stored gets the non-hex "unbuilt" sentinel, which
+    * the stored-fingerprint parse rejects → still modified. */
+  private def manifestJson(promote: Set[String], prior: Map[String, String]): String = {
     val nodes = topoOrder.map(byName).map { m =>
+      val fp =
+        if (promote(m.name)) fingerprint(m)
+        else prior.getOrElse(m.name, "unbuilt")
       s"""{"name":"${esc(m.name)}","deps":${arr(m.deps)}""" +
         s""","materialization":"${esc(m.materialization.toString)}"""" +
         s""","checks":${arr(m.checks.map(_.name))}""" +
-        s""","fingerprint":"${fingerprint(m)}"}"""
+        s""","fingerprint":"$fp"}"""
     }
     val exps = exposures.sortBy(_.name).map { e =>
       s"""{"name":"${esc(e.name)}","depends_on":${arr(e.dependsOn)}""" +
@@ -1440,10 +1515,10 @@ final class Engine(
     s"""{"results":${nodes.mkString("[", ",", "]")}}"""
   }
 
-  private def writeManifest(): Unit = {
+  private def writeManifest(promote: Set[String], prior: Map[String, String]): Unit = {
     Files.createDirectories(Paths.get(warehouseDir))
     Files.write(Paths.get(warehouseDir, "manifest.json"),
-      manifestJson.getBytes("UTF-8"))
+      manifestJson(promote, prior).getBytes("UTF-8"))
     ()
   }
 

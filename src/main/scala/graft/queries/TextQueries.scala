@@ -404,13 +404,13 @@ object TextQueries {
          |  ((CAST(len(ps) AS BIGINT) - len(list_distinct(ps))) * 10000) // len(ps) AS dup_para_q,
          |  (coalesce(list_max(list_transform(list_distinct(g2),
          |     g -> CAST(len(list_filter(g2, x -> x = g)) AS BIGINT) * length(g))), 0)
-         |   * 10000) // length(text) AS top2_q,
+         |   * 10000) // greatest(length(text), 1) AS top2_q,
          |  (coalesce(list_max(list_transform(list_distinct(g3),
          |     g -> CAST(len(list_filter(g3, x -> x = g)) AS BIGINT) * length(g))), 0)
-         |   * 10000) // length(text) AS top3_q,
+         |   * 10000) // greatest(length(text), 1) AS top3_q,
          |  (coalesce(list_max(list_transform(list_distinct(g4),
          |     g -> CAST(len(list_filter(g4, x -> x = g)) AS BIGINT) * length(g))), 0)
-         |   * 10000) // length(text) AS top4_q
+         |   * 10000) // greatest(length(text), 1) AS top4_q
          |  FROM b)
          |SELECT doc_id, n_words, mean_word_len_q, sym_ratio_q,
          |       dup_line_q, dup_para_q, top2_q, top3_q, top4_q,
@@ -1030,7 +1030,11 @@ object TextQueries {
         "'run', if(x = acc.prev, acc.run + 1, cast(1 as bigint)), " +
         "'best', greatest(acc.best, " +
         "if(x = acc.prev, acc.run + 1, cast(1 as bigint)) * length(x))), " +
-        "acc -> acc.best) * 10000) div length(text)"
+        // greatest(…, 1): an empty document must yield coverage 0 on
+        // BOTH engines — Spark's div returns NULL on a 0 denominator
+        // while DuckDB's // raises; the numerator is 0 for empty text,
+        // so clamping the denominator keeps the quotient exactly 0.
+        "acc -> acc.best) * 10000) div greatest(length(text), 1)"
     val symQ =
       "(((length(text) - length(replace(text, '#', ''))) + " +
         "(length(text) - length(replace(text, '...', ''))) div 3) " +

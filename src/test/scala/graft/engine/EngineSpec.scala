@@ -883,6 +883,75 @@ class EngineSpec extends SparkSpec {
     assert(!f.exists, "stale _test_failures survived a green check pass")
   }
 
+  test("store_failures: a renamed check's orphaned violation dir is cleaned next build") {
+    val dir = tmpDir("engsfr")
+    def mk(checks: Seq[Check]) = new Engine(spark, dir, Map.empty, Seq(
+      Model("tgt", Seq(), Materialization.Table, checks = checks)(
+        (_, _) => Seq((1L, "a"), (1L, "b")).toDF("id", "v"))),
+      storeFailures = true)
+    assert(!mk(Seq(Checks.unique("id"))).build().ok)
+    val old = new java.io.File(s"$dir/_test_failures/tgt__unique_id_")
+    assert(old.exists)
+    // check renamed (unique dropped, a different check declared): the
+    // next build must clean the orphaned dir via the manifest's stored
+    // check record — its red parquet would misreport current state
+    assert(mk(Seq(Checks.notNull("v"))).build().ok)
+    assert(!old.exists, "orphaned _test_failures dir survived a check rename")
+  }
+
+  test("a partial build must not re-baseline a modified-but-unselected model") {
+    val dir = tmpDir("engstatep")
+    def mk(bVersion: Int) = new Engine(spark, dir, Map.empty, Seq(
+      Model("a", Seq(), Materialization.Table)((s, _) => s.range(3).toDF("id")),
+      Model("b", Seq(), Materialization.Table, version = bVersion)(
+        (s, _) => s.range(2).toDF("id"))))
+    assert(mk(0).build().ok) // manifest baseline
+    // b is modified but only a is selected: the manifest rewrite must
+    // carry b's OLD fingerprint forward, not silently re-baseline it —
+    // dbt promotes --state manifests only for nodes that actually ran
+    assert(mk(1).build(select = Seq("a")).ok)
+    val r = mk(1).build(select = Seq("state:modified"))
+    assert(r.ok && r.results.map(_.name) == Seq("b"), r.results.mkString("; "))
+    // b built green → genuinely promoted → selecting again is a no-op
+    assert(mk(1).build(select = Seq("state:modified")).results.isEmpty)
+  }
+
+  test("a failed node keeps its old fingerprint: state:modified re-selects until green") {
+    val dir = tmpDir("engstatef")
+    var rows = Seq((1L, "x"), (2L, "y"))
+    def mk(v: Int) = new Engine(spark, dir, Map.empty, Seq(
+      Model("tgt", Seq(), Materialization.Table, version = v,
+        checks = Seq(Checks.unique("id")))((_, _) => rows.toDF("id", "v"))))
+    assert(mk(0).build().ok)
+    // bump the version AND break the data: the build fails its check,
+    // so the NEW fingerprint must not be promoted
+    rows = Seq((1L, "x"), (1L, "y"))
+    assert(!mk(1).build().ok)
+    rows = Seq((1L, "x"), (2L, "y"))
+    val r = mk(1).build(select = Seq("state:modified"))
+    assert(r.ok && r.results.map(_.name) == Seq("tgt"), r.results.mkString("; "))
+    assert(mk(1).build(select = Seq("state:modified")).results.isEmpty)
+  }
+
+  test("a throwing post-hook leaves the committed generation in build_history as error") {
+    val dir = tmpDir("enghookhist")
+    val e = new Engine(spark, dir, Map.empty, Seq(
+      Model("tgt", Seq(), Materialization.Table,
+        postHooks = Seq(Hook("boom", (_, _) =>
+          throw new RuntimeException("grant failed"))))(
+        (s, _) => s.range(4).toDF("id"))),
+      testHistory = true)
+    val r = e.build()
+    assert(r("tgt").status == "error", r.results.mkString("; "))
+    // the table swap happened BEFORE the hook threw: the generation is
+    // committed, so the volume trend log must carry it — rewritten to
+    // error, never left provisional-ok and never silently absent
+    val hist = scala.io.Source.fromFile(s"$dir/_audit/build_history.jsonl")
+      .getLines().toSeq
+    assert(hist.size == 1 && hist.head.contains(""""status":"error"""") &&
+      hist.head.contains(""""rows":4"""), hist.mkString("\n"))
+  }
+
   test("model contract: exact column set + types enforced before any write") {
     val dir = tmpDir("engctr")
     var batch: org.apache.spark.sql.DataFrame =
