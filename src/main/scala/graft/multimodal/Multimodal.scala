@@ -212,4 +212,35 @@ object Multimodal {
     media.filter(col("kind") === "video")
       .select(col("media_id"), col("n_frames"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
+
+  /** Cross-modal ALIGNMENT filter (the LAION curation stage): score each
+    * image/caption pair by the cosine of its two embeddings and gate
+    * pairs below the threshold — the signal that cuts mismatched
+    * alt-text, watermark boilerplate and scraped noise before a
+    * multimodal training run.
+    *
+    * The pair is ONE ROW (`imgCol`, `txtCol` are paired by key upstream
+    * — a contrastive-encoder pipeline emits them together), so scoring
+    * is a pure projection: the codegen'd integer dot
+    * ([[graft.functions.DotI64]]) three times (dot, |img|², |txt|²) and
+    * an integer threshold compare — cos ≥ t/100 (for dot > 0) ⇔
+    * dot²·100² ≥ t²·|img|²·|txt|² over ×100-quantized vectors, so both
+    * engines gate identical rows with zero float comparisons. ZERO
+    * exchanges at any corpus size (PlanSpec-pinned); composes
+    * funnel-style with the media dedup ops (MultimodalSpec).
+    *
+    * Magnitude bound: d=64, |q_i| ≤ ~100 ⇒ norms ≤ 6.4e5, dot²·10⁴ ≤
+    * 4.1e15 — comfortably inside Long. */
+  def clipFilter(paired: DataFrame, idCol: String, imgCol: String,
+      txtCol: String, cosThresholdPct: Int): DataFrame = {
+    val t2 = cosThresholdPct.toLong * cosThresholdPct
+    paired
+      .select(col(idCol),
+        expr(s"dot_i64($imgCol, $txtCol)").as("dot"),
+        expr(s"dot_i64($imgCol, $imgCol)").as("ni"),
+        expr(s"dot_i64($txtCol, $txtCol)").as("nt"))
+      .withColumn("clip_pass",
+        col("dot") > 0 &&
+          col("dot") * col("dot") * lit(10000L) >= col("ni") * col("nt") * lit(t2))
+  }
 }

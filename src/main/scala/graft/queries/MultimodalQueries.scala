@@ -199,6 +199,47 @@ object MultimodalQueries {
           // the driver's compare sorts/hashes SCALAR columns; the
           // histogram ships as 8 bigints, not an array column
           (0 to 7).map(b => element_at(col("hist"), b + 1).as(s"hist_$b")): _*)
+    },
+
+    // ---- cross-modal alignment filter (the LAION CLIP-score gate):
+    // paired image/caption embeddings scored by the integer-exact
+    // cosine, gated at 0.28 — scan-local, zero exchanges. The corpus
+    // has no caption embeddings, so BOTH engines synthesize the pair
+    // deterministically from the embeddings table: image = the ×100-
+    // quantized vector, caption = the same vector with its first
+    // (vec_id % 48) coordinates sign-flipped — norm-preserving, so the
+    // cosine sweeps ~1 → ~−0.5 smoothly across rows and the 0.28 gate
+    // splits the corpus non-degenerately. The OPERATOR treats the two
+    // columns as opaque paired vectors (Multimodal.clipFilter).
+    Q.sql(
+      "q_media_clip_filter",
+      """WITH e AS (
+        |  SELECT vec_id AS media_id,
+        |         list_transform(embedding, x -> CAST(round(x * 100) AS BIGINT)) AS iq
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT media_id, iq,
+        |         list_transform(generate_series(1, len(iq)),
+        |           i -> CASE WHEN i <= media_id % 48 THEN -iq[i] ELSE iq[i] END) AS tq
+        |  FROM e),
+        |s AS (
+        |  SELECT media_id,
+        |         CAST(list_sum(list_transform(generate_series(1, len(iq)),
+        |              i -> iq[i] * tq[i])) AS BIGINT) AS dot,
+        |         CAST(list_sum(list_transform(iq, x -> x * x)) AS BIGINT) AS ni,
+        |         CAST(list_sum(list_transform(tq, x -> x * x)) AS BIGINT) AS nt
+        |  FROM p)
+        |SELECT media_id, dot, ni, nt,
+        |       (dot > 0 AND dot * dot * 10000 >= ni * nt * 784) AS clip_pass
+        |FROM s""".stripMargin
+    ) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val paired = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("media_id"),
+          DedupQueries.quantize(col("embedding")).as("iq"))
+        .withColumn("tq", expr(
+          "transform(iq, (x, i) -> if(i < media_id % 48, -x, x))"))
+      Multimodal.clipFilter(paired, "media_id", "iq", "tq", 28)
     }
   )
 

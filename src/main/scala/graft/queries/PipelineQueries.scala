@@ -138,9 +138,13 @@ object PipelineQueries {
   }
 
   /** Scan-local span derivation from a packing-offset state: ≤ n/ctx+1
-    * rows per doc, zero exchanges. */
+    * rows per doc, zero exchanges. Zero-token docs (possible once
+    * counts come from a real tokenizer rather than whitespace) occupy
+    * no sequence and emit no span — also guards Spark's descending
+    * `sequence(a, b)` when b < a. */
   def packSpans(offsets: DataFrame, idCol: String, ctx: Long): DataFrame =
     offsets
+      .filter(col("n_tokens") >= 1L)
       .withColumn("seq_id", explode(expr(
         s"sequence(start div $ctx, (start + n_tokens - 1) div $ctx)")))
       .select(col(idCol), col("seq_id"),
@@ -731,6 +735,36 @@ object PipelineQueries {
     ) { (s, dir) =>
       sequencePack(Tables.documents(s, dir), "doc_id",
         size(split(col("text"), " ")), CtxLen)
+    },
+
+    // ---- TOKEN-TRUE sequence packing: the same concat-and-cut map,
+    // but over REAL tokenizer token counts — BPE-encode the corpus with
+    // the trained merge table (TextQueries.bpeEncode: merges inlined as
+    // literals, the count is one scan-local projection), then pack.
+    // This is what a loader actually consumes: whitespace counts
+    // (q_pipeline_sequence_pack above) mis-size every context window
+    // once a real tokenizer is in play. The oracle replays the full
+    // chain — 16 training stages, 16 encode replaces, then the single
+    // ORDER BY window that specs the distributed two-phase prefix sum.
+    Q.sql(
+      "q_pipeline_pack_tokens",
+      "WITH " + (TextQueries.bpeTrainStages ++ TextQueries.bpeEncodeStages)
+        .mkString(",\n") +
+        s""",
+           |d AS (SELECT doc_id, CAST(${TextQueries.bpeTokensSql} AS BIGINT) AS n
+           |      FROM e${TextQueries.BpeMerges} WHERE ${TextQueries.bpeTokensSql} >= 1),
+           |c AS (SELECT doc_id, n,
+           |             CAST(sum(n) OVER (ORDER BY doc_id) AS BIGINT) - n AS start
+           |      FROM d)
+           |SELECT doc_id, seq_id,
+           |       CAST(greatest(seq_id * $CtxLen - start, 0) + 1 AS INT) AS tok_from,
+           |       CAST(least((seq_id + 1) * $CtxLen - start, n) AS INT) AS tok_to
+           |FROM c, UNNEST(generate_series(start // $CtxLen,
+           |                               (start + n - 1) // $CtxLen)) AS u(seq_id)""".stripMargin
+    ) { (s, dir) =>
+      val enc = TextQueries.bpeEncode(Tables.documents(s, dir),
+        "doc_id", "text", TextQueries.BpeMerges)
+      sequencePack(enc, "doc_id", col("n_tokens"), CtxLen)
     },
 
     // ---- best-fit packing (FFD within salted groups, no doc splits):

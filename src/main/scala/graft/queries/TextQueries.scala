@@ -38,19 +38,21 @@ object TextQueries {
   private[queries] val BpeTopK = 30
   private[queries] val BpeMerges = 16
 
-  /** DuckDB replay of [[bpeVocab]]: the 16 greedy merge rounds unrolled
-    * as materialized CTE stages (w0 → p_i count → m_i argmax → w_i
-    * rewrite). MATERIALIZED is load-bearing: DuckDB inlines plain CTEs,
-    * and a 16-deep chain re-evaluates w0's parquet scan exponentially
-    * ("too many open files"). The rewrite uses the same wrapped-symbol
-    * string replace as the Spark side, so merge tables are identical. */
-  private def bpeVocabOracleSql: String = {
+  /** DuckDB replay of [[bpeVocab]]'s training loop: the 16 greedy merge
+    * rounds unrolled as materialized CTE stages (w0 → p_i count → m_i
+    * argmax → w_i rewrite). MATERIALIZED is load-bearing: DuckDB inlines
+    * plain CTEs, and a 16-deep chain re-evaluates w0's parquet scan
+    * exponentially ("too many open files"). The rewrite uses the same
+    * wrapped-symbol string replace as the Spark side, so merge tables
+    * are identical. Shared by the vocab, encode and token-true packing
+    * oracles (PipelineQueries composes these stages too). */
+  private[queries] def bpeTrainStages: Seq[String] = {
     val w0 =
       """w0 AS MATERIALIZED (
         |  SELECT regexp_replace(w, '(.)', '<\1>', 'g') AS s, count(*) AS freq
         |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
         |  GROUP BY 1)""".stripMargin
-    val stages = (1 to BpeMerges).flatMap { i =>
+    w0 +: (1 to BpeMerges).flatMap { i =>
       Seq(
         s"""p$i AS (
            |  SELECT pr.l AS l, pr.r AS r, CAST(sum(freq) AS BIGINT) AS cnt
@@ -65,13 +67,47 @@ object TextQueries {
            |                 '<' || m.l || m.r || '>') AS s, freq
            |  FROM w${i - 1}, m$i m)""".stripMargin)
     }
+  }
+
+  /** e0..e16: the trained merges m1..m16 APPLIED to every document's
+    * whole-text wrapped symbol stream, in merge order — the oracle twin
+    * of [[bpeEncode]]'s replace chain. */
+  private[queries] def bpeEncodeStages: Seq[String] = {
+    val e0 =
+      """e0 AS MATERIALIZED (
+        |  SELECT doc_id, regexp_replace(text, '(.)', '<\1>', 'g') AS s
+        |  FROM documents)""".stripMargin
+    e0 +: (1 to BpeMerges).map { i =>
+      s"""e$i AS MATERIALIZED (
+         |  SELECT doc_id, replace(s, '<' || m.l || '><' || m.r || '>',
+         |                 '<' || m.l || m.r || '>') AS s
+         |  FROM e${i - 1}, m$i m)""".stripMargin
+    }.toSeq
+  }
+
+  /** BPE token count of an encoded stream `s`: wrapped symbols minus
+    * wrapped spaces ('< >' rides along un-mergeable — see bpeEncode).
+    * DuckDB dialect; the Spark twin lives in [[bpeEncode]]. */
+  private[queries] val bpeTokensSql: String =
+    "(length(s) - length(replace(s, '<', ''))) - " +
+      "(length(s) - length(replace(s, '< >', ''))) // 3"
+
+  private def bpeVocabOracleSql: String = {
     val union = (1 to BpeMerges)
       .map(i => s"SELECT $i AS it, l, r, l || r AS merged, cnt FROM m$i")
       .mkString("\nUNION ALL\n")
-    "WITH " + (w0 +: stages).mkString(",\n") +
+    "WITH " + bpeTrainStages.mkString(",\n") +
       "\nSELECT CAST(it AS INT) AS it, l, r, merged, cnt FROM (" + union +
       ") ORDER BY it"
   }
+
+  private def bpeEncodeOracleSql: String =
+    "WITH " + (bpeTrainStages ++ bpeEncodeStages).mkString(",\n") +
+      s"""
+         |SELECT doc_id,
+         |       CAST($bpeTokensSql AS BIGINT) AS n_tokens,
+         |       md5(s) AS enc_md5
+         |FROM e$BpeMerges""".stripMargin
   private[queries] val LmTopN = 50
 
   /** RAG chunking grid (q_text_chunk_windows): window W tokens, stride
@@ -571,6 +607,18 @@ object TextQueries {
       bpeVocabOracleSql
     ) { (s, dir) => bpeVocab(Tables.documents(s, dir), "text", BpeMerges) },
 
+    // ---- BPE ENCODE: apply the trained merge table to the corpus —
+    // per-doc token counts + an md5 fingerprint of the full encoded
+    // symbol stream, so the hash check pins every token boundary. The
+    // oracle replays the identical 16-stage training chain and then the
+    // identical 16-replace application per document.
+    Q.sql(
+      "q_text_bpe_encode",
+      bpeEncodeOracleSql
+    ) { (s, dir) =>
+      bpeEncode(Tables.documents(s, dir), "doc_id", "text", BpeMerges)
+    },
+
     // ---- bigram language-model scoring: the CCNet-style perplexity
     // quality filter — train bigram MLE counts on the corpus itself,
     // score each document by its average negative log-likelihood
@@ -967,6 +1015,49 @@ object TextQueries {
         col("freq")).localCheckpoint()
     }
     out.toSeq.toDF("it", "l", "r", "merged", "cnt")
+  }
+
+  /** Corpus TOKENIZATION with the trained merge table — the second half
+    * of the tokenizer lifecycle [[bpeVocab]] starts (training without
+    * application feeds nothing): train the `merges`-round table, then
+    * encode every document SCAN-LOCALLY as a chain of `merges` string
+    * replaces in merge order. `replace()` substitutes left-to-right
+    * non-overlapping, which IS greedy BPE merge application, so the
+    * chain reproduces the exact token stream a real tokenizer emits for
+    * this merge table.
+    *
+    * The WHOLE text is wrapped per character, so spaces ride along as
+    * the '< >' symbol; no trained merge can touch one (training splits
+    * on spaces, so no merge symbol contains a space), which makes
+    * whole-text encoding ≡ word-by-word encoding with zero
+    * explode/join — one projection over the scan.
+    *
+    * Output per document: the BPE token count (symbols minus wrapped
+    * spaces) and the md5 of the fully encoded symbol stream — a
+    * bit-exact fingerprint the oracle replays, so the check pins every
+    * token boundary, not just the counts.
+    *
+    * Scale: training state is the distinct-word table (see bpeVocab);
+    * the 16-row merge table is collected as LOOP CONTROL and inlined
+    * into the encode plan as literals, so the returned frame's plan is
+    * scan → project — ZERO exchanges (PlanSpec-pinned), embarrassingly
+    * parallel at 100 TB and pipelineable into whatever consumes the
+    * token counts (token-true sequence packing below). */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
+      merges: Int): DataFrame = {
+    val table = bpeVocab(docs, textCol, merges)
+      .orderBy(col("it")).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getString(3)))
+    val wrapped = regexp_replace(col(textCol), "(.)", "<$1>")
+    val enc = table.foldLeft(wrapped) { case (c, (l, r, m)) =>
+      call_function("replace", c, lit(s"<$l><$r>"), lit(s"<$m>"))
+    }
+    docs.select(col(idCol), enc.as("s"))
+      .select(col(idCol),
+        (expr("length(s) - length(replace(s, '<', ''))") -
+          expr("(length(s) - length(replace(s, '< >', ''))) div 3"))
+          .cast("long").as("n_tokens"),
+        md5(col("s")).as("enc_md5"))
   }
 
   /** Token-distribution Shannon entropy over any `(id, text)` frame —

@@ -102,4 +102,44 @@ class MultimodalSpec extends SparkSpec {
       .toMap
     assert(h == h2)
   }
+
+  test("clipFilter gates by exact integer cosine; the threshold boundary is bit-exact") {
+    graft.functions.GraftFunctions.register(spark)
+    val rows = Seq(
+      (1L, Seq(3L, 4L), Seq(3L, 4L)),   // cos 1 → pass
+      (2L, Seq(1L, 0L), Seq(0L, 1L)),   // cos 0 → fail (dot not > 0)
+      (3L, Seq(1L, 2L), Seq(-1L, -2L)), // cos −1 → fail
+      // dot 175, |a|²=|b|²=625: cos = 175/625 = 0.28 EXACTLY → pass (≥)
+      (4L, Seq(7L, 24L), Seq(25L, 0L)))
+      .toDF("media_id", "iq", "tq")
+    val out = Multimodal.clipFilter(rows, "media_id", "iq", "tq", 28)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(out == Map(1L -> true, 2L -> false, 3L -> false, 4L -> true), out)
+  }
+
+  test("clipFilter composes funnel-style with media dedup on the media_id grain") {
+    // the LAION-style curation order: alignment gate FIRST (cheapest,
+    // scan-local), dedup the survivors — both ops keyed by media_id, so
+    // the gate's output feeds the dedup unchanged
+    graft.functions.GraftFunctions.register(spark)
+    val dir = "/root/testdata/sf0.001"
+    val paired = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("media_id"),
+        expr("transform(embedding, x -> cast(round(x * 100, 0) as long))").as("iq"))
+      .withColumn("tq", expr("transform(iq, (x, i) -> if(i < media_id % 48, -x, x))"))
+    val gate = Multimodal.clipFilter(paired, "media_id", "iq", "tq", 28)
+      .filter(col("clip_pass")).select("media_id")
+    val media = mediaFromDocuments(graft.Tables.documents(spark, dir))
+    val survivors = media.join(gate, Seq("media_id"), "left_semi")
+    val keeps = survivors
+      .groupBy(md5(col("payload")).as("payload_md5"))
+      .agg(min(col("media_id")).as("keep_id"))
+    val nGate = gate.count(); val nSurv = survivors.count(); val nKeep = keeps.count()
+    assert(nGate > 0 && nGate < 500, s"degenerate gate: $nGate of 500 pass")
+    assert(nSurv > 0 && nSurv <= nGate, s"$nSurv survivors vs $nGate gate passes")
+    assert(nKeep > 0 && nKeep <= nSurv)
+    // every dedup keep passed the gate (the conjuncts share the grain)
+    assert(keeps.join(gate.withColumnRenamed("media_id", "keep_id"),
+      Seq("keep_id"), "left_anti").count() == 0)
+  }
 }

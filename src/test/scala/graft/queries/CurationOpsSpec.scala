@@ -67,6 +67,55 @@ class CurationOpsSpec extends SparkSpec {
     assert(a == b, s"merge table depends on layout:\n$a\n$b")
   }
 
+  // ---------- BPE encode: apply the trained merges ----------
+
+  private def md5of(s: String) = java.security.MessageDigest.getInstance("MD5")
+    .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("bpeEncode: whole-text application matches a hand-replay, stream and count") {
+    // same closed-form corpus as the vocab test: merges land as
+    // (a,b) → (ab,ab) → (ab,c) → (c,d), so every word fuses to ONE token
+    val docs = Seq((1L, "abab abab abab abc abc cd")).toDF("doc_id", "text")
+    val e = TextQueries.bpeEncode(docs, "doc_id", "text", 4).collect().head
+    val stream = "<abab>< ><abab>< ><abab>< ><abc>< ><abc>< ><cd>"
+    assert(e.getLong(1) == 6L, e)
+    assert(e.getString(2) == md5of(stream), e)
+  }
+
+  test("bpeEncode: replace() is greedy LEFT-TO-RIGHT merge application") {
+    // "aaa" under merge (a,a): greedy BPE yields <aa><a>, never <a><aa>
+    val docs = Seq((1L, "aaa aaa")).toDF("doc_id", "text")
+    val e = TextQueries.bpeEncode(docs, "doc_id", "text", 1).collect().head
+    assert(e.getLong(1) == 4L, e) // two tokens per word
+    assert(e.getString(2) == md5of("<aa><a>< ><aa><a>"), e)
+  }
+
+  test("token-true packing: pack-over-encoded matches a driver replay of the contract") {
+    // the pack contract over REAL token counts: docs concatenate in
+    // doc_id order, every doc tiles its 1..n_tokens exactly across the
+    // sequences it touches, cuts land every ctx tokens — verified
+    // bit-for-bit against a sequential driver-side replay
+    val enc = TextQueries.bpeEncode(
+      graft.Tables.documents(spark, dir), "doc_id", "text", 4)
+    val counts = enc.orderBy($"doc_id")
+      .select($"doc_id", $"n_tokens").as[(Long, Long)].collect()
+    val ctx = 64L
+    val expect = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int, Int)]
+    var start = 0L
+    for ((id, n) <- counts) {
+      if (n >= 1)
+        for (sq <- (start / ctx) to ((start + n - 1) / ctx))
+          expect += ((id, sq,
+            (math.max(sq * ctx - start, 0L) + 1L).toInt,
+            math.min((sq + 1L) * ctx - start, n).toInt))
+      start += n
+    }
+    val got = PipelineQueries.sequencePack(enc, "doc_id", col("n_tokens"), ctx)
+      .orderBy($"doc_id", $"seq_id").as[(Long, Long, Int, Int)].collect().toSeq
+    assert(got.size == expect.size && got == expect.toSeq,
+      s"pack-over-encoded diverged: got ${got.size} spans, expected ${expect.size}")
+  }
+
   // ---------- Gopher rules: planted-fixture metrics ----------
 
   test("Gopher rules: planted repetition and symbols hit exactly the right gates") {

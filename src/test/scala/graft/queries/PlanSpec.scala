@@ -417,6 +417,39 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("array_join"), p)
   }
 
+  test("BPE encode: trained merges inline as literals — scan → project, ZERO exchanges") {
+    // training runs eagerly as loop control (16 bounded argmax jobs,
+    // the bpeVocab contract); the RETURNED frame must be a pure
+    // projection — 16 replaces + token count + md5 over the scan, so
+    // the encode pass is embarrassingly parallel at any corpus size
+    val p = plan("q_text_bpe_encode")
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+  }
+
+  test("token-true packing: two-phase prefix sum over encoded counts, offsets broadcast back") {
+    // bucket totals reduce via partial_sum BEFORE their exchange, the
+    // global prefix sum windows over ≤|buckets| rows (bounded
+    // SinglePartition), offsets return as a BroadcastHashJoin, and the
+    // encode replace-chain stays scan-local on BOTH arms — token-true
+    // counts add ZERO exchanges over the whitespace-count form
+    val p = plan("q_pipeline_pack_tokens").split("== Initial Plan ==")(0)
+    assert(p.contains("partial_sum"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 2, s"expected 2 hash exchanges, got $exchanges:\n$p")
+  }
+
+  test("CLIP alignment filter: pure projection over the paired scan, ZERO exchanges") {
+    // the pair is one row, so the gate must never shuffle the corpus:
+    // three codegen'd integer dots + an integer compare, no join, no
+    // window, no aggregate
+    val p = plan("q_media_clip_filter")
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+    assert(p.toLowerCase.contains("dot_i64"), p)
+  }
+
   test("chunk windows: scan-local generators, ZERO exchanges") {
     val p = plan("q_text_chunk_windows")
     assert(!p.contains("Exchange"), p)
