@@ -799,14 +799,20 @@ object TextQueries {
       val dterm = toks
         .select(col("doc_id"), explode(array_distinct(col("t"))).as("tok"))
       val dfreq = dterm.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      val n = Tables.documents(s, dir).count()
+      // corpus size rides the plan as a broadcast 1-row agg (the
+      // in-plan scalar idiom) — a .count() here was the query's last
+      // construction-time pre-job; n ≤ 2^53 converts to double exactly,
+      // so n·1.0/df has identical operand bits to the pre-collected form
+      val nd = Tables.documents(s, dir).agg(count(lit(1)).as("n"))
       val qd = toks.select(col("doc_id")).orderBy(col("doc_id")).limit(5)
         .withColumnRenamed("doc_id", "query_id")
       val qw = dterm
         .join(broadcast(qd), col("doc_id") === col("query_id"))
         .join(dfreq, Seq("tok"))
+        .crossJoin(broadcast(nd))
         .select(col("query_id"), col("tok"),
-          round(log(lit(n * 1.0) / col("df")) * 1000000, 0).cast("long").as("w"))
+          round(log(col("n") * lit(1.0) / col("df")) * 1000000, 0)
+            .cast("long").as("w"))
       val chunks = toks
         .select(col("doc_id"),
           explode(expr(

@@ -32,7 +32,7 @@ class PlanSpec extends SparkSpec {
     }
     val counter = new JobCounter
     val qs = Seq("q_fct_subscription_month", "q_fct_account_month_delta",
-      "q_mrr_waterfall_delta", "q_scalar_subquery")
+      "q_mrr_waterfall_delta", "q_scalar_subquery", "q_rag_chunk_retrieval")
     spark.sparkContext.addSparkListener(counter)
     try {
       for (q <- qs) {
