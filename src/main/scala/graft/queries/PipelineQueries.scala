@@ -748,7 +748,7 @@ object PipelineQueries {
     // ORDER BY window that specs the distributed two-phase prefix sum.
     Q.sql(
       "q_pipeline_pack_tokens",
-      "WITH " + (TextQueries.bpeTrainStages ++ TextQueries.bpeEncodeStages)
+      "WITH " + (TextQueries.bpeTrainStages() ++ TextQueries.bpeEncodeStages)
         .mkString(",\n") +
         s""",
            |d AS (SELECT doc_id, CAST(${TextQueries.bpeTokensSql} AS BIGINT) AS n

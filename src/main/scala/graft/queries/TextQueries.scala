@@ -46,12 +46,12 @@ object TextQueries {
     * wrapped-symbol string replace as the Spark side, so merge tables
     * are identical. Shared by the vocab, encode and token-true packing
     * oracles (PipelineQueries composes these stages too). */
-  private[queries] def bpeTrainStages: Seq[String] = {
+  private[queries] def bpeTrainStages(where: String = ""): Seq[String] = {
     val w0 =
-      """w0 AS MATERIALIZED (
-        |  SELECT regexp_replace(w, '(.)', '<\1>', 'g') AS s, count(*) AS freq
-        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-        |  GROUP BY 1)""".stripMargin
+      s"""w0 AS MATERIALIZED (
+         |  SELECT regexp_replace(w, '(.)', '<\\1>', 'g') AS s, count(*) AS freq
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents $where)
+         |  GROUP BY 1)""".stripMargin
     w0 +: (1 to BpeMerges).flatMap { i =>
       Seq(
         s"""p$i AS (
@@ -96,13 +96,23 @@ object TextQueries {
     val union = (1 to BpeMerges)
       .map(i => s"SELECT $i AS it, l, r, l || r AS merged, cnt FROM m$i")
       .mkString("\nUNION ALL\n")
-    "WITH " + bpeTrainStages.mkString(",\n") +
+    "WITH " + bpeTrainStages().mkString(",\n") +
       "\nSELECT CAST(it AS INT) AS it, l, r, merged, cnt FROM (" + union +
       ") ORDER BY it"
   }
 
   private def bpeEncodeOracleSql: String =
-    "WITH " + (bpeTrainStages ++ bpeEncodeStages).mkString(",\n") +
+    "WITH " + (bpeTrainStages() ++ bpeEncodeStages).mkString(",\n") +
+      s"""
+         |SELECT doc_id,
+         |       CAST($bpeTokensSql AS BIGINT) AS n_tokens,
+         |       md5(s) AS enc_md5
+         |FROM e$BpeMerges""".stripMargin
+
+  private def bpeEncodeFrozenOracleSql: String =
+    "WITH " +
+      (bpeTrainStages("WHERE doc_id % 2 = 0") ++ bpeEncodeStages)
+        .mkString(",\n") +
       s"""
          |SELECT doc_id,
          |       CAST($bpeTokensSql AS BIGINT) AS n_tokens,
@@ -619,6 +629,22 @@ object TextQueries {
       bpeEncode(Tables.documents(s, dir), "doc_id", "text", BpeMerges)
     },
 
+    // ---- FROZEN-vocab encoding: train the merge table on HALF the
+    // corpus (the shipped-tokenizer reality — deployed text was mostly
+    // never in the training set), tokenize ALL of it with the frozen
+    // table; untrained pairs stay at character grain (exact OOV
+    // behavior, spec-pinned). At 100 TB this is the incremental
+    // tokenize shape: train once, encode every arriving batch with the
+    // same literals — zero exchanges per batch.
+    Q.sql(
+      "q_text_bpe_encode_frozen",
+      bpeEncodeFrozenOracleSql
+    ) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      bpeEncodeWith(docs.filter(col("doc_id") % 2 === 0), docs,
+        "doc_id", "text", BpeMerges)
+    },
+
     // ---- bigram language-model scoring: the CCNet-style perplexity
     // quality filter — train bigram MLE counts on the corpus itself,
     // score each document by its average negative log-likelihood
@@ -1050,8 +1076,20 @@ object TextQueries {
     * parallel at 100 TB and pipelineable into whatever consumes the
     * token counts (token-true sequence packing below). */
   def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
-      merges: Int): DataFrame = {
-    val table = bpeVocab(docs, textCol, merges)
+      merges: Int): DataFrame =
+    bpeEncodeWith(docs, docs, idCol, textCol, merges)
+
+  /** The FROZEN-VOCAB form of [[bpeEncode]] — the production tokenizer
+    * reality: the merge table trains ONCE on `trainDocs` and is then
+    * applied unchanged to whatever `docs` arrive (most deployed text
+    * was never in the training set). A word whose pairs were never
+    * trained stays at character grain — exact OOV behavior, pinned in
+    * CurationOpsSpec. Same scale shape as bpeEncode: training is
+    * bounded loop control over trainDocs' distinct-word table, the
+    * encode is a zero-exchange projection over `docs`. */
+  def bpeEncodeWith(trainDocs: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, merges: Int): DataFrame = {
+    val table = bpeVocab(trainDocs, textCol, merges)
       .orderBy(col("it")).collect()
       .map(r => (r.getString(1), r.getString(2), r.getString(3)))
     val wrapped = regexp_replace(col(textCol), "(.)", "<$1>")

@@ -90,6 +90,19 @@ class CurationOpsSpec extends SparkSpec {
     assert(e.getString(2) == md5of("<aa><a>< ><aa><a>"), e)
   }
 
+  test("bpeEncodeWith: frozen vocab leaves untrained (OOV) pairs at character grain") {
+    // train on doc 1 only ((a,b) dominates); apply to both docs — the
+    // unseen word "zz" must stay at char grain: no (z,z) merge was
+    // ever trained, so the deployed tokenizer cannot fuse it
+    val train = Seq((1L, "abab abab")).toDF("doc_id", "text")
+    val all = Seq((1L, "abab abab"), (2L, "abab zz")).toDF("doc_id", "text")
+    val out = TextQueries.bpeEncodeWith(train, all, "doc_id", "text", 1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // merge 1 = (a,b): "abab" → <ab><ab> (2 tokens); "zz" → <z><z>
+    assert(out(1L) == ((4L, md5of("<ab><ab>< ><ab><ab>"))), out(1L))
+    assert(out(2L) == ((4L, md5of("<ab><ab>< ><z><z>"))), out(2L))
+  }
+
   test("token-true packing: pack-over-encoded matches a driver replay of the contract") {
     // the pack contract over REAL token counts: docs concatenate in
     // doc_id order, every doc tiles its 1..n_tokens exactly across the
