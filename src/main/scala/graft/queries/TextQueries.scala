@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -645,6 +645,32 @@ object TextQueries {
         "doc_id", "text", BpeMerges)
     },
 
+    // ---- tokenizer FERTILITY per language (tokens-per-word): the
+    // multilingual vocab-health diagnostic — a language whose fertility
+    // stays near its chars-per-word was never learned by the merge
+    // table (its documents cost proportionally more context budget), so
+    // pipelines trend this per-language before committing a tokenizer.
+    // Integer-exact: fertility = (Σ tokens × 10000) div Σ words over
+    // exact integer sums. Plan: the encode is the zero-exchange
+    // projection; ONE lang-grain exchange aggregates (|langs| rows out)
+    Q.sql(
+      "q_text_bpe_fertility",
+      "WITH " + (bpeTrainStages() ++ bpeEncodeStages).mkString(",\n") +
+        s""",
+           |f AS (SELECT d.lang,
+           |             CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_words,
+           |             CAST($bpeTokensSql AS BIGINT) AS n_tokens
+           |      FROM e$BpeMerges JOIN documents d USING (doc_id))
+           |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           |       CAST(sum(n_words) AS BIGINT) AS n_words,
+           |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           |       (CAST(sum(n_tokens) AS BIGINT) * 10000)
+           |         // CAST(sum(n_words) AS BIGINT) AS fertility_q
+           |FROM f GROUP BY lang""".stripMargin
+    ) { (s, dir) =>
+      bpeFertility(Tables.documents(s, dir), "lang", "text", BpeMerges)
+    },
+
     // ---- bigram language-model scoring: the CCNet-style perplexity
     // quality filter — train bigram MLE counts on the corpus itself,
     // score each document by its average negative log-likelihood
@@ -1088,21 +1114,50 @@ object TextQueries {
     * bounded loop control over trainDocs' distinct-word table, the
     * encode is a zero-exchange projection over `docs`. */
   def bpeEncodeWith(trainDocs: DataFrame, docs: DataFrame, idCol: String,
-      textCol: String, merges: Int): DataFrame = {
+      textCol: String, merges: Int): DataFrame =
+    docs.select(col(idCol), bpeEncodedCol(trainDocs, textCol, merges).as("s"))
+      .select(col(idCol), bpeTokenCount.as("n_tokens"), md5(col("s")).as("enc_md5"))
+
+  /** Train on `trainDocs`, return the encode COLUMN (the 16-replace
+    * chain over the wrapped `textCol`) — the composable form fertility
+    * and any other encoded-corpus consumer builds on. Training runs
+    * eagerly here (bounded loop control); the returned Column is pure
+    * projection work. */
+  private[queries] def bpeEncodedCol(trainDocs: DataFrame, textCol: String,
+      merges: Int): Column = {
     val table = bpeVocab(trainDocs, textCol, merges)
       .orderBy(col("it")).collect()
       .map(r => (r.getString(1), r.getString(2), r.getString(3)))
     val wrapped = regexp_replace(col(textCol), "(.)", "<$1>")
-    val enc = table.foldLeft(wrapped) { case (c, (l, r, m)) =>
+    table.foldLeft(wrapped) { case (c, (l, r, m)) =>
       call_function("replace", c, lit(s"<$l><$r>"), lit(s"<$m>"))
     }
-    docs.select(col(idCol), enc.as("s"))
-      .select(col(idCol),
-        (expr("length(s) - length(replace(s, '<', ''))") -
-          expr("(length(s) - length(replace(s, '< >', ''))) div 3"))
-          .cast("long").as("n_tokens"),
-        md5(col("s")).as("enc_md5"))
   }
+
+  /** Token count of an encoded stream column `s` (symbols minus wrapped
+    * spaces) — the Spark twin of [[bpeTokensSql]]. */
+  private[queries] def bpeTokenCount: Column =
+    (expr("length(s) - length(replace(s, '<', ''))") -
+      expr("(length(s) - length(replace(s, '< >', ''))) div 3")).cast("long")
+
+  /** Tokenizer FERTILITY per language stratum (tokens-per-word ×10000,
+    * integer-exact over exact sums) — the multilingual vocab-health
+    * diagnostic: a stratum whose fertility stays near its
+    * chars-per-word never made it into the merge table, and its
+    * documents cost proportionally more context budget. Plan: encode is
+    * the zero-exchange projection, then ONE `langCol`-grain aggregate
+    * (|strata| rows out). */
+  def bpeFertility(docs: DataFrame, langCol: String, textCol: String,
+      merges: Int): DataFrame =
+    docs.select(col(langCol).as("lang"),
+        size(split(col(textCol), " ")).cast("long").as("n_words"),
+        bpeEncodedCol(docs, textCol, merges).as("s"))
+      .select(col("lang"), col("n_words"), bpeTokenCount.as("n_tokens"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_tokens")).as("n_tokens"))
+      .withColumn("fertility_q", expr("(n_tokens * 10000) div n_words"))
 
   /** Token-distribution Shannon entropy over any `(id, text)` frame —
     * see the q_text_token_entropy doc for the plan shape (one doc_id

@@ -86,7 +86,7 @@ object ScaleProbe {
       "q_dedup_substring_incremental", "q_engine_microbatch",
       "q_rag_chunk_retrieval",
       // r19: tokenizer application + token-true packing + clip filter
-      "q_text_bpe_encode", "q_text_bpe_encode_frozen",
+      "q_text_bpe_encode", "q_text_bpe_encode_frozen", "q_text_bpe_fertility",
       "q_pipeline_pack_tokens", "q_media_clip_filter")
     val queries = sys.env.get("SPARK_GRAFT_PROBE_QUERIES")
       .map(_.split(",").map(_.trim).toSet)

@@ -103,6 +103,19 @@ class CurationOpsSpec extends SparkSpec {
     assert(out(2L) == ((4L, md5of("<ab><ab>< ><z><z>"))), out(2L))
   }
 
+  test("bpeFertility: a merged-out stratum reads 1 token/word, an OOV stratum its chars/word") {
+    // training sees both strata; (a,b) then (ab,ab) win both rounds
+    // ("ab" < "z" on the tie), so en fuses to one token per word while
+    // xx never merges and stays at character grain
+    val docs = Seq((1L, "en", "abab abab"), (2L, "xx", "zz zz"))
+      .toDF("doc_id", "lang", "text")
+    val out = TextQueries.bpeFertility(docs, "lang", "text", 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out("en") == ((1L, 2L, 2L, 10000L)), out("en"))
+    assert(out("xx") == ((1L, 2L, 4L, 20000L)), out("xx"))
+  }
+
   test("token-true packing: pack-over-encoded matches a driver replay of the contract") {
     // the pack contract over REAL token counts: docs concatenate in
     // doc_id order, every doc tiles its 1..n_tokens exactly across the
