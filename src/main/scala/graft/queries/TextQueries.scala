@@ -118,6 +118,18 @@ object TextQueries {
          |       CAST($bpeTokensSql AS BIGINT) AS n_tokens,
          |       md5(s) AS enc_md5
          |FROM e$BpeMerges""".stripMargin
+
+  /** Decode oracle: strip the symbol wrappers off the fully encoded
+    * stream and compare against the original text — the DuckDB twin of
+    * [[bpeDecode]]'s two-replace detokenization. */
+  private def bpeDecodeOracleSql: String =
+    "WITH " + (bpeTrainStages() ++ bpeEncodeStages).mkString(",\n") +
+      s"""
+         |SELECT e.doc_id,
+         |       CAST($bpeTokensSql AS BIGINT) AS n_tokens,
+         |       md5(replace(replace(s, '<', ''), '>', '')) AS dec_md5,
+         |       replace(replace(s, '<', ''), '>', '') = d.text AS roundtrip_ok
+         |FROM e$BpeMerges e JOIN documents d USING (doc_id)""".stripMargin
   private[queries] val LmTopN = 50
 
   /** RAG chunking grid (q_text_chunk_windows): window W tokens, stride
@@ -671,6 +683,45 @@ object TextQueries {
       bpeFertility(Tables.documents(s, dir), "lang", "text", BpeMerges)
     },
 
+    // ---- BPE DECODE: roundtrip detokenization — train, encode, strip
+    // the symbol wrappers back off, and prove per document that the
+    // decoded bytes equal the original text. Both engines compute
+    // roundtrip_ok against the raw corpus independently, so the check
+    // pins the encode chain LOSSLESS, not merely reproducible. This
+    // closes the tokenizer lifecycle: train (q_text_bpe_vocab) →
+    // encode (q_text_bpe_encode / _frozen / _incremental) → decode.
+    Q.sql(
+      "q_text_bpe_decode",
+      bpeDecodeOracleSql
+    ) { (s, dir) =>
+      bpeDecode(Tables.documents(s, dir), "doc_id", "text", BpeMerges)
+    },
+
+    // ---- INCREMENTAL tokenization under a PERSISTED vocab: the merge
+    // table trains once on the even half (the shipped tokenizer's
+    // training corpus, same as q_text_bpe_encode_frozen), is written to
+    // the artifact store as parquet, and each arriving shard (here the
+    // even shard, then the odd shard) tokenizes in its OWN pass from
+    // the RELOADED artifact — the loader-shard reality at 100 TB, where
+    // shards tokenize across sessions/machines and must agree
+    // bit-for-bit with a one-shot pass. Oracle = the frozen-vocab
+    // oracle verbatim: persistence must be invisible to the result.
+    Q.sql(
+      "q_text_bpe_encode_incremental",
+      bpeEncodeFrozenOracleSql
+    ) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_bpe_vocab").toString
+      bpeVocab(docs.filter(col("doc_id") % 2 === 0), "text", BpeMerges)
+        .coalesce(1).write.mode("overwrite").parquet(s"$wh/bpe_vocab")
+      val vocab = s.read.parquet(s"$wh/bpe_vocab")
+      bpeEncodeFromVocab(vocab, docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text")
+        .union(bpeEncodeFromVocab(vocab, docs.filter(col("doc_id") % 2 =!= 0),
+          "doc_id", "text"))
+    },
+
     // ---- bigram language-model scoring: the CCNet-style perplexity
     // quality filter — train bigram MLE counts on the corpus itself,
     // score each document by its average negative log-likelihood
@@ -1124,15 +1175,64 @@ object TextQueries {
     * eagerly here (bounded loop control); the returned Column is pure
     * projection work. */
   private[queries] def bpeEncodedCol(trainDocs: DataFrame, textCol: String,
-      merges: Int): Column = {
-    val table = bpeVocab(trainDocs, textCol, merges)
-      .orderBy(col("it")).collect()
-      .map(r => (r.getString(1), r.getString(2), r.getString(3)))
+      merges: Int): Column =
+    bpeChainCol(collectMerges(bpeVocab(trainDocs, textCol, merges)), textCol)
+
+  /** Collect a merge-table frame (the [[bpeVocab]] output, live or
+    * reloaded from a persisted artifact) in merge order — bounded loop
+    * control, `merges` rows, never data-sized. */
+  private[queries] def collectMerges(vocab: DataFrame): Seq[(String, String, String)] =
+    vocab.orderBy(col("it")).collect().toSeq.map(r =>
+      (r.getAs[String]("l"), r.getAs[String]("r"), r.getAs[String]("merged")))
+
+  /** The encode COLUMN for a collected merge table: wrap every char,
+    * then one replace() per merge in merge order (replace substitutes
+    * left-to-right non-overlapping = greedy BPE application). Pure
+    * projection work — the literals inline into whole-stage codegen. */
+  private def bpeChainCol(table: Seq[(String, String, String)],
+      textCol: String): Column = {
     val wrapped = regexp_replace(col(textCol), "(.)", "<$1>")
     table.foldLeft(wrapped) { case (c, (l, r, m)) =>
       call_function("replace", c, lit(s"<$l><$r>"), lit(s"<$m>"))
     }
   }
+
+  /** Encode `docs` with an already-trained merge-table FRAME — the
+    * persisted-artifact path: a tokenizer trains once ([[bpeVocab]]),
+    * its merge table lands in the artifact store as parquet, and every
+    * later session/shard reloads that table and tokenizes its batch
+    * with the identical literals. Same zero-exchange scan → project
+    * shape as [[bpeEncode]]; the artifact read is `merges` rows of
+    * loop control, so a 100 TB corpus tokenizes embarrassingly
+    * parallel across as many independent passes as its shards. */
+  def bpeEncodeFromVocab(vocab: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol),
+        bpeChainCol(collectMerges(vocab), textCol).as("s"))
+      .select(col(idCol), bpeTokenCount.as("n_tokens"),
+        md5(col("s")).as("enc_md5"))
+
+  /** Roundtrip DETOKENIZATION — the inverse a data loader applies when
+    * auditing packed samples: encode with the trained merge table, then
+    * strip the symbol wrappers (every merged symbol is the
+    * concatenation of the characters it covers, so deleting '<' and
+    * '>' rebuilds the original byte stream). `roundtrip_ok` pins
+    * losslessness per document ON BOTH ENGINES independently — an
+    * encode chain that dropped or reordered a boundary would flip the
+    * flag, not just shift a hash. (A corpus whose text itself contains
+    * '<' or '>' would need a reserved escape before wrapping; the
+    * testdata alphabet is [a-z0-9 ].) Plan: scan → project, ZERO
+    * exchanges, same as the encode it inverts. */
+  def bpeDecode(docs: DataFrame, idCol: String, textCol: String,
+      merges: Int): DataFrame =
+    docs.select(col(idCol), col(textCol).as("orig"),
+        bpeEncodedCol(docs, textCol, merges).as("s"))
+      .select(col(idCol), bpeTokenCount.as("n_tokens"),
+        expr("replace(replace(s, '<', ''), '>', '')").as("decoded"),
+        col("orig"))
+      .select(col(idCol), col("n_tokens"),
+        md5(col("decoded")).as("dec_md5"),
+        (col("decoded") === col("orig")).as("roundtrip_ok"))
 
   /** Token count of an encoded stream column `s` (symbols minus wrapped
     * spaces) — the Spark twin of [[bpeTokensSql]]. */

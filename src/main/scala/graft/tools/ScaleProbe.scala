@@ -87,7 +87,9 @@ object ScaleProbe {
       "q_rag_chunk_retrieval",
       // r19: tokenizer application + token-true packing + clip filter
       "q_text_bpe_encode", "q_text_bpe_encode_frozen", "q_text_bpe_fertility",
-      "q_pipeline_pack_tokens", "q_media_clip_filter")
+      "q_pipeline_pack_tokens", "q_media_clip_filter",
+      // r19 late additions: roundtrip decode + persisted-vocab shards
+      "q_text_bpe_decode", "q_text_bpe_encode_incremental")
     val queries = sys.env.get("SPARK_GRAFT_PROBE_QUERIES")
       .map(_.split(",").map(_.trim).toSet)
       .fold(allQueries)(sub => allQueries.filter(sub.contains))

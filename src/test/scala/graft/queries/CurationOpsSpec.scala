@@ -116,6 +116,39 @@ class CurationOpsSpec extends SparkSpec {
     assert(out("xx") == ((1L, 2L, 4L, 20000L)), out("xx"))
   }
 
+  test("bpeDecode: stripping the wrappers recovers every document byte-for-byte") {
+    // closed form: "abab zz" under one (a,b) merge encodes to
+    // <ab><ab>< ><z><z> (4 tokens) and decodes back to the original
+    val docs = Seq((1L, "abab zz")).toDF("doc_id", "text")
+    val r = TextQueries.bpeDecode(docs, "doc_id", "text", 1).collect().head
+    assert(r.getLong(1) == 4L && r.getBoolean(3), r)
+    assert(r.getString(2) == md5of("abab zz"), r)
+    // and the whole real corpus roundtrips exactly — the encode chain
+    // is lossless, not merely engine-reproducible
+    val real = graft.Tables.documents(spark, dir)
+    val flags = TextQueries.bpeDecode(real, "doc_id", "text", 8)
+      .select($"roundtrip_ok").as[Boolean].collect()
+    assert(flags.nonEmpty && flags.forall(identity))
+  }
+
+  test("bpeEncodeFromVocab: a parquet-persisted merge table reloads to the identical encoding") {
+    // artifact persistence must be invisible: train once, write the
+    // merge table to parquet, reload in a fresh frame, encode — every
+    // row equals the direct frozen-vocab encode bit-for-bit
+    val real = graft.Tables.documents(spark, dir)
+    val train = real.filter($"doc_id" % 2 === 0)
+    val direct = TextQueries.bpeEncodeWith(train, real, "doc_id", "text", 8)
+      .orderBy($"doc_id").collect().toSeq
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_bpe_spec").toString
+    TextQueries.bpeVocab(train, "text", 8)
+      .coalesce(1).write.mode("overwrite").parquet(s"$wh/vocab")
+    val reloaded = TextQueries.bpeEncodeFromVocab(
+      spark.read.parquet(s"$wh/vocab"), real, "doc_id", "text")
+      .orderBy($"doc_id").collect().toSeq
+    assert(reloaded == direct)
+  }
+
   test("token-true packing: pack-over-encoded matches a driver replay of the contract") {
     // the pack contract over REAL token counts: docs concatenate in
     // doc_id order, every doc tiles its 1..n_tokens exactly across the

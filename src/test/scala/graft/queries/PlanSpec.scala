@@ -427,6 +427,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join") && !p.contains("Window"), p)
   }
 
+  test("BPE decode: roundtrip detokenization stays a pure projection — ZERO exchanges") {
+    // decode adds two replaces and an equality over the encode chain;
+    // nothing about auditing losslessness may introduce a shuffle
+    val p = plan("q_text_bpe_decode")
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+  }
+
+  test("BPE incremental encode: persisted-vocab shards union scan-local branches, ZERO exchanges") {
+    // each shard tokenizes in its own pass from the reloaded artifact;
+    // the union concatenates partitions — no exchange, no join, so the
+    // per-shard passes parallelize independently at any corpus size
+    val p = plan("q_text_bpe_encode_incremental")
+    assert(p.contains("Union"), p)
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+  }
+
   test("token-true packing: two-phase prefix sum over encoded counts, offsets broadcast back") {
     // bucket totals reduce via partial_sum BEFORE their exchange, the
     // global prefix sum windows over ≤|buckets| rows (bounded
