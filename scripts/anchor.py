@@ -23,7 +23,11 @@ def main():
     con = duckdb.connect()
     for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
         t = os.path.basename(p)[: -len(".parquet")]
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        # Spark writes <table>.parquet as a DIRECTORY of part files
+        # (the ScaleProbe amplified corpora); the driver testdata is
+        # single files — accept both.
+        pat = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
     out = {}
     for name in names:
         sql = oracles.get(name)
