@@ -271,9 +271,7 @@ object Bench {
     val errsH = headlineErrs(failed)
     val phasesH = phasesJson(headlinePackPhases(phaseEntries, PhaseBudget))
     val shufH = shuffleJsonOf(headlinePackShuffle(shuffleEntries, ShuffleBudget))
-    val spreadH = spreadJson(headlinePackSpread(spreadEntries.map {
-      case (k, t) => k -> t
-    }, SpreadBudget))
+    val spreadH = spreadJson(headlinePackSpread(spreadEntries, SpreadBudget))
     println(line(total, Repeats, singleShot,
       toJson(headlinePack(results,
         HeadlineBudget - errsH.length - phasesH.length - shufH.length

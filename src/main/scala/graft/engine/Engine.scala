@@ -1010,7 +1010,8 @@ final class Engine(
     * to the dbt skip status. */
   private def execNode(name: String, batchTs: java.sql.Timestamp,
       depBlocked: Boolean, shuffle: ShuffleBytesListener,
-      buildTag: String, fullRefresh: Boolean = false): NodeResult = {
+      buildTag: String, fullRefresh: Boolean = false,
+      priorChecks: Map[String, Seq[String]] = Map.empty): NodeResult = {
     val m = byName(name)
     // seq of this node's provisional build_history line, for post-check
     // status correction (see rewriteBuildStatus)
@@ -1112,7 +1113,7 @@ final class Engine(
       // check that was renamed or removed cannot leave its old red
       // violation parquet behind misreporting current state.
       if (storeFailures) {
-        val checkDirs = (m.checks.map(_.name) ++ storedCheckNames(name))
+        val checkDirs = (m.checks.map(_.name) ++ priorChecks.getOrElse(name, Nil))
           .distinct.map(cn => sanitizeDirName(s"${name}__$cn"))
         checkDirs.foreach { safe =>
           val dir = new java.io.File(s"$warehouseDir/_test_failures/$safe")
@@ -1257,21 +1258,25 @@ final class Engine(
     }
   }
 
-  /** Check names the stored manifest recorded for `model` on the LAST
-    * invocation (empty when no manifest / model unknown to it). Drives
-    * store_failures staleness cleanup: a renamed or removed check's
-    * violation dir is only discoverable through this record. */
-  private def storedCheckNames(model: String): Seq[String] = {
+  /** Check names the stored manifest recorded PER MODEL on the LAST
+    * invocation (empty when no manifest). Drives store_failures
+    * staleness cleanup: a renamed or removed check's violation dir is
+    * only discoverable through this record. ONE read + parse per build
+    * — execNode consumes a per-build capture (a per-node re-read was
+    * O(models × manifest-size) file I/O on the build hot path), and
+    * writeManifest unions these into NON-promoted nodes, so a check
+    * renamed while its model is unselected keeps its stored name on
+    * record until the model next builds green and the cleanup runs. */
+  private def storedCheckNamesAll: Map[String, Seq[String]] = {
     val p = Paths.get(warehouseDir, "manifest.json")
-    if (!Files.exists(p)) Nil
+    if (!Files.exists(p)) Map.empty
     else {
       val text = new String(Files.readAllBytes(p), "UTF-8")
-      (""""name":"""" + java.util.regex.Pattern.quote(esc(model)) +
-        """"[^{}]*?"checks":\[([^\]]*)\]""").r
-        .findFirstMatchIn(text).map(_.group(1)).toSeq
-        .flatMap(inner => """"((?:[^"\\]|\\.)*)"""".r
-          .findAllMatchIn(inner).map(_.group(1)))
-        .map(unesc)
+      """"name":"((?:[^"\\]|\\.)*)"[^{}]*?"checks":\[([^\]]*)\]""".r
+        .findAllMatchIn(text).map { m =>
+          unesc(m.group(1)) -> """"((?:[^"\\]|\\.)*)"""".r
+            .findAllMatchIn(m.group(2)).map(g => unesc(g.group(1))).toSeq
+        }.toMap
     }
   }
 
@@ -1351,23 +1356,30 @@ final class Engine(
         storeFailures = storeFailures,
         unitTests = unitTests.filter(ut => sel(ut.model)),
         testHistory = testHistory)
-      // capture the pre-build fingerprints NOW: the inner engine's own
-      // manifest write (subset view) clobbers the file before the full
-      // rewrite below, and unselected nodes must carry forward their
-      // PRE-build state, not the subset view's
+      // capture the pre-build fingerprints AND check records NOW: the
+      // inner engine's own manifest write (subset view) clobbers the
+      // file before the full rewrite below, and unselected nodes must
+      // carry forward their PRE-build state, not the subset view's
       val prior = storedFingerprints
+      val priorChecksSel = storedCheckNamesAll
       val rpt = eng.build(batchTs, threads, Nil, fullRefresh)
       if (viewsRegistered) registerViews()
       // the inner engine wrote the subset's view; the full project wins.
       // Promote only SELECTED nodes that built green — a ride-along view
-      // or unselected model keeps its prior fingerprint, so
-      // state:modified still sees it (dbt promotes --state only on green)
+      // or unselected model keeps its prior fingerprint (and stored
+      // check-name record), so state:modified still sees it and a later
+      // build can still clean a renamed check's orphaned failure dir
+      // (dbt promotes --state only on green)
       writeManifest(
         rpt.results.filter(r => sel(r.name) && r.status == "ok").map(_.name).toSet,
-        prior)
+        prior, priorChecksSel)
       return BuildReport(rpt.results.filter(r => sel(r.name)))
     }
     val order = topoOrder
+    // one manifest read for the whole build (per-node re-reads were
+    // O(models × manifest-size)); also the carry-forward record for
+    // non-promoted nodes' check names in the manifest rewrite below
+    val priorChecks = storedCheckNamesAll
     // Per-build shuffle accounting: one listener, removed on exit; the
     // tag keeps two overlapping builds' job groups distinct.
     val shuffle = new ShuffleBytesListener
@@ -1378,7 +1390,7 @@ final class Engine(
         val blocked = mutable.Set.empty[String]
         BuildReport(order.map { name =>
           val res = execNode(name, batchTs, byName(name).deps.exists(blocked),
-            shuffle, buildTag, fullRefresh)
+            shuffle, buildTag, fullRefresh, priorChecks)
           if (res.status != "ok") blocked += name
           res
         })
@@ -1401,7 +1413,7 @@ final class Engine(
                 .filter(byName.contains)
                 .exists(d => Option(results.get(d)).forall(_.status != "ok"))
               results.put(name, execNode(name, batchTs, depBlocked, shuffle,
-                buildTag, fullRefresh))
+                buildTag, fullRefresh, priorChecks))
             } catch {
               // execNode catches Exceptions itself; this guards Errors so
               // a worker failure can never hang the await below
@@ -1432,7 +1444,7 @@ final class Engine(
     // skipped ones carry forward so state:modified re-selects them
     writeManifest(
       report.results.filter(_.status == "ok").map(_.name).toSet,
-      storedFingerprints)
+      storedFingerprints, priorChecks)
     Files.write(Paths.get(warehouseDir, "run_results.json"),
       runResultsJson(report).getBytes("UTF-8"))
     report
@@ -1468,7 +1480,8 @@ final class Engine(
       .digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
 
-  def manifestJson: String = manifestJson(models.map(_.name).toSet, Map.empty)
+  def manifestJson: String =
+    manifestJson(models.map(_.name).toSet, Map.empty, Map.empty)
 
   /** The manifest view with SELECTIVE fingerprint promotion — the dbt
     * slim-CI state rule. Only nodes in `promote` (those this invocation
@@ -1478,15 +1491,26 @@ final class Engine(
     * failed) model is NOT silently re-baselined — a later
     * `state:modified` still selects it. A node that is neither promoted
     * nor previously stored gets the non-hex "unbuilt" sentinel, which
-    * the stored-fingerprint parse rejects → still modified. */
-  private def manifestJson(promote: Set[String], prior: Map[String, String]): String = {
+    * the stored-fingerprint parse rejects → still modified.
+    *
+    * Check names follow the same rule: a PROMOTED node records its
+    * current declarations, but a non-promoted node records the UNION of
+    * current and previously stored names (`priorChecks`) — a check
+    * renamed while its model is unselected must keep its old name on
+    * record, or the store_failures staleness cleanup can never find the
+    * orphaned violation dir when the model finally builds. */
+  private def manifestJson(promote: Set[String], prior: Map[String, String],
+      priorChecks: Map[String, Seq[String]]): String = {
     val nodes = topoOrder.map(byName).map { m =>
       val fp =
         if (promote(m.name)) fingerprint(m)
         else prior.getOrElse(m.name, "unbuilt")
+      val checks =
+        if (promote(m.name)) m.checks.map(_.name)
+        else (m.checks.map(_.name) ++ priorChecks.getOrElse(m.name, Nil)).distinct
       s"""{"name":"${esc(m.name)}","deps":${arr(m.deps)}""" +
         s""","materialization":"${esc(m.materialization.toString)}"""" +
-        s""","checks":${arr(m.checks.map(_.name))}""" +
+        s""","checks":${arr(checks)}""" +
         s""","fingerprint":"$fp"}"""
     }
     val exps = exposures.sortBy(_.name).map { e =>
@@ -1515,10 +1539,11 @@ final class Engine(
     s"""{"results":${nodes.mkString("[", ",", "]")}}"""
   }
 
-  private def writeManifest(promote: Set[String], prior: Map[String, String]): Unit = {
+  private def writeManifest(promote: Set[String], prior: Map[String, String],
+      priorChecks: Map[String, Seq[String]]): Unit = {
     Files.createDirectories(Paths.get(warehouseDir))
     Files.write(Paths.get(warehouseDir, "manifest.json"),
-      manifestJson(promote, prior).getBytes("UTF-8"))
+      manifestJson(promote, prior, priorChecks).getBytes("UTF-8"))
     ()
   }
 

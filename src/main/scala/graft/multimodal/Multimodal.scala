@@ -229,8 +229,13 @@ object Multimodal {
     * exchanges at any corpus size (PlanSpec-pinned); composes
     * funnel-style with the media dedup ops (MultimodalSpec).
     *
-    * Magnitude bound: d=64, |q_i| ≤ ~100 ⇒ norms ≤ 6.4e5, dot²·10⁴ ≤
-    * 4.1e15 — comfortably inside Long. */
+    * The gate multiplies three Longs, so it widens to decimal(38,0):
+    * plain Long arithmetic silently WRAPS in (non-ANSI) Spark while
+    * DuckDB raises on BIGINT overflow — a silent-wrong vs loud-fail
+    * divergence for a large d or coarse quantization. The decimal form
+    * is exact for |dot|, ni, nt < ~1e17, far beyond any realizable
+    * embedding (d=4096 at ×1000 quantization peaks near 4e12); the
+    * oracle widens identically via HUGEINT. */
   def clipFilter(paired: DataFrame, idCol: String, imgCol: String,
       txtCol: String, cosThresholdPct: Int): DataFrame = {
     val t2 = cosThresholdPct.toLong * cosThresholdPct
@@ -241,6 +246,7 @@ object Multimodal {
         expr(s"dot_i64($txtCol, $txtCol)").as("nt"))
       .withColumn("clip_pass",
         col("dot") > 0 &&
-          col("dot") * col("dot") * lit(10000L) >= col("ni") * col("nt") * lit(t2))
+          expr("cast(dot as decimal(38,0)) * dot * 10000") >=
+            expr(s"cast(ni as decimal(38,0)) * nt * $t2"))
   }
 }

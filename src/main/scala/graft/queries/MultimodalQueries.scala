@@ -230,7 +230,7 @@ object MultimodalQueries {
         |         CAST(list_sum(list_transform(tq, x -> x * x)) AS BIGINT) AS nt
         |  FROM p)
         |SELECT media_id, dot, ni, nt,
-        |       (dot > 0 AND dot * dot * 10000 >= ni * nt * 784) AS clip_pass
+        |       (dot > 0 AND dot::HUGEINT * dot * 10000 >= ni::HUGEINT * nt * 784) AS clip_pass
         |FROM s""".stripMargin
     ) { (s, dir) =>
       graft.functions.GraftFunctions.register(s)

@@ -899,6 +899,29 @@ class EngineSpec extends SparkSpec {
     assert(!old.exists, "orphaned _test_failures dir survived a check rename")
   }
 
+  test("store_failures: a partial build between rename and rebuild keeps the stored check record") {
+    // the manifest rewrite after a partial build must not erase an
+    // UNSELECTED model's stored check names: rename tgt's check, build
+    // only `other`, then build tgt — the orphaned dir from the old
+    // check name must still be discoverable and cleaned
+    val dir = tmpDir("engsfp")
+    def mk(checks: Seq[Check]) = new Engine(spark, dir, Map.empty, Seq(
+      Model("tgt", Seq(), Materialization.Table, checks = checks)(
+        (_, _) => Seq((1L, "a"), (1L, "b")).toDF("id", "v")),
+      Model("other", Seq(), Materialization.Table)(
+        (_, _) => Seq((1L, "x")).toDF("id", "v"))),
+      storeFailures = true)
+    assert(!mk(Seq(Checks.unique("id"))).build().ok)
+    val old = new java.io.File(s"$dir/_test_failures/tgt__unique_id_")
+    assert(old.exists)
+    // check renamed; tgt NOT selected — the rewrite carries the stored
+    // "unique_id_" record forward for the non-promoted node
+    assert(mk(Seq(Checks.notNull("v"))).build(select = Seq("other")).ok)
+    assert(mk(Seq(Checks.notNull("v"))).build().ok)
+    assert(!old.exists,
+      "orphaned _test_failures dir survived a rename + intervening partial build")
+  }
+
   test("a partial build must not re-baseline a modified-but-unselected model") {
     val dir = tmpDir("engstatep")
     def mk(bVersion: Int) = new Engine(spark, dir, Map.empty, Seq(
