@@ -99,6 +99,14 @@ final class Engine(
   private val exposureByName: Map[String, Exposure] =
     exposures.map(e => e.name -> e).toMap
   require(exposureByName.size == exposures.size, "duplicate exposure names")
+  // a unit test naming an unknown model would otherwise silently never
+  // run (execNode filters by name, selection drops it) — the opposite
+  // of dbt, which errors on a unit test referencing an unknown model
+  locally {
+    val unknown = unitTests.map(_.model).distinct.filterNot(byName.contains)
+    require(unknown.isEmpty,
+      s"unit test(s) reference unknown model(s): ${unknown.mkString(", ")}")
+  }
 
   private def path(name: String): String = s"$warehouseDir/$name"
 
@@ -133,30 +141,44 @@ final class Engine(
     // a crashed write (an in-flight staging dir, or no data file at all)
     // must NOT count as materialized: the next build has to take the
     // rebuild branch, not incremental-append onto a corrupt target.
-    if (Files.exists(Paths.get(path(name), "_SUCCESS"))) return true
-    val rootFiles = new java.io.File(path(name)).listFiles
-    if (rootFiles == null) return false // not a directory
-    // Both committers stage at the ROOT of the write path:
-    // FileOutputCommitter under `_temporary/`, dynamic-partition-overwrite
-    // under `.spark-staging-<jobId>/`. Either present ⇒ torn. (part-*
-    // files INSIDE a staging dir are uncommitted and must not count —
-    // the hidden-dir skip below keeps them out of the data scan too.)
-    if (rootFiles.exists { f =>
-        f.getName == "_temporary" || f.getName.startsWith(".spark-staging")
-      }) return false
-    // Committed data = any part-* outside hidden/metadata paths ('.'/'_'
-    // prefixes — the same names Spark's own reads skip). Stop at the
-    // FIRST hit: at 100 TB a model dir holds millions of part files, and
-    // this predicate runs per model per build — a full driver-side tree
-    // walk here would dwarf the planning it gates.
+    // Committed data = any part-* outside hidden/metadata paths — the
+    // EXACT rule Spark's own reads apply: '.'-prefixed always hidden,
+    // '_'-prefixed hidden only when the name has no '=' (so partition
+    // dirs like `_graft_bucket=0` are DATA while `_temporary/` and
+    // `.spark-staging-*` contents stay out). Stop at the FIRST hit: at
+    // 100 TB a model dir holds millions of part files, and this
+    // predicate runs per model per build — a full driver-side tree walk
+    // here would dwarf the planning it gates.
     def hasPart(fs: Array[java.io.File]): Boolean = fs.exists { f =>
       val n = f.getName
-      if (n.startsWith(".") || n.startsWith("_")) false
+      if (n.startsWith(".") || (n.startsWith("_") && !n.contains("=")))
+        false
       else if (f.isDirectory) {
         val sub = f.listFiles
         sub != null && hasPart(sub)
       } else n.startsWith("part-")
     }
+    val rootFiles = new java.io.File(path(name)).listFiles
+    if (rootFiles == null) return false // not a directory
+    if (Files.exists(Paths.get(path(name), "_SUCCESS"))) {
+      // _SUCCESS alone is NOT enough: a zero-row PARTITIONED first
+      // write commits the marker with no data file at all (Spark emits
+      // no schema-bearing part for empty partitioned output), leaving a
+      // target every later incremental read bricks on ("unable to infer
+      // schema"). Such a dir must count as NOT materialized so the next
+      // build retakes the bootstrap branch. (A zero-row NON-partitioned
+      // write emits a footer-only part file, so it still counts.)
+      return hasPart(rootFiles)
+    }
+    // Both committers stage at the ROOT of the write path:
+    // FileOutputCommitter under `_temporary/`, dynamic-partition-overwrite
+    // under `.spark-staging-<jobId>/`. Either present without a
+    // committed _SUCCESS ⇒ torn first write. (part-* files INSIDE a
+    // staging dir are uncommitted and must not count — the hidden-dir
+    // skip in hasPart keeps them out of the data scan too.)
+    if (rootFiles.exists { f =>
+        f.getName == "_temporary" || f.getName.startsWith(".spark-staging")
+      }) return false
     hasPart(rootFiles)
   }
 
@@ -917,11 +939,35 @@ final class Engine(
           // has the read-side twin of this contract)
           DirSwap.recover(closedPath(m.name))
           val prior = spark.read.parquet(openPath(m.name))
-          val (openOut, newlyClosed) = Snapshot.mergeDelta(
+          val (openOut, newlyClosed0) = Snapshot.mergeDelta(
             spark, Some(prior), df, key, checkCols, batchTs)
+          // closed/ append and open/ swap are TWO separate commits; a
+          // crash between them would re-close the same versions on the
+          // rerun and permanently DUPLICATE immutable closed history
+          // (nothing ever dedups closed/). A `.closing` marker brackets
+          // the window: only a rerun that finds the marker pays an
+          // anti-join dedup against closed/ — a version's identity is
+          // (key, ValidFrom) and each version closes at most once — so
+          // steady-state batches stay O(open + changed) with zero extra
+          // reads. (A crash in the window still costs the torn batch's
+          // open/ generation until the rerun — a bounded visibility gap,
+          // not corruption; full two-dir atomicity needs a table format
+          // with a transaction log.)
+          val marker = Paths.get(path(m.name), ".closing")
+          val newlyClosed =
+            if (Files.exists(marker) &&
+                Files.exists(Paths.get(closedPath(m.name))))
+              newlyClosed0.join(
+                spark.read.parquet(closedPath(m.name))
+                  .select(col(key), col(Snapshot.ValidFrom)),
+                Seq(key, Snapshot.ValidFrom), "left_anti")
+            else newlyClosed0
+          Files.createDirectories(Paths.get(path(m.name)))
+          Files.write(marker, Array.emptyByteArray)
           val nClosed = writeCounted(newlyClosed,
             _.write.mode("append").parquet(closedPath(m.name)))
           val nOpen = writeCounted(openOut, writeSwap(_, openPath(m.name)))
+          Files.deleteIfExists(marker)
           nClosed + nOpen
         }
     }
@@ -1128,17 +1174,21 @@ final class Engine(
         try {
           val c0 = System.nanoTime()
           val v = c.violationsWithRefs(ref(name), ref)
-          // the trend log needs the exact violation count; without it a
-          // green check keeps the cheap limit-1 probe (-1 = "failing,
-          // count not taken")
+          // one execution of the violation plan, never two: with
+          // store_failures the WRITE itself carries the exact count
+          // (observed metric — writeCounted), so a red check under
+          // testHistory no longer pays count() + write() back to back.
+          // Without store_failures the trend log still needs count();
+          // with neither, the cheap limit-1 probe decides pass/fail
+          // (-1 = "failing, count not taken").
           val nViol: Long =
-            if (testHistory) v.count() else if (v.isEmpty) 0L else -1L
+            if (storeFailures) {
+              if (v.isEmpty) 0L
+              else writeCounted(v, _.write.mode("overwrite").parquet(
+                s"$warehouseDir/_test_failures/${sanitizeDirName(s"${name}__${c.name}")}"))
+            } else if (testHistory) v.count()
+            else if (v.isEmpty) 0L else -1L
           val bad = nViol != 0L
-          if (bad && storeFailures) {
-            val safe = sanitizeDirName(s"${name}__${c.name}")
-            v.write.mode("overwrite")
-              .parquet(s"$warehouseDir/_test_failures/$safe")
-          }
           Some((c.name, bad, nViol, (System.nanoTime() - c0) / 1000000L))
         } catch {
           case u: UnknownRefException =>
@@ -1272,7 +1322,10 @@ final class Engine(
     if (!Files.exists(p)) Map.empty
     else {
       val text = new String(Files.readAllBytes(p), "UTF-8")
-      """"name":"((?:[^"\\]|\\.)*)"[^{}]*?"checks":\[([^\]]*)\]""".r
+      // the array body matches whole QUOTED STRINGS, not [^\]]* — a
+      // check name containing ']' (esc() only escapes quotes/controls)
+      // must not truncate the capture and silently lose stored names
+      """"name":"((?:[^"\\]|\\.)*)"[^{}]*?"checks":\[((?:"(?:[^"\\]|\\.)*",?)*)\]""".r
         .findAllMatchIn(text).map { m =>
           unesc(m.group(1)) -> """"((?:[^"\\]|\\.)*)"""".r
             .findAllMatchIn(m.group(2)).map(g => unesc(g.group(1))).toSeq

@@ -197,20 +197,29 @@ object IncrementalIvfIndex {
     val reassigned0 = CentroidAssign
       .kernel(data.select(col("vec_id"), col("q"), col("nsq")), cents)
       .select(col("vec_id"), col("cluster"), col("q"), col("nsq"))
-    val reassigned =
-      if (extra.isEmpty) reassigned0
-      else reassigned0.join(
-        data.select((col("vec_id") +: extra.map(col)): _*), Seq("vec_id"))
-    val moved = reassigned0.as("n")
-      .join(data.select(col("vec_id"), col("cluster").as("old")), Seq("vec_id"))
-      .filter(col("cluster") =!= col("old")).count()
-    val total = data.count()
+    // ONE join carries both the ride-along extras and the prior cluster
+    // (for the moved diagnostic); total/moved ride the rewrite as
+    // observed metrics — the previous separate moved-join + count()
+    // re-ran the assignment kernel and rescanned the corpus, tripling
+    // a triggered retrain's reads
+    val reassigned = reassigned0.join(
+      data.select(
+        (col("vec_id") +: col("cluster").as("_old") +: extra.map(col)): _*),
+      Seq("vec_id"))
+    val obs = org.apache.spark.sql.Observation()
+    val observed = reassigned.observe(obs,
+        count(lit(1)).as("total"),
+        coalesce(sum(when(col("cluster") =!= col("_old"), 1L).otherwise(0L)),
+          lit(0L)).as("moved"))
+      .drop("_old")
     // 3. rewrite + swap (index first: a torn window between the swaps
     // leaves stale RANKING, never an unreachable row)
     val tmpIdx = idxDir + ".retrain"
-    reassigned.unionByName(markers.select(reassigned.columns.map(col): _*))
+    observed.unionByName(markers.select(observed.columns.map(col): _*))
       .repartition(col("cluster"))
       .write.mode("overwrite").partitionBy("cluster").parquet(tmpIdx)
+    val total = obs.get("total").asInstanceOf[Long]
+    val moved = obs.get("moved").asInstanceOf[Long]
     graft.engine.DirSwap.replace(tmpIdx, idxDir)
     // the centroid table is rebuilt from the COLLECTED array, not the
     // centroid-update plan: that plan reads idxDir, which the swap

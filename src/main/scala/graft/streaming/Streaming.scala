@@ -383,14 +383,19 @@ object Streaming {
       all.join(broadcast(t.select(col("vec_id")).distinct()),
         Seq("vec_id"), "left_anti")
     }
-    val n = cur.count()
+    // the row count rides the rewrite as an observed metric — a
+    // separate pre-write count() would read the whole index twice per
+    // compaction (the engine's writeCounted pattern)
+    val obs = org.apache.spark.sql.Observation()
     val tmp = targetDir + ".compact"
-    cur.withColumn("batch_id",
+    cur.observe(obs, count(lit(1)).as("rows"))
+      .withColumn("batch_id",
         when(col("batch_id") >= keepFrom, col("batch_id")).otherwise(lit(-1L)))
       .repartition(col("cluster"))
       .write.mode("overwrite")
       .partitionBy("cluster", "batch_id")
       .parquet(tmp)
+    val n = obs.get("rows").asInstanceOf[Long]
     // shared rename-aside swap: unlike an engine model, a streaming
     // target may not be rebuildable once source batches are retired, so
     // the swap must never pass through a state with no readable copy
@@ -438,15 +443,20 @@ object Streaming {
       .kernel(data.select(col("vec_id"), col("q"), col("nsq")), cents)
       .select(col("vec_id"), col("cluster"), col("q"), col("nsq"))
       .join(data.select(col("vec_id"), col("batch_id")), Seq("vec_id"))
-    val n = reassigned.count()
+    // the data-row count rides the rewrite as an observed metric on the
+    // reassigned branch (markers excluded, as before) — a pre-write
+    // count() would run the assignment kernel over the corpus twice
+    val obs = org.apache.spark.sql.Observation()
     val tmp = targetDir + ".retrain"
-    reassigned.unionByName(markers.select(reassigned.columns.map(col): _*))
+    reassigned.observe(obs, count(lit(1)).as("rows"))
+      .unionByName(markers.select(reassigned.columns.map(col): _*))
       .withColumn("batch_id",
         when(col("batch_id") >= keepFrom, col("batch_id")).otherwise(lit(-1L)))
       .repartition(col("cluster"))
       .write.mode("overwrite")
       .partitionBy("cluster", "batch_id")
       .parquet(tmp)
+    val n = obs.get("rows").asInstanceOf[Long]
     graft.engine.DirSwap.replace(tmp, targetDir)
     (n, cents)
   }
@@ -470,7 +480,11 @@ object Streaming {
       keepFrom: Long = Long.MaxValue): Option[(Long, Array[(Int, Array[Long], Long)])] = {
     graft.engine.DirSwap.recover(targetDir)
     graft.functions.GraftFunctions.register(spark)
-    val all = spark.read.parquet(targetDir)
+    // null-q marker rows (deleted vectors a future maintenance action
+    // restates) must not feed the drift aggregate — the same filter
+    // retrainVectorIndex and IncrementalIvfIndex.retrainIfNeeded apply;
+    // without it a marker's null label crashes the typed collect
+    val all = spark.read.parquet(targetDir).filter(col("q").isNotNull)
     val updated = graft.similarity.CentroidAssign.collectCentroids(
       graft.similarity.IncrementalIvfIndex.centroids(
         all.select(col("vec_id"), col("cluster").cast("int").as("label"),

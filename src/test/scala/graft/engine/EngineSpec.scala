@@ -195,6 +195,75 @@ class EngineSpec extends SparkSpec {
     assert(e.build()("log").rows == 0)
   }
 
+  test("scd2: a rerun after a crash between closed-append and open-swap does not duplicate closed history") {
+    // the batch's two commits (append to closed/, swap open/) are
+    // bracketed by a .closing marker; a rerun that finds the marker
+    // anti-joins its newly-closed rows against closed/ on the version
+    // identity (key, dbt_valid_from), so the torn batch's already-
+    // appended closures are not appended twice
+    val dir = tmpDir("engscd2c")
+    var cur = Seq((1L, "a"), (2L, "a")).toDF("id", "status")
+    val m = Model("snap", Seq(), Materialization.Scd2Snapshot("id", Seq("status")))(
+      (_, _) => cur)
+    val e = new Engine(spark, dir, Map.empty, Seq(m))
+    assert(e.build(Timestamp.valueOf("2024-01-01 00:00:00")).ok)
+    // simulate the torn batch: source changed, the closed append
+    // committed, the open swap did NOT (open/ still pre-batch), the
+    // marker is still on disk
+    cur = Seq((1L, "b"), (2L, "a")).toDF("id", "status")
+    val prior = spark.read.parquet(s"$dir/snap/open")
+    val (_, torn) = Snapshot.mergeDelta(spark, Some(prior), cur,
+      "id", Seq("status"), Timestamp.valueOf("2024-02-01 00:00:00"))
+    torn.write.mode("append").parquet(s"$dir/snap/closed")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/snap/.closing"), Array.emptyByteArray)
+    // the rerun (same changed source, later batch ts) must dedup
+    assert(e.build(Timestamp.valueOf("2024-03-01 00:00:00")).ok)
+    val closed = spark.read.parquet(s"$dir/snap/closed")
+    assert(closed.count() == 1, "closed history duplicated after torn-batch rerun")
+    assert(closed.filter($"id" === 1L && $"status" === "a").count() == 1)
+    // the open slice reflects the batch, and the marker is gone
+    val open = spark.read.parquet(s"$dir/snap/open")
+      .select($"id", $"status").as[(Long, String)].collect().toMap
+    assert(open == Map(1L -> "b", 2L -> "a"))
+    assert(!new java.io.File(s"$dir/snap/.closing").exists)
+    // and a healthy follow-up batch appends exactly its own closures
+    cur = Seq((1L, "b"), (2L, "b")).toDF("id", "status")
+    assert(e.build(Timestamp.valueOf("2024-04-01 00:00:00")).ok)
+    assert(spark.read.parquet(s"$dir/snap/closed").count() == 2)
+  }
+
+  test("a zero-row FIRST build of a partitioned incremental model does not brick the target") {
+    // an empty partitioned write commits _SUCCESS with no data file —
+    // exists() must treat that as NOT materialized, or every later
+    // build throws on schema inference ("unable to infer schema")
+    val dir = tmpDir("engzero")
+    var batch = Seq.empty[(Long, Timestamp, String)]
+    val m = Model("log", Seq(),
+      Materialization.IncrementalAppend("ingested_at", Seq("k")))((_, _) =>
+      batch.toDF("id", "ingested_at", "k"))
+    val e = new Engine(spark, dir, Map.empty, Seq(m))
+    assert(e.build().ok) // empty source: commits a marker, zero rows
+    assert(e.build().ok) // must NOT take the incremental branch and throw
+    batch = Seq((1L, Timestamp.valueOf("2024-01-01 00:00:00"), "a"))
+    assert(e.build()("log").rows == 1) // data arrives: bootstrap succeeds
+    assert(spark.read.parquet(s"$dir/log").count() == 1)
+    // and subsequent builds are properly incremental again
+    assert(e.build()("log").rows == 0)
+  }
+
+  test("a unit test referencing an unknown model fails loudly at construction") {
+    val dir = tmpDir("engutv")
+    val m = Model("tgt", Seq(), Materialization.Table)((_, _) =>
+      Seq((1L, "a")).toDF("id", "v"))
+    val ex = intercept[IllegalArgumentException] {
+      new Engine(spark, dir, Map.empty, Seq(m),
+        unitTests = Seq(UnitTest("ut_typo", "tgt_typo", Map.empty,
+          Seq((1L, "a")).toDF("id", "v"))))
+    }
+    assert(ex.getMessage.contains("tgt_typo"))
+  }
+
   test("compact: content-identical rewrite, 1 file/partition, timestamp frontier survives deletion") {
     val dir = tmpDir("engcmp")
     // three builds into a hive-partitioned incremental model → three

@@ -683,6 +683,17 @@ class StreamingSpec extends SparkSpec {
     // the marker's generation folds like any committed row's (cast: the
     // hive partition column reads back with directory-name-inferred type)
     assert(m.select($"batch_id".cast("long")).first().getLong(0) == -1L)
+    // and the drift-check CADENCE path must survive the marker layout
+    // too (it aggregates the same table — a null label would crash the
+    // typed centroid collect): no retrain due when centroids match
+    val none = Streaming.retrainVectorIndexIfNeeded(
+      spark, tgt, cents, 4, minSelfCos = 0.0)
+    assert(none.isEmpty, "identical centroids must not trip a retrain")
+    // and a due check still runs the full rewrite with markers present
+    val some = Streaming.retrainVectorIndexIfNeeded(
+      spark, tgt, cents, 4, minSelfCos = 1.1)
+    assert(some.nonEmpty && some.get._1 == 4L)
+    assert(spark.read.parquet(tgt).filter($"q".isNull).count() == 1)
   }
 
   test("streaming retrain: drift gate over the stream-built layout; caller-owned centroids rotate") {
