@@ -54,7 +54,12 @@ object Dedup {
   def connectedComponents(
       pairs: DataFrame,
       maxIter: Int = 30,
-      smallGraphThreshold: Long = 4000000L): DataFrame = {
+      // sized for the DRIVER's heap, not just the pair count: the
+      // collect path holds the pair array plus a boxed-Long parent map
+      // of up to 2× distinct ids — ~100 bytes/entry with HashMap
+      // overhead, so 1M pairs ≈ low hundreds of MB worst case; beyond
+      // that the distributed label-propagation branch wins anyway
+      smallGraphThreshold: Long = 1000000L): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
     // Pin the candidate pipeline ONCE: the size probe and whichever path

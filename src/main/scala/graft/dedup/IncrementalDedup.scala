@@ -24,12 +24,24 @@ import graft.queries.DedupQueries
   *    is batch-sized on one side), buckets that exceed
   *    [[DedupQueries.MaxBucket]] degrade to one edge per new document
   *    (connectivity preserved, quadratic blow-up impossible — the same
-  *    cap as the batch pipeline), and pairs between two already-indexed
-  *    documents are never re-emitted. The union of all batches'
-  *    candidates therefore equals the batch pipeline's output on the
-  *    final corpus while each build does only delta work
-  *    (IncrementalDedupSpec proves pair-set equality batch-by-batch, and
-  *    component equality when the chain cap engages). Each build also
+  *    cap class as the batch pipeline), and pairs between two
+  *    already-indexed documents are never re-emitted.
+  *
+  *    EXACTNESS DOMAIN: while every bucket stays ≤ MaxBucket, the union
+  *    of all batches' candidates EQUALS the batch pipeline's pair set
+  *    on the final corpus (each pair emits exactly once, when its
+  *    larger member arrives) — the regime the q_dedup_incremental
+  *    oracle hash-checks, and the one the testdata generator's tiny
+  *    buckets guarantee. Once a bucket crosses the cap, append-only
+  *    emission cannot match the batch form's pair set (the batch chain
+  *    replaces earlier all-pairs, which an append-only log cannot
+  *    retract; the star-to-min edge also differs from a chain edge) —
+  *    the guarantee drops to COMPONENT equality, which is what every
+  *    downstream consumer (connected components → survivor choice)
+  *    actually consumes, and the Jaccard verify prunes any false links
+  *    either form introduces. (IncrementalDedupSpec pins pair-set
+  *    equality below the cap and component equality above it.)
+  *    Each build also
   *    appends one null-pair MARKER row carrying the scan frontier in
   *    [[CandidateWatermark]], so the high-water mark advances even when
   *    a batch yields no pairs — consumers read real pairs via [[pairs]].
@@ -64,16 +76,14 @@ object IncrementalDedup {
       (_, r, prior) =>
         val docs = r(docsRef)
         // filter BEFORE the minhash kernel: the HWM scalar comes off the
-        // prior index's parquet footer stats, and the doc_id predicate
-        // prunes the documents scan — a typed kernel downstream of the
-        // filter never sees old rows. (The engine's own HWM filter on
-        // the OUTPUT would run after hashing; this one runs before.)
-        val newDocs = prior match {
-          case Some(t) =>
-            val hwm = t.agg(max(col("doc_id"))).first()
-            if (hwm.isNullAt(0)) docs else docs.filter(col("doc_id") > lit(hwm.get(0)))
-          case None => docs
-        }
+        // prior index's parquet footer stats (the shared Incremental.hwm
+        // helper; -1 sentinel ≡ no filter for the nonnegative doc_id
+        // domain), and the doc_id predicate prunes the documents scan —
+        // a typed kernel downstream of the filter never sees old rows.
+        // (The engine's own HWM filter on the OUTPUT would run after
+        // hashing; this one runs before.)
+        val newDocs =
+          docs.filter(col("doc_id") > lit(Incremental.hwm(prior, "doc_id")))
         DedupQueries.bandsFor(newDocs)
     },
     Model.incremental(

@@ -89,8 +89,13 @@ object IncrementalUrlDedup {
       .withColumn("canonical_url", DedupQueries.canonicalUrl(col("url")))
       .withColumn("url_hash", xxhash64(col("canonical_url")))
       .join(keepers, Seq("url_hash"), "left")
+      // a URL past the accumulated state's frontier (its url_first
+      // build hasn't run yet) has no keeper row — keep must read FALSE,
+      // not NULL, or a downstream filter(keep) silently drops it while
+      // n_aliases still counts it
       .select(col("doc_id"), col("url"), col("canonical_url"),
-        (col("doc_id") === col("keeper_doc_id")).as("keep"),
+        (col("keeper_doc_id").isNotNull &&
+          col("doc_id") === col("keeper_doc_id")).as("keep"),
         count(lit(1)).over(w).as("n_aliases"))
   }
 }

@@ -72,6 +72,18 @@ object FinanceQueries {
   private def maxMonthCol: Column =
     max(date_trunc("month", coalesce(col("end_date"), col("start_date"))).cast("date"))
 
+  /** Last month a subscription is active AT END-OF-MONTH: the month of
+    * (end_date + 1 day) minus one month — equals month(end) exactly when
+    * end is its month's last day, else the month before; null end = the
+    * corpus's max month. ONE definition shared by fctSubscriptionMonth
+    * and waterfallDelta (which previously hand-derived the equivalent
+    * `end = last_day(end) ? month(end) : month(end)−1` form) so the EOM
+    * invariant cannot drift between two hash-pinned queries. */
+  private def eomActiveEnd(endDate: Column, maxMonth: Column): Column =
+    when(endDate.isNull, maxMonth)
+      .otherwise(add_months(
+        date_trunc("month", date_add(endDate, 1)).cast("date"), -1))
+
   /** fct_subscription_month: one row per subscription × active month with
     * EOM-activity flag and trial-aware MRR.
     * Reference: `fct_subscription_month.sql:44-92`. */
@@ -193,10 +205,7 @@ object FinanceQueries {
     val bounds = subsB
       .groupBy(col("account_id"))
       .agg(min(startMonth).as("first_m"), max(presEnd).as("last_m"))
-    // last month the sub is active AT EOM: the month of (end+1 day) minus
-    // one month — equals month(end) exactly when end is its month's last day
-    val eomEnd = when(col("end_date").isNull, col("_max_month"))
-      .otherwise(add_months(date_trunc("month", date_add(col("end_date"), 1)).cast("date"), -1))
+    val eomEnd = eomActiveEnd(col("end_date"), col("_max_month"))
     val events = subsB
       .filter(!col("is_trial") && col("mrr_amount").isNotNull)
       .withColumn("sm", startMonth)
@@ -346,13 +355,10 @@ object FinanceQueries {
         col("account_id"),
         date_trunc("month", col("start_date")).cast("date").as("start_month"),
         least(coalesce(em, col("_max_month")), col("_max_month")).as("end_month_b"),
-        // last month the sub is active at EOM: its end month if it ends on
-        // the month's last day, else the month before
-        when(col("end_date").isNull, col("_max_month"))
-          .otherwise(least(
-            when(col("end_date") === last_day(col("end_date")), em)
-              .otherwise(add_months(em, -1)),
-            col("_max_month"))).as("active_end"),
+        // last month the sub is active at EOM (shared eomActiveEnd
+        // definition), clamped to the corpus max month
+        least(eomActiveEnd(col("end_date"), col("_max_month")),
+          col("_max_month")).as("active_end"),
         when(!col("is_trial"), coalesce(col("mrr_amount"), lit(0.0)))
           .otherwise(0.0).as("m"))
     val contributing = base.filter(col("m") =!= 0.0 && col("active_end") >= col("start_month"))

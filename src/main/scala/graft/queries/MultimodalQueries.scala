@@ -29,12 +29,14 @@ object MultimodalQueries {
         |       CAST(n_chars % 240 + 1 AS INT) AS n_frames
         |FROM documents""".stripMargin
     ) { (s, dir) =>
+      // md5(payload) IS md5(text): payload = cast(text as binary) = the
+      // utf8 bytes md5(string) hashes — so the catalog needs no second
+      // documents scan and no join back for the text column
       Multimodal.mediaFromDocuments(Tables.documents(s, dir))
-        .join(Tables.documents(s, dir).select(col("doc_id").as("media_id"), col("text")), "media_id")
         .select(
           col("media_id"), col("kind"),
           length(col("payload")).as("n_bytes"),
-          md5(col("text")).as("content_md5"),
+          md5(col("payload")).as("content_md5"),
           col("width"), col("height"),
           col("sample_rate").cast("int").as("sample_rate"), col("n_frames"))
     },

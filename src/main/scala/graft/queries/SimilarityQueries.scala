@@ -1535,15 +1535,28 @@ object SimilarityQueries {
         .filter(col("rnk") === 1)
         .select(col("query_id"), col("qq"), col("nq"), col("qc"), col("nq8"), col("label"))
       val short = TopK * 3
-      val w8 = Window.partitionBy(col("query_id"))
-        .orderBy(cosine(dot("qc", "c"), col("nq8"), col("ncsq8")).desc, col("vec_id"))
-      val shortlist = c8.as("c").join(broadcast(assign.as("a")),
+      // skew-safe shortlist (the q_ann_sq8_rerank idiom): the probed
+      // cluster's code scores collapse to ≤3k candidates per query
+      // MAP-SIDE via the TopKCos partial aggregate — the row_number
+      // form here would shuffle every scored candidate into |Q|
+      // partitions and sort there, the exact skew shape topk_cos was
+      // introduced to eliminate (a hot cluster = one hot task). Full
+      // vectors for the exact re-rank come back via a broadcast of the
+      // tiny shortlist against the corpus scan; ordering is
+      // bit-identical (same cos evidence, same vec_id tiebreak).
+      val shortIds = c8.as("c").join(broadcast(assign.as("a")),
           col("c.label") === col("a.label") && col("c.vec_id") =!= col("a.query_id"))
-        .withColumn("rnk8", row_number().over(w8))
-        .filter(col("rnk8") <= short)
+        .select(col("query_id"), col("c.vec_id").as("vec_id"),
+          dot("qc", "c").as("dot8"), col("nq8"), col("ncsq8"))
+        .groupBy(col("query_id"))
+        .agg(expr(s"topk_cos(struct(vec_id, dot8, nq8, ncsq8), $short)").as("top"))
+        .select(col("query_id"), explode(col("top.vec_id")).as("vec_id"))
+        .join(broadcast(qs.select(col("query_id"), col("qq"), col("nq"))), "query_id")
+      val rerank = e.join(broadcast(shortIds), "vec_id")
       val cosE = cosine(dot("qq", "q"), col("nq"), col("nsq"))
+      // final ordering over ≤3k rows per query — trivially small window
       val w = Window.partitionBy(col("query_id")).orderBy(cosE.desc, col("vec_id"))
-      shortlist
+      rerank
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= TopK)
         .select(col("query_id"), col("vec_id"), col("rnk"),
