@@ -169,6 +169,11 @@ object Bench {
     }
 
   def main(args: Array[String]): Unit = {
+    // every JSON number below goes through the f interpolator, which
+    // formats with the DEFAULT locale — on a de_DE-style JVM that emits
+    // comma decimal separators and the driver's json.load would zero
+    // the round's bench signal. Pin ROOT before any formatting.
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = "/root/testdata/sf0.001"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -29,6 +29,10 @@ object Verify {
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          // a reused outDir may hold this query's output from a PRIOR
+          // run — stale parquet must not pass for current results in
+          // the DuckDB compare, so the failure leaves no dir at all
+          graft.engine.DirSwap.deleteRecursively(s"$outDir/$name")
         }
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

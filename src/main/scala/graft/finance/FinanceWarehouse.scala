@@ -313,13 +313,22 @@ object FinanceWarehouse {
         // documented fix being a manual wider-window backfill). Violation
         // rows are current-truth subscriptions whose expected month span
         // (clamped to the calendar) disagrees with the months actually in
-        // the fact: a subscription that arrived 3 months late is missing
-        // its pre-window history (expected_start < min_present), a late
-        // end-date shrink leaves stale trailing months
-        // (max_present > expected_end). Value-level corrections within
-        // existing months restate inside the window and do not trip.
-        // Cost: one fact scan + one per-subscription agg shuffle — the
-        // price of the audit, run as a gating check like every dbt test.
+        // the fact. Normal operation always yields SPAN EQUALITY (the
+        // first build writes exactly expected_start..expected_end and
+        // DeleteInsert rewrites whole window months), so the check tests
+        // equality on BOTH endpoints — catching all four drift modes: a
+        // late arrival missing pre-window history (min too high), a late
+        // end-EXTENSION missing trailing months (max too low — a mode a
+        // one-sided test would silently pass), a late end-shrink leaving
+        // stale trailing months (max too high), and a late start-shift
+        // leaving stale leading months (min too low). Value-level
+        // corrections within existing months restate inside the window
+        // and do not trip. A null start_date generates no fact rows BY
+        // DESIGN (the spine's between() is null-false), so such rows are
+        // excluded here — they are a data-quality condition no
+        // restatement window can fix, not late data. Cost: one fact scan
+        // + one per-subscription agg shuffle — the price of the audit,
+        // run as a gating check like every dbt test.
         Checks.singularWithRefs("late_data_outside_restatement_window") { (df, r) =>
           val cal = r("dim_date").filter(col("is_month_start"))
             .agg(min(col("date_day")).as("cal_min"), max(col("date_day")).as("cal_max"))
@@ -327,6 +336,7 @@ object FinanceWarehouse {
             .agg(min(col("month_start_date")).as("min_present"),
               max(col("month_start_date")).as("max_present"))
           r("int_subscriptions_current")
+            .filter(col("start_date").isNotNull)
             .crossJoin(broadcast(cal))
             .select(col("subscription_id"),
               greatest(Exprs.monthStart(col("start_date")), col("cal_min")).as("expected_start"),
@@ -335,16 +345,15 @@ object FinanceWarehouse {
             .filter(col("expected_start") <= col("expected_end"))
             .join(present, Seq("subscription_id"), "left")
             .filter(col("min_present").isNull ||
-              col("expected_start") < col("min_present") ||
-              col("max_present") > col("expected_end"))
+              col("min_present") =!= col("expected_start") ||
+              col("max_present") =!= col("expected_end"))
         }))((s, r, target) => {
       val allMonths = r("dim_date").filter(col("is_month_start"))
         .select(col("date_day").as("month_start_date"))
       // rolling restatement window (fct_subscription_month.sql:14-22):
       // recompute only months >= max(existing month) - reprocess_months
       val months = restatementWindow(allMonths, target, vars.reprocessMonths)
-      val bounds = months.agg(min(col("month_start_date")), max(col("month_start_date"))).first()
-      val (minMonth, maxMonth) = (bounds.getDate(0), bounds.getDate(1))
+      val maxMonth = months.agg(max(col("month_start_date"))).first().getDate(0)
       val subs = r("int_subscriptions_current")
       val bounded = subs
         .withColumn("start_month", Exprs.monthStart(col("start_date")))

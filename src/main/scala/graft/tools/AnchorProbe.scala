@@ -40,16 +40,27 @@ object AnchorProbe {
       try consume(graft.SparkEntry.queries(n)(spark, "/root/testdata/sf0.001"))
       catch { case _: Throwable => () }
     }
+    // JSON numbers must be locale-independent (the f interpolator uses
+    // the default locale — a comma decimal separator breaks the parser)
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val out = names.map { n =>
-      val runs = Seq.fill(3) {
-        val t0 = System.nanoTime()
-        val df = graft.SparkEntry.queries(n)(spark, sfDir)
-        val t1 = System.nanoTime()
-        consume(df)
-        ((t1 - t0) / 1e9, (System.nanoTime() - t1) / 1e9)
+      // one failing query (typo'd name, sf0.1-only OOM the warm pass's
+      // catch hid) must not discard every other query's measurements —
+      // record the error and keep timing the rest
+      try {
+        val runs = Seq.fill(3) {
+          val t0 = System.nanoTime()
+          val df = graft.SparkEntry.queries(n)(spark, sfDir)
+          val t1 = System.nanoTime()
+          consume(df)
+          ((t1 - t0) / 1e9, (System.nanoTime() - t1) / 1e9)
+        }
+        val med = runs.sortBy { case (b, q) => b + q }.apply(1)
+        f""""$n":{"total":${med._1 + med._2}%.3f,"build_s":${med._1}%.3f,"query_s":${med._2}%.3f}"""
+      } catch {
+        case e: Throwable =>
+          s""""$n":{"error":"${e.getClass.getSimpleName}"}"""
       }
-      val med = runs.sortBy { case (b, q) => b + q }.apply(1)
-      f""""$n":{"total":${med._1 + med._2}%.3f,"build_s":${med._1}%.3f,"query_s":${med._2}%.3f}"""
     }
     println(out.mkString("{", ",", "}"))
     spark.stop()

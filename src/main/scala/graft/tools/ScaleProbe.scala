@@ -28,6 +28,12 @@ import org.apache.spark.sql.functions._
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val amps = if (args.nonEmpty) args.toSeq.map(_.toInt) else Seq(16, 64)
+    // the embedding amplification below rotates by rep % 64 (= Dims) —
+    // only 64 distinct rotations exist, so any amp beyond that would
+    // emit byte-identical replica vectors and silently measure the
+    // adversarial 100%-duplicate workload this scheme exists to avoid
+    require(amps.forall(_ <= 64),
+      s"amp > 64 would duplicate embedding vectors (64 = Dims distinct rotations); got $amps")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")

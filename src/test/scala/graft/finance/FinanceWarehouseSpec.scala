@@ -34,7 +34,8 @@ class FinanceWarehouseSpec extends SparkSpec {
   private def subs(rows: (String, String, String, String, String, Double, Boolean)*)(bt: Timestamp) =
     rows.toSeq.toDF("subscription_id", "account_id", "plan_tier", "start_date",
         "end_date", "mrr_amount", "is_trial")
-      .withColumn("start_date", col("start_date").cast("date"))
+      .withColumn("start_date",
+        when(col("start_date") === "", null).otherwise(col("start_date")).cast("date"))
       .withColumn("end_date", when(col("end_date") === "", null).otherwise(col("end_date")).cast("date"))
       .withColumn("seats", lit(3))
       .withColumn("arr_amount", col("mrr_amount") * 12)
@@ -321,6 +322,50 @@ class FinanceWarehouseSpec extends SparkSpec {
     assert(e3.build(ts(3)).ok)
     assert(e3.ref("fct_subscription_month")
       .filter($"subscription_id" === "s2").count() == 5) // Feb..Jun
+  }
+
+  test("late-data tripwire: an end-date EXTENSION outside the window trips (missing trailing months)") {
+    // the drift mode a one-sided max_present > expected_end test passes
+    // silently: s1's correction EXTENDS its end past the months the fact
+    // holds, but the restatement window (anchored by long-running s0 at
+    // Apr..Jun) never rewrites March — revenue silently understated
+    val v = FinanceWarehouse.Vars(dateEnd = "2024-06-30", reprocessMonths = 2)
+    val acc = Seq(("a1", "Acme", "enterprise", "2023-12-01"))
+    val b1 = Seq(
+      ("s0", "a1", "Basic", "2024-01-10", "", 100.0, false), // runs through Jun
+      ("s1", "a1", "Basic", "2024-01-10", "2024-02-15", 50.0, false))
+    val b2 = Seq(
+      ("s0", "a1", "Basic", "2024-01-10", "", 100.0, false),
+      ("s1", "a1", "Basic", "2024-01-10", "2024-03-20", 50.0, false))
+    val dir = tmpDir("whext")
+    assert(engine(dir, accounts(acc: _*)(ts(1)), subs(b1: _*)(ts(1)), ts(1), v)
+      .build(ts(1)).ok)
+    val rpt = engine(dir, accounts(acc: _*)(ts(2)), subs(b2: _*)(ts(2)), ts(2), v)
+      .build(ts(2))
+    assert(!rpt.ok)
+    assert(rpt("fct_subscription_month").failedChecks
+      .contains("late_data_outside_restatement_window"))
+    // widened window backfills March and the check clears
+    val e3 = engine(dir, accounts(acc: _*)(ts(3)), subs(b2: _*)(ts(3)), ts(3),
+      FinanceWarehouse.Vars(dateEnd = "2024-06-30", reprocessMonths = 12))
+    assert(e3.build(ts(3)).ok)
+    assert(e3.ref("fct_subscription_month")
+      .filter($"subscription_id" === "s1").count() == 3) // Jan..Mar
+  }
+
+  test("late-data tripwire: a null start_date is a data-quality condition, not late data") {
+    // a malformed start casts to null in staging; the spine's between()
+    // emits no fact rows for it BY DESIGN and no restatement window can
+    // fix that — the tripwire must exclude it, not fail every build
+    val v = FinanceWarehouse.Vars(dateEnd = "2024-06-30", reprocessMonths = 2)
+    val acc = Seq(("a1", "Acme", "enterprise", "2023-12-01"))
+    val b = Seq(
+      ("s0", "a1", "Basic", "2024-01-10", "", 100.0, false),
+      ("sx", "a1", "Basic", "", "", 50.0, false)) // null start
+    val dir = tmpDir("whnull")
+    val rpt = engine(dir, accounts(acc: _*)(ts(1)), subs(b: _*)(ts(1)), ts(1), v)
+      .build(ts(1))
+    assert(rpt.ok, rpt.results.mkString("; "))
   }
 
   test("bucketed monthly-MRR rollup: fct_account_month's hot path plans with zero exchanges") {

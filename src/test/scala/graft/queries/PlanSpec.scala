@@ -386,6 +386,16 @@ class PlanSpec extends SparkSpec {
     assert(!ps.contains("row_number"), ps)
   }
 
+  test("IVF+SQ8 compose: the code shortlist reduces via partial topk_cos, window only post-shortlist") {
+    // the probed cluster's code scores must collapse map-side (≤3k
+    // candidates per query cross the exchange) — a row_number window
+    // over the raw candidate stream would shuffle a hot cluster into
+    // one task; the only window allowed is the final TopK rank over
+    // the bounded shortlist
+    val p = plan("q_ann_ivf_sq8")
+    assert(p.toLowerCase.contains("partial_topk_cos"), p)
+  }
+
   test("binary Hamming: BOTH stages are bounded topk_cos partial aggregates, no window") {
     // coarse (−hamming through the aggregate's cos slot: nq=nc=1 makes
     // cos ≡ −hamming exactly) AND the exact re-rank reduce map-side;
