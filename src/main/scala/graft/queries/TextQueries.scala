@@ -49,7 +49,7 @@ object TextQueries {
   private[queries] def bpeTrainStages(where: String = ""): Seq[String] = {
     val w0 =
       s"""w0 AS MATERIALIZED (
-         |  SELECT regexp_replace(w, '(.)', '<\\1>', 'g') AS s, count(*) AS freq
+         |  SELECT regexp_replace(${bpeEscSql("w")}, '(.)', '<\\1>', 'g') AS s, count(*) AS freq
          |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents $where)
          |  GROUP BY 1)""".stripMargin
     w0 +: (1 to BpeMerges).flatMap { i =>
@@ -74,9 +74,9 @@ object TextQueries {
     * of [[bpeEncode]]'s replace chain. */
   private[queries] def bpeEncodeStages: Seq[String] = {
     val e0 =
-      """e0 AS MATERIALIZED (
-        |  SELECT doc_id, regexp_replace(text, '(.)', '<\1>', 'g') AS s
-        |  FROM documents)""".stripMargin
+      s"""e0 AS MATERIALIZED (
+         |  SELECT doc_id, regexp_replace(${bpeEscSql("text")}, '(.)', '<\\1>', 'g') AS s
+         |  FROM documents)""".stripMargin
     e0 +: (1 to BpeMerges).map { i =>
       s"""e$i AS MATERIALIZED (
          |  SELECT doc_id, replace(s, '<' || m.l || '><' || m.r || '>',
@@ -127,8 +127,8 @@ object TextQueries {
       s"""
          |SELECT e.doc_id,
          |       CAST($bpeTokensSql AS BIGINT) AS n_tokens,
-         |       md5(replace(replace(s, '<', ''), '>', '')) AS dec_md5,
-         |       replace(replace(s, '<', ''), '>', '') = d.text AS roundtrip_ok
+         |       md5($bpeUnwrapExpr) AS dec_md5,
+         |       $bpeUnwrapExpr = d.text AS roundtrip_ok
          |FROM e$BpeMerges e JOIN documents d USING (doc_id)""".stripMargin
   private[queries] val LmTopN = 50
 
@@ -564,8 +564,7 @@ object TextQueries {
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       val b = docs.agg(min(col("doc_id")), max(col("doc_id"))).first()
       val mid = (b.getLong(0) + b.getLong(1)) / 2
-      val wh = java.nio.file.Files
-        .createTempDirectory("graft_incbm25").toString
+      val wh = graft.engine.Scratch.dir("graft_incbm25")
       def build(src: DataFrame): Unit = {
         val rpt = new graft.engine.Engine(s, wh, Map("docs" -> src),
           graft.text.IncrementalBm25.models("docs")).build()
@@ -711,8 +710,7 @@ object TextQueries {
       bpeEncodeFrozenOracleSql
     ) { (s, dir) =>
       val docs = Tables.documents(s, dir)
-      val wh = java.nio.file.Files
-        .createTempDirectory("graft_bpe_vocab").toString
+      val wh = graft.engine.Scratch.dir("graft_bpe_vocab")
       bpeVocab(docs.filter(col("doc_id") % 2 === 0), "text", BpeMerges)
         .coalesce(1).write.mode("overwrite").parquet(s"$wh/bpe_vocab")
       val vocab = s.read.parquet(s"$wh/bpe_vocab")
@@ -1096,7 +1094,7 @@ object TextQueries {
     import s.implicits._
     var words = docs
       .select(explode(split(col(textCol), " ")).as("w"))
-      .groupBy(regexp_replace(col("w"), "(.)", "<$1>").as("s"))
+      .groupBy(regexp_replace(bpeEscCol(col("w")), "(.)", "<$1>").as("s"))
       .agg(count(lit(1)).as("freq"))
       .localCheckpoint()
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
@@ -1185,13 +1183,48 @@ object TextQueries {
     vocab.orderBy(col("it")).collect().toSeq.map(r =>
       (r.getAs[String]("l"), r.getAs[String]("r"), r.getAs[String]("merged")))
 
-  /** The encode COLUMN for a collected merge table: wrap every char,
-    * then one replace() per merge in merge order (replace substitutes
-    * left-to-right non-overlapping = greedy BPE application). Pure
-    * projection work — the literals inline into whole-stage codegen. */
+  /** Reserved-escape pass that makes the wrapper alphabet safe for ANY
+    * corpus: the symbol-stream encoding spends '<' and '>' as wrapper
+    * characters, so a text containing them literally would corrupt the
+    * stream (a real crawl corpus contains both; the driver testdata's
+    * [a-z0-9 ] alphabet never does, which is why every board hash is
+    * unchanged by this pass — the three replaces are no-ops there).
+    * Standard escape-char scheme: '~' → "~e", '<' → "~l", '>' → "~r",
+    * applied left-to-right BEFORE wrapping, inverted (reverse order)
+    * AFTER unwrapping in [[bpeDecode]]. A literal '<' therefore costs
+    * two base symbols (byte-fallback-style), and trained merge symbols
+    * can never contain a literal wrapper character — the invariant the
+    * whole replace-chain encoding rests on, now corpus-independent.
+    * CurationOpsSpec pins the adversarial roundtrip. */
+  private def bpeEscCol(c: Column): Column =
+    call_function("replace",
+      call_function("replace",
+        call_function("replace", c, lit("~"), lit("~e")),
+        lit("<"), lit("~l")),
+      lit(">"), lit("~r"))
+
+  /** DuckDB twin of [[bpeEscCol]] (same left-to-right order). */
+  private[queries] def bpeEscSql(c: String): String =
+    s"replace(replace(replace($c, '~', '~e'), '<', '~l'), '>', '~r')"
+
+  /** Unwrap + unescape: strip the symbol wrappers, then invert
+    * [[bpeEscCol]] in reverse order — rebuilds the original byte stream
+    * for any corpus. */
+  // def, not val: the oracle-SQL builders interpolate this during the
+  // registry's object init, which runs BEFORE later-declared vals
+  // (a val here interpolates as "null" into the SQL)
+  private def bpeUnwrapExpr: String =
+    "replace(replace(replace(replace(replace(s," +
+      " '<', ''), '>', ''), '~r', '>'), '~l', '<'), '~e', '~')"
+
+  /** The encode COLUMN for a collected merge table: escape, wrap every
+    * char, then one replace() per merge in merge order (replace
+    * substitutes left-to-right non-overlapping = greedy BPE
+    * application). Pure projection work — the literals inline into
+    * whole-stage codegen. */
   private def bpeChainCol(table: Seq[(String, String, String)],
       textCol: String): Column = {
-    val wrapped = regexp_replace(col(textCol), "(.)", "<$1>")
+    val wrapped = regexp_replace(bpeEscCol(col(textCol)), "(.)", "<$1>")
     table.foldLeft(wrapped) { case (c, (l, r, m)) =>
       call_function("replace", c, lit(s"<$l><$r>"), lit(s"<$m>"))
     }
@@ -1219,16 +1252,17 @@ object TextQueries {
     * '>' rebuilds the original byte stream). `roundtrip_ok` pins
     * losslessness per document ON BOTH ENGINES independently — an
     * encode chain that dropped or reordered a boundary would flip the
-    * flag, not just shift a hash. (A corpus whose text itself contains
-    * '<' or '>' would need a reserved escape before wrapping; the
-    * testdata alphabet is [a-z0-9 ].) Plan: scan → project, ZERO
-    * exchanges, same as the encode it inverts. */
+    * flag, not just shift a hash. Corpora containing literal '<', '>'
+    * or '~' roundtrip too: [[bpeEscCol]] reserves an escape before
+    * wrapping and the unwrap here inverts it in reverse order
+    * (CurationOpsSpec pins the adversarial case). Plan: scan →
+    * project, ZERO exchanges, same as the encode it inverts. */
   def bpeDecode(docs: DataFrame, idCol: String, textCol: String,
       merges: Int): DataFrame =
     docs.select(col(idCol), col(textCol).as("orig"),
         bpeEncodedCol(docs, textCol, merges).as("s"))
       .select(col(idCol), bpeTokenCount.as("n_tokens"),
-        expr("replace(replace(s, '<', ''), '>', '')").as("decoded"),
+        expr(bpeUnwrapExpr).as("decoded"),
         col("orig"))
       .select(col(idCol), col("n_tokens"),
         md5(col("decoded")).as("dec_md5"),

@@ -131,6 +131,29 @@ class CurationOpsSpec extends SparkSpec {
     assert(flags.nonEmpty && flags.forall(identity))
   }
 
+  test("bpeDecode: literal wrapper characters ('<', '>', '~') in the TEXT roundtrip via the escape") {
+    // the r19 domain gap: the symbol stream spends '<'/'>' as wrapper
+    // characters, so a crawl corpus containing them literally would
+    // have corrupted the stream. The reserved-escape pass ('~'→"~e",
+    // '<'→"~l", '>'→"~r" before wrapping, inverted after unwrapping)
+    // must make ANY byte stream lossless — adversarial cases: wrapper
+    // chars, the escape char itself, and their pairings in both orders
+    val docs = Seq(
+      (1L, "a<b> <tag>"), // wrapper chars mid-word and as a fake tag
+      (2L, "~ ~~ ~e ~l"), // the escape char alone, doubled, and fused
+      (3L, "<~> >~< ~><~"), // every pairing/order of all three
+      (4L, "abab abab"), // plain text trains the merge away from specials
+      (5L, "")).toDF("doc_id", "text") // empty text stays empty
+    val out = TextQueries.bpeDecode(docs, "doc_id", "text", 2).collect()
+    assert(out.length == 5 && out.forall(_.getBoolean(3)),
+      out.map(r => s"${r.getLong(0)}:${r.getBoolean(3)}").mkString(", "))
+    // and the vocab trained over the escaped stream can never emit a
+    // merge symbol containing a literal wrapper character
+    val m = TextQueries.bpeVocab(docs, "text", 2).collect()
+    assert(m.forall(r => !r.getAs[String]("merged").contains("<") &&
+      !r.getAs[String]("merged").contains(">")), m.mkString(", "))
+  }
+
   test("bpeEncodeFromVocab: a parquet-persisted merge table reloads to the identical encoding") {
     // artifact persistence must be invisible: train once, write the
     // merge table to parquet, reload in a fresh frame, encode — every
