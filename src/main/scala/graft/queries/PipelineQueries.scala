@@ -828,8 +828,7 @@ object PipelineQueries {
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
       val b = docs.agg(min(col("doc_id")), max(col("doc_id"))).first()
       val mid = (b.getLong(0) + b.getLong(1)) / 2
-      val wh = java.nio.file.Files
-        .createTempDirectory("graft_seqpack").toString
+      val wh = graft.engine.Scratch.dir("graft_seqpack")
       var src = docs.filter(col("doc_id") <= mid)
       val e = new graft.engine.Engine(s, wh, Map.empty, Seq(
         graft.engine.Model.incremental("pack_offsets", Seq(),
@@ -1166,8 +1165,7 @@ object PipelineQueries {
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       val b = docs.agg(min(col("doc_id")), max(col("doc_id"))).first()
       val mid = (b.getLong(0) + b.getLong(1)) / 2
-      val wh = java.nio.file.Files
-        .createTempDirectory("graft_incblock").toString
+      val wh = graft.engine.Scratch.dir("graft_incblock")
       def build(src: DataFrame): Unit = {
         val rpt = new graft.engine.Engine(s, wh,
           Map("documents" -> src),
@@ -1209,8 +1207,7 @@ object PipelineQueries {
       val evalSet = docs.filter(col("doc_id") % 50 === 0)
       val b = train.agg(min(col("doc_id")), max(col("doc_id"))).first()
       val mid = (b.getLong(0) + b.getLong(1)) / 2
-      val wh = java.nio.file.Files
-        .createTempDirectory("graft_incdecon").toString
+      val wh = graft.engine.Scratch.dir("graft_incdecon")
       def build(src: DataFrame): Unit = {
         val rpt = new graft.engine.Engine(s, wh,
           Map("train" -> src, "evalset" -> evalSet),

@@ -640,8 +640,7 @@ object SimilarityQueries {
       val e = quantized(s, dir)
       val b = e.agg(min(col("vec_id")), max(col("vec_id"))).first()
       val mid = (b.getLong(0) + b.getLong(1)) / 2
-      val wh = java.nio.file.Files
-        .createTempDirectory("graft_incknn").toString
+      val wh = graft.engine.Scratch.dir("graft_incknn")
       def build(batch: DataFrame): Unit = {
         val rpt = new graft.engine.Engine(s, wh, Map("vectors" -> batch),
           graft.similarity.IncrementalKnnGraph.models("vectors")).build()
@@ -1724,8 +1723,7 @@ object SimilarityQueries {
       val e = quantized(s, dir)
       val b = e.agg(min(col("vec_id")), max(col("vec_id"))).first()
       val mid = (b.getLong(0) + b.getLong(1)) / 2
-      val wh = java.nio.file.Files
-        .createTempDirectory("graft_incivf").toString
+      val wh = graft.engine.Scratch.dir("graft_incivf")
       def build(batch: DataFrame): Unit = {
         val rpt = new graft.engine.Engine(s, wh,
           Map("vectors" -> batch, "vectors_training" -> e),
@@ -1754,8 +1752,7 @@ object SimilarityQueries {
       val e = quantized(s, dir)
       val b = e.agg(min(col("vec_id")), max(col("vec_id"))).first()
       val mid = (b.getLong(0) + b.getLong(1)) / 2
-      val wh = java.nio.file.Files
-        .createTempDirectory("graft_incivfmp").toString
+      val wh = graft.engine.Scratch.dir("graft_incivfmp")
       def build(batch: DataFrame): Unit = {
         val rpt = new graft.engine.Engine(s, wh,
           Map("vectors" -> batch, "vectors_training" -> e),
@@ -1783,8 +1780,7 @@ object SimilarityQueries {
       val e = quantized(s, dir)
       val b = e.agg(min(col("vec_id")), max(col("vec_id"))).first()
       val mid = (b.getLong(0) + b.getLong(1)) / 2
-      val wh = java.nio.file.Files
-        .createTempDirectory("graft_incivfmpk").toString
+      val wh = graft.engine.Scratch.dir("graft_incivfmpk")
       def build(batch: DataFrame): Unit = {
         val rpt = new graft.engine.Engine(s, wh,
           Map("vectors" -> batch, "vectors_training" -> e),
@@ -1824,8 +1820,7 @@ object SimilarityQueries {
         graft.similarity.IncrementalIvfIndex.centroids(e, Dims))
       val b = e.agg(min(col("vec_id")), max(col("vec_id"))).first()
       val mid = (b.getLong(0) + b.getLong(1)) / 2
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_streamivf").toString
+      val tmp = graft.engine.Scratch.dir("graft_streamivf")
       val src = s"$tmp/src"; val idx = s"$tmp/idx"; val ckp = s"$tmp/ckp"
       val vecs = e.select(col("vec_id"), col("q"), col("nsq"))
       val schema = vecs.schema
@@ -1871,8 +1866,7 @@ object SimilarityQueries {
       val e = quantized(s, dir)
       val b = e.agg(min(col("vec_id")), max(col("vec_id"))).first()
       val mid = (b.getLong(0) + b.getLong(1)) / 2
-      val wh = java.nio.file.Files
-        .createTempDirectory("graft_incivfstats").toString
+      val wh = graft.engine.Scratch.dir("graft_incivfstats")
       def build(batch: DataFrame): Unit = {
         val rpt = new graft.engine.Engine(s, wh,
           Map("vectors" -> batch, "vectors_training" -> e),
@@ -1908,8 +1902,7 @@ object SimilarityQueries {
       val cb = PQ.collectCodebook(cbDf)
       val b = e.agg(min(col("vec_id")), max(col("vec_id"))).first()
       val mid = (b.getLong(0) + b.getLong(1)) / 2
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_streamivfpq").toString
+      val tmp = graft.engine.Scratch.dir("graft_streamivfpq")
       val src = s"$tmp/src"; val idx = s"$tmp/idx"; val ckp = s"$tmp/ckp"
       val vecs = e.select(col("vec_id"), col("q"), col("nsq"))
       val schema = vecs.schema
@@ -1938,8 +1931,7 @@ object SimilarityQueries {
       val e = quantized(s, dir)
       val b = e.agg(min(col("vec_id")), max(col("vec_id"))).first()
       val mid = (b.getLong(0) + b.getLong(1)) / 2
-      val wh = java.nio.file.Files
-        .createTempDirectory("graft_incivff").toString
+      val wh = graft.engine.Scratch.dir("graft_incivff")
       def build(batch: DataFrame): Unit = {
         val rpt = new graft.engine.Engine(s, wh,
           Map("vectors" -> batch, "vectors_training" -> e),
@@ -1973,8 +1965,7 @@ object SimilarityQueries {
       val e = quantized(s, dir)
       val b = e.agg(min(col("vec_id")), max(col("vec_id"))).first()
       val mid = (b.getLong(0) + b.getLong(1)) / 2
-      val wh = java.nio.file.Files
-        .createTempDirectory("graft_incivfpq").toString
+      val wh = graft.engine.Scratch.dir("graft_incivfpq")
       def build(batch: DataFrame): Unit = {
         val rpt = new graft.engine.Engine(s, wh,
           Map("vectors" -> batch, "vectors_training" -> e),
@@ -2003,8 +1994,7 @@ object SimilarityQueries {
       val e = quantized(s, dir)
       val b = e.agg(min(col("vec_id")), max(col("vec_id"))).first()
       val mid = (b.getLong(0) + b.getLong(1)) / 2
-      val wh = java.nio.file.Files
-        .createTempDirectory("graft_incivfpqmp").toString
+      val wh = graft.engine.Scratch.dir("graft_incivfpqmp")
       def build(batch: DataFrame): Unit = {
         val rpt = new graft.engine.Engine(s, wh,
           Map("vectors" -> batch, "vectors_training" -> e),
@@ -2037,8 +2027,7 @@ object SimilarityQueries {
       val e = quantized(s, dir)
       val b = e.agg(min(col("vec_id")), max(col("vec_id"))).first()
       val mid = (b.getLong(0) + b.getLong(1)) / 2
-      val wh = java.nio.file.Files
-        .createTempDirectory("graft_incivfpqr").toString
+      val wh = graft.engine.Scratch.dir("graft_incivfpqr")
       def build(batch: DataFrame): Unit = {
         val rpt = new graft.engine.Engine(s, wh,
           Map("vectors" -> batch, "vectors_training" -> e),
@@ -2069,8 +2058,7 @@ object SimilarityQueries {
       val e = quantized(s, dir)
       val b = e.agg(min(col("vec_id")), max(col("vec_id"))).first()
       val mid = (b.getLong(0) + b.getLong(1)) / 2
-      val wh = java.nio.file.Files
-        .createTempDirectory("graft_incivfpqrmp").toString
+      val wh = graft.engine.Scratch.dir("graft_incivfpqrmp")
       def build(batch: DataFrame): Unit = {
         val rpt = new graft.engine.Engine(s, wh,
           Map("vectors" -> batch, "vectors_training" -> e),
@@ -2103,8 +2091,7 @@ object SimilarityQueries {
       val e = quantized(s, dir)
       val b = e.agg(min(col("vec_id")), max(col("vec_id"))).first()
       val mid = (b.getLong(0) + b.getLong(1)) / 2
-      val wh = java.nio.file.Files
-        .createTempDirectory("graft_incivfpqk").toString
+      val wh = graft.engine.Scratch.dir("graft_incivfpqk")
       def build(batch: DataFrame): Unit = {
         val rpt = new graft.engine.Engine(s, wh,
           Map("vectors" -> batch, "vectors_training" -> e),
@@ -2139,8 +2126,7 @@ object SimilarityQueries {
       val e = quantized(s, dir)
       val b = e.agg(min(col("vec_id")), max(col("vec_id"))).first()
       val mid = (b.getLong(0) + b.getLong(1)) / 2
-      val wh = java.nio.file.Files
-        .createTempDirectory("graft_incivfpqrk").toString
+      val wh = graft.engine.Scratch.dir("graft_incivfpqrk")
       def build(batch: DataFrame): Unit = {
         val rpt = new graft.engine.Engine(s, wh,
           Map("vectors" -> batch, "vectors_training" -> e),
@@ -2179,8 +2165,7 @@ object SimilarityQueries {
       val e = quantized(s, dir)
       val b = e.agg(min(col("vec_id")), max(col("vec_id"))).first()
       val mid = (b.getLong(0) + b.getLong(1)) / 2
-      val wh = java.nio.file.Files
-        .createTempDirectory("graft_incivfdel").toString
+      val wh = graft.engine.Scratch.dir("graft_incivfdel")
       def build(batch: DataFrame): Unit = {
         val rpt = new graft.engine.Engine(s, wh,
           Map("vectors" -> batch, "vectors_training" -> e),
@@ -2210,8 +2195,7 @@ object SimilarityQueries {
       val e = quantized(s, dir)
       val b = e.agg(min(col("vec_id")), max(col("vec_id"))).first()
       val mid = (b.getLong(0) + b.getLong(1)) / 2
-      val wh = java.nio.file.Files
-        .createTempDirectory("graft_incivfcmp").toString
+      val wh = graft.engine.Scratch.dir("graft_incivfcmp")
       val models = graft.similarity.IncrementalIvfIndex.models(
         "vectors", "vectors_training", Dims)
       def engine(batch: DataFrame): graft.engine.Engine =
@@ -2250,8 +2234,7 @@ object SimilarityQueries {
       val e = quantized(s, dir)
       val b = e.agg(min(col("vec_id")), max(col("vec_id"))).first()
       val mid = (b.getLong(0) + b.getLong(1)) / 2
-      val wh = java.nio.file.Files
-        .createTempDirectory("graft_incivfrt").toString
+      val wh = graft.engine.Scratch.dir("graft_incivfrt")
       def build(batch: DataFrame): Unit = {
         val rpt = new graft.engine.Engine(s, wh,
           Map("vectors" -> batch, "vectors_training" -> e),

@@ -79,8 +79,7 @@ object SqlSurfaceQueries {
         .select(col("event_id"), to_date(col("ts")).as("day"), col("user_id"))
       val b = ev.agg(min(col("event_id")), max(col("event_id"))).first()
       val mid = (b.getLong(0) + b.getLong(1)) / 2
-      val wh = java.nio.file.Files
-        .createTempDirectory("graft_uvsketch").toString
+      val wh = graft.engine.Scratch.dir("graft_uvsketch")
       def build(batch: org.apache.spark.sql.DataFrame): Unit = {
         val rpt = new graft.engine.Engine(s, wh,
           Map("events_src" -> batch), Seq(
@@ -152,8 +151,7 @@ object SqlSurfaceQueries {
         .unionByName(orders.filter(col("o_orderkey") % 11 === 0)
           .select((col("o_orderkey") + maxKey + 1).as("k"), lit("N").as("status"),
             cents.as("cents")))
-      val wh = java.nio.file.Files
-        .createTempDirectory("graft_mrg").toString
+      val wh = graft.engine.Scratch.dir("graft_mrg")
       var batch = base
       val e = new graft.engine.Engine(s, wh, Map.empty, Seq(
         graft.engine.Model("merged", Seq(),
@@ -188,8 +186,7 @@ object SqlSurfaceQueries {
         col("o_orderstatus").as("status"), cents.as("cents"))
       val upd = orders.filter(col("o_orderkey") % 7 === 0)
         .select(col("o_orderkey").as("k"), (cents * 2).as("cents"))
-      val wh = java.nio.file.Files
-        .createTempDirectory("graft_mrgu").toString
+      val wh = graft.engine.Scratch.dir("graft_mrgu")
       var batch = base
       val e = new graft.engine.Engine(s, wh, Map.empty, Seq(
         graft.engine.Model("merged", Seq(),
@@ -225,8 +222,7 @@ object SqlSurfaceQueries {
     ) { (s, dir) =>
       val ev = Tables.events(s, dir)
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
-      val wh = java.nio.file.Files
-        .createTempDirectory("graft_mb").toString
+      val wh = graft.engine.Scratch.dir("graft_mb")
       var src = ev.filter(col("event_id") % 2 === 0)
       val e = new graft.engine.Engine(s, wh, Map.empty, Seq(
         graft.engine.Model("mb", Seq(),
