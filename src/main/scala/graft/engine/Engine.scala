@@ -945,7 +945,8 @@ final class Engine(
           // crash between them would re-close the same versions on the
           // rerun and permanently DUPLICATE immutable closed history
           // (nothing ever dedups closed/). A `.closing` marker brackets
-          // the window: only a rerun that finds the marker pays an
+          // the window: only a rerun that finds the marker pays the
+          // recovery work — an open-vs-closed reconcile (below) plus an
           // anti-join dedup against closed/ — a version's identity is
           // (key, ValidFrom) and each version closes at most once — so
           // steady-state batches stay O(open + changed) with zero extra
@@ -956,12 +957,34 @@ final class Engine(
           val marker = Paths.get(path(m.name), ".closing")
           val newlyClosed =
             if (Files.exists(marker) &&
-                Files.exists(Paths.get(closedPath(m.name))))
+                Files.exists(Paths.get(closedPath(m.name)))) {
+              // marker-found rerun, part 1 — RECONCILE, not just dedup:
+              // if the rerun's input changed between crash and rerun,
+              // the torn batch's appended closure may no longer be
+              // re-derived (mergeDelta keeps the version OPEN this
+              // time), leaving closed/ with a ValidTo'd row whose
+              // (key, ValidFrom) twin is still open — a contradictory
+              // full-history view nothing downstream can repair. Drop
+              // every closure whose version identity is still open
+              // AFTER this merge (semi-probe first: the closed/ rewrite
+              // — an atomic swap — is paid only when a contradiction
+              // actually exists, and only on the rare recovery path).
+              val closedPrior = spark.read.parquet(closedPath(m.name))
+              val openIds = openOut.select(col(key), col(Snapshot.ValidFrom))
+              if (!closedPrior.join(openIds, Seq(key, Snapshot.ValidFrom),
+                  "left_semi").isEmpty)
+                writeSwap(
+                  closedPrior.join(openIds, Seq(key, Snapshot.ValidFrom),
+                    "left_anti"),
+                  closedPath(m.name))
+              // part 2 — dedup: a version closes at most once, so any
+              // closure already in (reconciled) closed/ is the torn
+              // batch's own append and must not repeat
               newlyClosed0.join(
                 spark.read.parquet(closedPath(m.name))
                   .select(col(key), col(Snapshot.ValidFrom)),
                 Seq(key, Snapshot.ValidFrom), "left_anti")
-            else newlyClosed0
+            } else newlyClosed0
           Files.createDirectories(Paths.get(path(m.name)))
           Files.write(marker, Array.emptyByteArray)
           val nClosed = writeCounted(newlyClosed,

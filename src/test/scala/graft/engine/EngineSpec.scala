@@ -233,6 +233,42 @@ class EngineSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/snap/closed").count() == 2)
   }
 
+  test("scd2: marker recovery reconciles a closure the rerun no longer derives (input changed)") {
+    // the r19 residual edge: closed append committed, open swap didn't,
+    // and the INPUT changed between crash and rerun so the rerun keeps
+    // the torn-closed version OPEN — without reconciliation closed/
+    // retains a ValidTo'd row whose (key, ValidFrom) twin is still open,
+    // a contradictory full-history view nothing downstream can repair
+    val dir = tmpDir("engscd2r")
+    var cur = Seq((1L, "a"), (2L, "a")).toDF("id", "status")
+    val m = Model("snap", Seq(), Materialization.Scd2Snapshot("id", Seq("status")))(
+      (_, _) => cur)
+    val e = new Engine(spark, dir, Map.empty, Seq(m))
+    assert(e.build(Timestamp.valueOf("2024-01-01 00:00:00")).ok)
+    // torn batch against a TRANSIENT source state (1 -> "b")
+    cur = Seq((1L, "b"), (2L, "a")).toDF("id", "status")
+    val prior = spark.read.parquet(s"$dir/snap/open")
+    val (_, torn) = Snapshot.mergeDelta(spark, Some(prior), cur,
+      "id", Seq("status"), Timestamp.valueOf("2024-02-01 00:00:00"))
+    torn.write.mode("append").parquet(s"$dir/snap/closed")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/snap/.closing"), Array.emptyByteArray)
+    // the source REVERTS before the rerun: the closure is underivable
+    cur = Seq((1L, "a"), (2L, "a")).toDF("id", "status")
+    assert(e.build(Timestamp.valueOf("2024-03-01 00:00:00")).ok)
+    // the contradictory closure is GONE, the version stays open with
+    // its original validity, and the marker is cleared
+    assert(spark.read.parquet(s"$dir/snap/closed").count() == 0,
+      "stale closure survived marker recovery")
+    val open = spark.read.parquet(s"$dir/snap/open")
+    assert(open.select($"id", $"status").as[(Long, String)].collect().toMap
+      == Map(1L -> "a", 2L -> "a"))
+    assert(open.filter($"id" === 1L)
+      .select(col(Snapshot.ValidFrom)).as[Timestamp].head()
+      == Timestamp.valueOf("2024-01-01 00:00:00"))
+    assert(!new java.io.File(s"$dir/snap/.closing").exists)
+  }
+
   test("a zero-row FIRST build of a partitioned incremental model does not brick the target") {
     // an empty partitioned write commits _SUCCESS with no data file —
     // exists() must treat that as NOT materialized, or every later
