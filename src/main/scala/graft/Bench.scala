@@ -65,8 +65,8 @@ object Bench {
     * target/bench.json. */
   def line(total: Double, repeats: Int, singleShot: Double,
       qs: String, ph: String, sh: String, errs: String, sfDir: String,
-      sp: String = "{}"): String =
-    f"""{"metric":"total","value":$total%.3f,"unit":"sec","repeats":$repeats,"single_shot_total":$singleShot%.3f,"queries":$qs,"phases":$ph,"shuffle_bytes":$sh,"spread":$sp,"errors":$errs,"sf":"$sfDir"}"""
+      sp: String = "{}", ctl: String = "{}"): String =
+    f"""{"metric":"total","value":$total%.3f,"unit":"sec","repeats":$repeats,"single_shot_total":$singleShot%.3f,"queries":$qs,"phases":$ph,"shuffle_bytes":$sh,"spread":$sp,"control":$ctl,"errors":$errs,"sf":"$sfDir"}"""
 
   /** Greedy slowest-first packing of per-query results into the
     * headline budget (each entry costs name + ~12 bytes of punctuation
@@ -150,6 +150,45 @@ object Bench {
   val ShuffleBudget = 200
   val SpreadBudget = 300
 
+  /** Fixed-work CONTROL row — the sustained-contention instrument the
+    * per-rep spread cannot be. The spread map self-attributes a per-rep
+    * outlier (med ≫ min inside one query's three reps), but a
+    * whole-pass hot host depresses all three reps TOGETHER: min ≈ med
+    * reads as "real regression" while a same-session judge rerun
+    * measures a fraction of the archived value (fourth consecutive
+    * round of that phantom — r16 dedup_incremental through r19
+    * q_engine_microbatch, archived 8.68 s vs judge A/B 2.03 s). The fix
+    * is a plan whose work is CONSTANT by construction — no I/O, no
+    * sfDir dependence, fixed row count over fixed partitions — timed at
+    * intervals through the pass. Its uncontended cost on this host is a
+    * known constant (~0.1 s), so `control.med` far above `control.min`
+    * (or above the prior round's archived control) proves the PASS was
+    * hot, independent of any board query's own numbers. */
+  val ControlRows = 512L * 1000 * 1000
+  val ControlEvery = 10
+  def controlPlan(spark: SparkSession): org.apache.spark.sql.DataFrame =
+    // 512M ids over exactly 32 tasks of pure codegen arithmetic: big
+    // enough that CPU contention moves the number, small enough
+    // (~0.1 s) that ~20 samples cost ~2 s of a ~200 s pass; scheduler
+    // delay under load shows up too, which is part of the signal
+    spark.range(0L, ControlRows, 1, 32).selectExpr("sum(id % 1000) AS s")
+
+  /** JSON of the control samples: summary stats (headline + full line)
+    * with the per-sample series (full line only) tagged by the board
+    * query that ran right AFTER each sample, so a mid-pass load spike
+    * localizes to the rows it inflated. */
+  def controlJson(samples: Seq[(String, Double)], series: Boolean): String =
+    if (samples.isEmpty) "{}"
+    else {
+      val ts = samples.map(_._2).sorted
+      val med = ts(ts.size / 2)
+      val base =
+        f""""n":${ts.size},"med":$med%.3f,"min":${ts.min}%.3f,"max":${ts.max}%.3f"""
+      if (!series) s"{$base}"
+      else samples.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
+        .mkString(s"{$base,\"series\":{", ",", "}}")
+    }
+
   /** Headline form of the failed-query list: a mass failure (e.g. a
     * missing SF dir failing most of the ~150-query board) would make
     * the raw errors array ALONE blow the driver's stdout tail —
@@ -197,6 +236,13 @@ object Bench {
     queries.foreach { case (_, fn) =>
       try consume(fn(spark, warmDir)) catch { case _: Throwable => () }
     }
+    consume(controlPlan(spark)) // warm the control like everything else
+    val controlSamples = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    def controlSample(tag: String): Unit = {
+      val t0 = System.nanoTime()
+      consume(controlPlan(spark))
+      controlSamples += tag -> ((System.nanoTime() - t0) / 1e9)
+    }
     // per-query shuffle-WRITE bytes (first timed run tagged by job
     // group): the plan-shape regression signal wall time can't give —
     // an accidental extra Exchange shows here even under clock noise
@@ -221,7 +267,8 @@ object Bench {
     // run short-circuits to the sentinel for both series. Only the
     // FIRST timed run is shuffle-tagged: exchange payloads are
     // plan-determined (repeat runs would just multiply the total).
-    val timed = queries.map { case (name, fn) =>
+    val timed = queries.zipWithIndex.map { case ((name, fn), qi) =>
+      if (qi % ControlEvery == 0) controlSample(name)
       val runs = (0 until Repeats).iterator
         .map(i => once(fn, if (i == 0) Some(s"graft.bench.$name") else None))
         .takeWhile(_._1 >= 0).toSeq
@@ -232,6 +279,7 @@ object Bench {
           runs.map { case (b, q) => b + q })
       }
     }
+    controlSample("end")
     org.apache.spark.graftaccess.SparkListenerAccess.drain(spark.sparkContext)
     val shuffleEntries = timed.collect {
       case (k, (med, _, _, _)) if med >= 0 =>
@@ -259,7 +307,8 @@ object Bench {
     }
     val full = line(total, Repeats, singleShot, toJson(results),
       phasesJson(phaseEntries), shuffleJsonOf(shuffleEntries), errs, sfDir,
-      spreadJson(spreadEntries.map { case (k, (_, mn, mx)) => k -> (mn, mx) }))
+      spreadJson(spreadEntries.map { case (k, (_, mn, mx)) => k -> (mn, mx) }),
+      controlJson(controlSamples.toSeq, series = true))
     // Full per-query map → file (survives any log truncation).
     try {
       val out = java.nio.file.Paths.get("target", "bench.json")
@@ -277,11 +326,12 @@ object Bench {
     val phasesH = phasesJson(headlinePackPhases(phaseEntries, PhaseBudget))
     val shufH = shuffleJsonOf(headlinePackShuffle(shuffleEntries, ShuffleBudget))
     val spreadH = spreadJson(headlinePackSpread(spreadEntries, SpreadBudget))
+    val ctlH = controlJson(controlSamples.toSeq, series = false)
     println(line(total, Repeats, singleShot,
       toJson(headlinePack(results,
         HeadlineBudget - errsH.length - phasesH.length - shufH.length
-          - spreadH.length)),
-      phasesH, shufH, errsH, sfDir, spreadH))
+          - spreadH.length - ctlH.length)),
+      phasesH, shufH, errsH, sfDir, spreadH, ctlH))
     spark.stop()
   }
 }

@@ -91,6 +91,44 @@ class BenchLineSpec extends AnyFunSuite {
     assert(len < 2000, s"headline $len chars would blow the driver tail")
   }
 
+  test("control row: summary + series JSON, and the headline charges it") {
+    // the r19 blind spot: a whole-pass hot host depresses all three
+    // reps of every query together, so min ≈ med reads as "real
+    // regression" (q_engine_microbatch archived 8.68 s vs judge A/B
+    // 2.03 s). The fixed-work control's med-vs-min across the pass is
+    // the evidence that survives that mode — pin its presence and shape.
+    val samples = Seq("q_a" -> 0.100, "q_b" -> 0.450, "end" -> 0.102)
+    val summary = Bench.controlJson(samples, series = false)
+    assert(summary == """{"n":3,"med":0.102,"min":0.100,"max":0.450}""", summary)
+    val withSeries = Bench.controlJson(samples, series = true)
+    assert(withSeries.contains(""""series":{"q_a":0.100,"q_b":0.450,"end":0.102}"""),
+      withSeries)
+    assert(Bench.controlJson(Nil, series = true) == "{}")
+    // the control plan is sfDir-independent fixed work (constant rows,
+    // constant partitions) — its JSON summary is constant-size and the
+    // headline still fits with it charged against the budget
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val results = names.map(_ -> 9999.999)
+    val phasesH = Bench.phasesJson(Bench.headlinePackPhases(
+      names.filter(_.contains("_incremental")).map(k => k -> (9999.999, 9999.999)),
+      Bench.PhaseBudget))
+    val shufH = Bench.shuffleJsonOf(Bench.headlinePackShuffle(
+      names.map(_ -> 9999999999999L), Bench.ShuffleBudget))
+    val spH = Bench.spreadJson(Bench.headlinePackSpread(
+      names.zipWithIndex.map { case (k, i) => k -> (i * 1.0, i * 0.1, i * 1.1) },
+      Bench.SpreadBudget))
+    val ctlH = Bench.controlJson(
+      Seq.tabulate(20)(i => s"q_$i" -> 9999.999), series = false)
+    val len = Bench.line(
+      total = 99999.999, repeats = 3, singleShot = 99999.999,
+      qs = Bench.toJson(Bench.headlinePack(results,
+        Bench.HeadlineBudget - phasesH.length - shufH.length - spH.length
+          - ctlH.length - 2)),
+      ph = phasesH, sh = shufH, errs = "[]",
+      sfDir = "/root/testdata/sf0.1", sp = spH, ctl = ctlH).length
+    assert(len < 2000, s"headline $len chars would blow the driver tail")
+  }
+
   test("headline packing respects the budget under adversarial growth") {
     // 500 queries with 60-char names: packing must drop entries, not
     // stretch the line
