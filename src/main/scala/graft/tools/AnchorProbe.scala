@@ -38,15 +38,19 @@ object AnchorProbe {
     // warm pass (untimed, sf0.001)
     names.foreach { n =>
       try consume(graft.SparkEntry.queries(n)(spark, "/root/testdata/sf0.001"))
-      catch { case _: Throwable => () }
+      catch { case scala.util.control.NonFatal(_) => () }
     }
     // JSON numbers must be locale-independent (the f interpolator uses
     // the default locale — a comma decimal separator breaks the parser)
     java.util.Locale.setDefault(java.util.Locale.ROOT)
-    val out = names.map { n =>
-      // one failing query (typo'd name, sf0.1-only OOM the warm pass's
-      // catch hid) must not discard every other query's measurements —
-      // record the error and keep timing the rest
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    try names.foreach { n =>
+      // one failing query (typo'd name, an sf0.1-only analysis error)
+      // must not discard every other query's measurements — record the
+      // error and keep timing the rest. NonFatal ONLY: after an OOM (or
+      // any VirtualMachineError) this JVM's subsequent timings are
+      // garbage, so a fatal error aborts the probe — the partial JSON
+      // below is printed tainted, never as normal measurements.
       try {
         val runs = Seq.fill(3) {
           val t0 = System.nanoTime()
@@ -56,11 +60,16 @@ object AnchorProbe {
           ((t1 - t0) / 1e9, (System.nanoTime() - t1) / 1e9)
         }
         val med = runs.sortBy { case (b, q) => b + q }.apply(1)
-        f""""$n":{"total":${med._1 + med._2}%.3f,"build_s":${med._1}%.3f,"query_s":${med._2}%.3f}"""
+        out += f""""$n":{"total":${med._1 + med._2}%.3f,"build_s":${med._1}%.3f,"query_s":${med._2}%.3f}"""
       } catch {
-        case e: Throwable =>
-          s""""$n":{"error":"${e.getClass.getSimpleName}"}"""
+        case scala.util.control.NonFatal(e) =>
+          out += s""""$n":{"error":"${e.getClass.getSimpleName}"}"""
       }
+    } catch {
+      case fatal: Throwable =>
+        out += s""""_fatal":"${fatal.getClass.getSimpleName}""""
+        println(out.mkString("{", ",", "}"))
+        throw fatal
     }
     println(out.mkString("{", ",", "}"))
     spark.stop()
