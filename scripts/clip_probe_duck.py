@@ -35,10 +35,19 @@ def main():
                   * CAST(list_sum(list_transform(tq, x -> x * x)) AS BIGINT) * 784
              ) AS clip_pass
       FROM paired"""
+    # the COMPLETE pair construction (quantize AND sign-flip), matching
+    # ClipProbe.scala's fixture and the board oracle's e+p CTEs — an
+    # iq-only form would omit half the work and inflate the
+    # fixture-grain Spark/DuckDB ratio this probe exists to attribute
     fixture_sql = """
-      SELECT vec_id AS media_id,
-             list_transform(embedding, x -> CAST(round(x * 100) AS BIGINT)) AS iq
-      FROM embeddings"""
+      WITH e AS (
+        SELECT vec_id AS media_id,
+               list_transform(embedding, x -> CAST(round(x * 100) AS BIGINT)) AS iq
+        FROM embeddings)
+      SELECT media_id, iq,
+             list_transform(generate_series(1, len(iq)),
+               i -> CASE WHEN i <= media_id % 48 THEN -iq[i] ELSE iq[i] END) AS tq
+      FROM e"""
 
     def med3(sql):
         runs = []

@@ -180,10 +180,16 @@ object Bench {
   def controlJson(samples: Seq[(String, Double)], series: Boolean): String =
     if (samples.isEmpty) "{}"
     else {
-      val ts = samples.map(_._2).sorted
-      val med = ts(ts.size / 2)
+      // a -1.0 sample is a FAILED control job (sentinel, same rule as
+      // query timings) — excluded from the stats, surfaced as a count
+      // (a failing control is itself strong contention evidence); the
+      // series keeps the raw sentinel so the failure localizes
+      val ts = samples.map(_._2).filter(_ >= 0).sorted
+      val nFailed = samples.size - ts.size
+      val failed = if (nFailed > 0) s""","failed":$nFailed""" else ""
       val base =
-        f""""n":${ts.size},"med":$med%.3f,"min":${ts.min}%.3f,"max":${ts.max}%.3f"""
+        if (ts.isEmpty) s""""n":0$failed"""
+        else f""""n":${ts.size},"med":${ts(ts.size / 2)}%.3f,"min":${ts.min}%.3f,"max":${ts.max}%.3f$failed"""
       if (!series) s"{$base}"
       else samples.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
         .mkString(s"{$base,\"series\":{", ",", "}}")
@@ -239,9 +245,16 @@ object Bench {
     consume(controlPlan(spark)) // warm the control like everything else
     val controlSamples = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     def controlSample(tag: String): Unit = {
+      // same failure discipline as the warm pass and once(): one failed
+      // 0.1 s control job (the memory-pressured host is exactly the
+      // condition the control exists to detect) must never abort the
+      // whole pass and lose every query's measurements — record the
+      // sentinel and keep going
       val t0 = System.nanoTime()
-      consume(controlPlan(spark))
-      controlSamples += tag -> ((System.nanoTime() - t0) / 1e9)
+      try {
+        consume(controlPlan(spark))
+        controlSamples += tag -> ((System.nanoTime() - t0) / 1e9)
+      } catch { case _: Throwable => controlSamples += tag -> -1.0 }
     }
     // per-query shuffle-WRITE bytes (first timed run tagged by job
     // group): the plan-shape regression signal wall time can't give —

@@ -958,32 +958,37 @@ final class Engine(
           val newlyClosed =
             if (Files.exists(marker) &&
                 Files.exists(Paths.get(closedPath(m.name)))) {
-              // marker-found rerun, part 1 — RECONCILE, not just dedup:
-              // if the rerun's input changed between crash and rerun,
-              // the torn batch's appended closure may no longer be
-              // re-derived (mergeDelta keeps the version OPEN this
-              // time), leaving closed/ with a ValidTo'd row whose
-              // (key, ValidFrom) twin is still open — a contradictory
-              // full-history view nothing downstream can repair. Drop
-              // every closure whose version identity is still open
-              // AFTER this merge (semi-probe first: the closed/ rewrite
-              // — an atomic swap — is paid only when a contradiction
-              // actually exists, and only on the rare recovery path).
+              // marker-found rerun — RECONCILE closed/ against what the
+              // RERUN derives, in both contradiction modes. The torn
+              // batch appended closures that never became visible (the
+              // open swap didn't commit, so reads kept serving the old
+              // open rows); the rerun re-derives each such version's
+              // fate from the CURRENT input:
+              //  - still open after this merge ⇒ the stale closure is
+              //    underivable and must go (else full history holds a
+              //    ValidTo'd row whose (key, ValidFrom) twin is open);
+              //  - re-closed by this merge ⇒ the rerun's ValidTo is the
+              //    one reflecting SERVED reality (the version stayed
+              //    visible until this batch), so the stale closure is
+              //    dropped and the rerun's appended — keeping the torn
+              //    ValidTo would bake a permanent validity hole
+              //    [stale VT, rerun VT) into closed history.
+              // Either way: drop closed/ rows whose version identity
+              // the rerun re-derived (semi-probe first — the atomic
+              // rewrite is paid only when a contradiction exists, and
+              // only on the rare recovery path), then append the
+              // rerun's closures in full.
               val closedPrior = spark.read.parquet(closedPath(m.name))
-              val openIds = openOut.select(col(key), col(Snapshot.ValidFrom))
-              if (!closedPrior.join(openIds, Seq(key, Snapshot.ValidFrom),
+              val rederived = openOut.select(col(key), col(Snapshot.ValidFrom))
+                .unionByName(
+                  newlyClosed0.select(col(key), col(Snapshot.ValidFrom)))
+              if (!closedPrior.join(rederived, Seq(key, Snapshot.ValidFrom),
                   "left_semi").isEmpty)
                 writeSwap(
-                  closedPrior.join(openIds, Seq(key, Snapshot.ValidFrom),
+                  closedPrior.join(rederived, Seq(key, Snapshot.ValidFrom),
                     "left_anti"),
                   closedPath(m.name))
-              // part 2 — dedup: a version closes at most once, so any
-              // closure already in (reconciled) closed/ is the torn
-              // batch's own append and must not repeat
-              newlyClosed0.join(
-                spark.read.parquet(closedPath(m.name))
-                  .select(col(key), col(Snapshot.ValidFrom)),
-                Seq(key, Snapshot.ValidFrom), "left_anti")
+              newlyClosed0
             } else newlyClosed0
           Files.createDirectories(Paths.get(path(m.name)))
           Files.write(marker, Array.emptyByteArray)

@@ -39,8 +39,15 @@ object Scratch {
   }
 
   /** A fresh empty scratch dir for `slot` (one live dir per slot: the
-    * slot's previous dir, if any, is deleted best-effort first). */
-  def dir(slot: String): String = {
+    * slot's previous dir, if any, is deleted best-effort first).
+    * Synchronized: create-then-put-then-delete is not atomic per slot,
+    * and two concurrent callers of the SAME slot would otherwise delete
+    * each other's live directory mid-build. Today every driver invokes
+    * queries sequentially (the contract above), so the lock is
+    * uncontended — it exists so the one-live-dir registry stays safe
+    * the day a caller parallelizes query construction. Allocation is
+    * rare (once per query invocation), never hot-path. */
+  def dir(slot: String): String = synchronized {
     val fresh = Files.createTempDirectory(slot)
     val prev = live.put(slot, fresh)
     if (prev != null)

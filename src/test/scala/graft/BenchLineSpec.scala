@@ -104,6 +104,17 @@ class BenchLineSpec extends AnyFunSuite {
     assert(withSeries.contains(""""series":{"q_a":0.100,"q_b":0.450,"end":0.102}"""),
       withSeries)
     assert(Bench.controlJson(Nil, series = true) == "{}")
+    // a failed control job (sentinel -1.0) is excluded from the stats
+    // and surfaced as a count — it must never drag min below zero or
+    // abort the pass (the failure itself is contention evidence)
+    val withFail = Bench.controlJson(
+      Seq("q_a" -> 0.100, "q_b" -> -1.0, "end" -> 0.102), series = true)
+    assert(withFail.contains(""""n":2""") && withFail.contains(""""failed":1"""),
+      withFail)
+    assert(withFail.contains(""""min":0.100"""), withFail)
+    assert(withFail.contains(""""q_b":-1.000"""), withFail)
+    assert(Bench.controlJson(Seq("q_a" -> -1.0), series = false)
+      == """{"n":0,"failed":1}""")
     // the control plan is sfDir-independent fixed work (constant rows,
     // constant partitions) — its JSON summary is constant-size and the
     // headline still fits with it charged against the budget

@@ -222,6 +222,13 @@ class EngineSpec extends SparkSpec {
     val closed = spark.read.parquet(s"$dir/snap/closed")
     assert(closed.count() == 1, "closed history duplicated after torn-batch rerun")
     assert(closed.filter($"id" === 1L && $"status" === "a").count() == 1)
+    // the closure carries the RERUN's ValidTo (served reality: the torn
+    // batch's swap never committed, so reads kept serving 'a' until the
+    // rerun) — keeping the torn ValidTo would bake a validity hole
+    // [2024-02-01, 2024-03-01) into full history
+    assert(closed.select(col(Snapshot.ValidTo)).as[Timestamp].head()
+      == Timestamp.valueOf("2024-03-01 00:00:00"),
+      "stale torn-batch ValidTo survived recovery")
     // the open slice reflects the batch, and the marker is gone
     val open = spark.read.parquet(s"$dir/snap/open")
       .select($"id", $"status").as[(Long, String)].collect().toMap
