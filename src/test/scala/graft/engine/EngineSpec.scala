@@ -810,7 +810,7 @@ class EngineSpec extends SparkSpec {
 
   test("seeds: version-controlled CSV materializes as a typed table models can ref") {
     val dir = tmpDir("engseed")
-    val csv = java.nio.file.Files.createTempDirectory("graft_seed")
+    val csv = java.nio.file.Paths.get(Scratch.dir("graft_seed"))
       .resolve("currency.csv")
     java.nio.file.Files.write(csv,
       "code,rate,active\nUSD,1.0,true\nEUR,1.08,true\nXXX,0,false\n"

@@ -162,8 +162,7 @@ class CurationOpsSpec extends SparkSpec {
     val train = real.filter($"doc_id" % 2 === 0)
     val direct = TextQueries.bpeEncodeWith(train, real, "doc_id", "text", 8)
       .orderBy($"doc_id").collect().toSeq
-    val wh = java.nio.file.Files
-      .createTempDirectory("graft_bpe_spec").toString
+    val wh = graft.engine.Scratch.dir("graft_bpe_spec")
     TextQueries.bpeVocab(train, "text", 8)
       .coalesce(1).write.mode("overwrite").parquet(s"$wh/vocab")
     val reloaded = TextQueries.bpeEncodeFromVocab(
