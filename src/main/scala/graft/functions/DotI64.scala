@@ -17,7 +17,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   *
   * Null elements contribute 0; length mismatch uses the shorter array
   * (embedding tables are fixed-width, so neither occurs in practice).
-  */
+  *
+  * OVERFLOW CONTRACT: products and the running sum use plain 64-bit
+  * arithmetic and WRAP on overflow (unlike the ANSI-mode builtin HOF
+  * chain, which would raise). Callers must keep inputs quantization-
+  * bounded: |x| ≤ Q and dim d need d·Q² < 2^63 — the engine's ×100
+  * 64-dim vectors peak near 64·10^4 ≈ 6.4e5, nine orders under the
+  * line; even ×1000-quantized 4096-dim data peaks near 4e12. Raw
+  * un-quantized feature values are OUT of contract. */
 case class DotI64(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -70,39 +77,51 @@ case class DotI64(left: Expression, right: Expression)
 }
 
 object GraftFunctions {
+  /** Arity guard shared by both registration paths: a wrong-arity SQL
+    * call must fail analysis with the function's NAME and expected
+    * signature, not a raw IndexOutOfBoundsException from exprs(i). */
+  private def arity(name: String, sig: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    exprs => {
+      if (exprs.length != n) throw new IllegalArgumentException(
+        s"$name expects $n argument(s): $name($sig); got ${exprs.length}")
+      build(exprs)
+    }
+
+  /** The ONE list both registration paths consume — a function added
+    * here is visible to imperative `register` callers AND to
+    * `spark.sql.extensions`-configured sessions; two hand-kept lists
+    * previously could drift. */
+  private[functions] val builders: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    ("dot_i64", classOf[DotI64],
+      arity("dot_i64", "array<bigint>, array<bigint>", 2)(
+        exprs => DotI64(exprs(0), exprs(1)))),
+    ("topk_cos", classOf[TopKCos],
+      arity("topk_cos", "struct(vec_id, dot, nq, nc), k", 2)(TopKCos.fromArgs)),
+    ("md5_bucket16", classOf[Md5Bucket16],
+      arity("md5_bucket16", "string", 1)(exprs => Md5Bucket16(exprs(0)))))
+
   /** Idempotently register graft's native expressions as SQL functions
     * (usable via `expr("dot_i64(a, b)")` and in `spark.sql`). */
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_i64", exprs => DotI64(exprs(0), exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "topk_cos", TopKCos.fromArgs, "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "md5_bucket16", exprs => Md5Bucket16(exprs(0)), "built-in")
-  }
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, _, build) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, build, "built-in")
+    }
 }
 
 /** SparkSessionExtensions hook — the deployment-grade registration path:
   * `spark.sql.extensions=graft.functions.GraftExtensions` injects the
   * engine's native functions into every session built on the config
   * (survives `newSession()`, no imperative register call needed).
-  */
+  * Consumes the same builder list as [[GraftFunctions.register]]. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      org.apache.spark.sql.catalyst.FunctionIdentifier("dot_i64"),
-      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-        classOf[DotI64].getName, "dot_i64"),
-      (exprs: Seq[Expression]) => DotI64(exprs(0), exprs(1))))
-    ext.injectFunction((
-      org.apache.spark.sql.catalyst.FunctionIdentifier("topk_cos"),
-      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-        classOf[TopKCos].getName, "topk_cos"),
-      TopKCos.fromArgs))
-    ext.injectFunction((
-      org.apache.spark.sql.catalyst.FunctionIdentifier("md5_bucket16"),
-      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-        classOf[Md5Bucket16].getName, "md5_bucket16"),
-      (exprs: Seq[Expression]) => Md5Bucket16(exprs(0))))
-  }
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    GraftFunctions.builders.foreach { case (name, cls, build) =>
+      ext.injectFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          cls.getName, name),
+        build))
+    }
 }

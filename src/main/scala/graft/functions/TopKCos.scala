@@ -92,7 +92,13 @@ case class TopKCos(
     // skip rows with ANY null field, matching the window form: a null
     // cosine sorts LAST under DESC there, so it can never enter a top-k
     // that has k non-null candidates — reading a null as getLong's 0
-    // would instead rank it as a real cos=0 candidate and diverge
+    // would instead rank it as a real cos=0 candidate and diverge.
+    // KNOWN divergence in the sparse-candidate regime: with FEWER than
+    // k non-null candidates the window form still emits the null-cos
+    // rows in its tail while this aggregate omits them — acceptable
+    // because the engine's candidate streams are integer dots over
+    // non-null fixed-width vectors (nulls cannot reach this path; a
+    // future nullable caller must pre-filter or accept omission)
     if (row != null && !row.isNullAt(0) && !row.isNullAt(1) &&
         !row.isNullAt(2) && !row.isNullAt(3))
       insert(buf, (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3)))
@@ -144,7 +150,12 @@ object TopKCos {
     * literal. */
   def fromArgs(exprs: Seq[Expression]): TopKCos = exprs match {
     case Seq(input, Literal(k: Int, IntegerType)) => TopKCos(input, k)
-    case Seq(input, Literal(k: Long, LongType)) => TopKCos(input, k.toInt)
+    case Seq(input, Literal(k: Long, LongType)) =>
+      // guard, don't truncate: a Long literal outside Int range would
+      // otherwise silently become a DIFFERENT positive k via toInt
+      if (k < 1 || k > Int.MaxValue) throw new IllegalArgumentException(
+        s"topk_cos(input_struct, k): k must be in [1, ${Int.MaxValue}]; got $k")
+      else TopKCos(input, k.toInt)
     case _ => throw new IllegalArgumentException(
       "topk_cos(input_struct, k): k must be an integer literal")
   }

@@ -45,6 +45,31 @@ class DotI64Spec extends SparkSpec {
     assert(d.collect().head.getLong(0) == 11L)
   }
 
+  test("wrong arity fails with the function's NAME, never a raw index error") {
+    // both registration paths share one guarded builder list — a
+    // one-arg dot_i64 call must fail analysis naming the function and
+    // its signature, not throw IndexOutOfBoundsException from exprs(1)
+    for (bad <- Seq("dot_i64(array(1L))", "md5_bucket16()",
+        "topk_cos(struct(1L, 2L, 3L, 4L), 5, 6)")) {
+      val e = intercept[Exception] {
+        spark.sql(s"SELECT $bad").collect()
+      }
+      val msgs = Iterator.iterate[Throwable](e)(_.getCause)
+        .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+      assert(msgs.contains("expects") || msgs.contains("argument"),
+        s"$bad -> $msgs")
+      assert(!e.isInstanceOf[IndexOutOfBoundsException], s"$bad -> $e")
+    }
+    // and a Long k outside Int range is REJECTED, never truncated to a
+    // different positive k
+    val big = intercept[Exception] {
+      spark.sql("SELECT topk_cos(struct(1L, 2L, 3L, 4L), 5000000000) FROM VALUES (1)").collect()
+    }
+    val bigMsgs = Iterator.iterate[Throwable](big)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    assert(bigMsgs.contains("5000000000"), bigMsgs)
+  }
+
   test("stays inside whole-stage codegen over a real scan") {
     withFn {
       val df = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
