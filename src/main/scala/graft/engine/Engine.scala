@@ -677,6 +677,11 @@ final class Engine(
     * for views). */
   private def materialize(m: Model, batchTs: java.sql.Timestamp,
       fullRefresh: Boolean = false): Long = {
+    // frozen-artifact skip BEFORE the buildFn runs: a TrainOnceTable
+    // whose target exists costs zero jobs on this build — not even the
+    // buildFn's eager construction work (driver-side collects) runs
+    if (m.materialization == Materialization.TrainOnceTable &&
+        !fullRefresh && exists(m.name)) return 0L
     val df = m.buildFn(spark, ref, targetIfExists(m.name, fullRefresh))
     // dbt model contract (`contract: enforced`): the build output's
     // column set and types must match the declaration EXACTLY, checked
@@ -700,7 +705,7 @@ final class Engine(
     }
     m.materialization match {
       case Materialization.View => -1L
-      case Materialization.Table =>
+      case Materialization.Table | Materialization.TrainOnceTable =>
         writeCounted(df, _.write.mode("overwrite").parquet(path(m.name)))
       case Materialization.BucketedTable(key, n) =>
         // external table at the model's normal path; DROP clears stale

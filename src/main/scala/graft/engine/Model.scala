@@ -22,6 +22,25 @@ object Materialization {
     */
   case object Table extends Materialization
 
+  /** Like [[Table]], but built on the FIRST run only: when the target
+    * already exists the node is SKIPPED outright — the buildFn is not
+    * invoked, so neither its plan (a training pass over the snapshot)
+    * nor its eager construction work (driver-side collects for
+    * broadcast state) costs anything. This is the FROZEN-ARTIFACT
+    * materialization for trained state with a fixed training input —
+    * coarse-quantizer centroids, PQ codebooks, cluster means: the
+    * frozen-quantizer contract means a rebuild is bit-identical by
+    * construction, so re-deriving it per incremental batch pays a full
+    * training pass (at 100 TB, a pass over the training snapshot) for
+    * nothing. Being skipped-when-present rather than re-derived is also
+    * what makes a maintenance SWAP durable (e.g.
+    * [[graft.similarity.IncrementalIvfIndex.retrain]] replaces the
+    * stored centroids; the next build reads the retrained state instead
+    * of silently reverting it). `--full-refresh` rebuilds from the
+    * current inputs, exactly like [[Table]] — a CHANGED training
+    * snapshot still means full refresh by design. */
+  case object TrainOnceTable extends Materialization
+
   /** Full rebuild like [[Table]], persisted as a BUCKETED table:
     * hash-bucketed and sorted by `key` into `buckets` buckets, registered
     * in the session catalog (bucket metadata lives there — a plain

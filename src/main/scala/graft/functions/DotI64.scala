@@ -99,7 +99,14 @@ object GraftFunctions {
     ("topk_cos", classOf[TopKCos],
       arity("topk_cos", "struct(vec_id, dot, nq, nc), k", 2)(TopKCos.fromArgs)),
     ("md5_bucket16", classOf[Md5Bucket16],
-      arity("md5_bucket16", "string", 1)(exprs => Md5Bucket16(exprs(0)))))
+      arity("md5_bucket16", "string", 1)(exprs => Md5Bucket16(exprs(0)))),
+    ("quantize_i64", classOf[QuantizeI64],
+      arity("quantize_i64", "array<double|float>", 1)(exprs => QuantizeI64(exprs(0)))),
+    ("neg_prefix_i64", classOf[NegPrefixI64],
+      arity("neg_prefix_i64", "array<bigint>, k", 2)(
+        exprs => NegPrefixI64(exprs(0), exprs(1)))),
+    ("ffd_pack", classOf[FfdPack],
+      arity("ffd_pack", "array<struct<k1,k2,n>>, capacity", 2)(FfdPack.fromArgs)))
 
   /** Idempotently register graft's native expressions as SQL functions
     * (usable via `expr("dot_i64(a, b)")` and in `spark.sql`). */

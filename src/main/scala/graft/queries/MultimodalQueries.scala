@@ -236,11 +236,14 @@ object MultimodalQueries {
         |FROM s""".stripMargin
     ) { (s, dir) =>
       graft.functions.GraftFunctions.register(s)
+      // fixture construction is fully native/codegen (r21): quantize_i64
+      // + neg_prefix_i64 replace the interpreted transform() lambdas the
+      // r20 ClipProbe attributed 94% of the 64× board time to — same
+      // per-element math (spec-pinned), identical rows/hash
       val paired = Tables.embeddings(s, dir)
         .select(col("vec_id").as("media_id"),
           DedupQueries.quantize(col("embedding")).as("iq"))
-        .withColumn("tq", expr(
-          "transform(iq, (x, i) -> if(i < media_id % 48, -x, x))"))
+        .withColumn("tq", expr("neg_prefix_i64(iq, media_id % 48)"))
       Multimodal.clipFilter(paired, "media_id", "iq", "tq", 28)
     }
   )

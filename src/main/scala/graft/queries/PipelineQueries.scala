@@ -392,26 +392,6 @@ object PipelineQueries {
   def packBestFit(docs: DataFrame, idCol: String, textCol: String,
       capacity: Int, targetGroup: Int): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val fold =
-      s"""aggregate(
-         |  ds,
-         |  named_struct(
-         |    'loads', cast(array() as array<bigint>),
-         |    'asg', cast(array() as array<struct<doc_id:bigint,n:bigint,bin:bigint>>)),
-         |  (acc, x) -> named_struct(
-         |    'loads',
-         |    if(array_position(transform(acc.loads, l -> l + x.n <= $capacity), true) = 0,
-         |       concat(acc.loads, array(x.n)),
-         |       transform(acc.loads, (l, i) ->
-         |         if(cast(i as bigint) =
-         |            array_position(transform(acc.loads, l2 -> l2 + x.n <= $capacity), true) - 1,
-         |            l + x.n, l))),
-         |    'asg',
-         |    concat(acc.asg, array(named_struct(
-         |      'doc_id', x.k2, 'n', x.n,
-         |      'bin', coalesce(
-         |        nullif(array_position(transform(acc.loads, l -> l + x.n <= $capacity), true), 0L),
-         |        cast(size(acc.loads) + 1 as bigint)))))))""".stripMargin
     val base = docs.select(
       col(idCol).cast("long").as("doc_id"),
       expr(s"cast(md5_bucket16(cast($idCol as string)) as bigint)").as("h16"),
@@ -425,7 +405,14 @@ object PipelineQueries {
       // FFD total order (n desc, doc_id) via struct sort on (-n, doc_id)
       .agg(array_sort(collect_list(
         struct((-col("n")).as("k1"), col("doc_id").as("k2"), col("n")))).as("ds"))
-      .select(col("salt"), explode(expr(fold).getField("asg")).as("a"))
+      // the FFD fold itself is the native ffd_pack expression (r21):
+      // the previous interpreted aggregate() lambda chain re-built the
+      // loads array three times and COPIED the accumulated assignment
+      // array once per element (O(group²) allocations, per-lambda
+      // interpreted) — it WAS the bench row's cost; ffd_pack is the
+      // identical first-fit-decreasing walk (ArrayKernelsSpec pins
+      // bin-for-bin equality against the fold) as one compiled loop
+      .select(col("salt"), explode(expr(s"ffd_pack(ds, $capacity)")).as("a"))
       .select(col("a.doc_id").as("doc_id"), col("a.n").as("n_tokens"),
         col("salt"), col("a.bin").as("bin"),
         (col("a.n") > capacity).as("overflow"))

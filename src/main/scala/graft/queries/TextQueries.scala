@@ -1086,17 +1086,27 @@ object TextQueries {
     *
     * Scale: the loop state is the distinct-word table (|vocab| rows,
     * corpus-independent after the initial word count — the standard
-    * BPE-training compression), localCheckpoint'd per round so lineage
-    * stays flat. The merge table returned is the model artifact (16
-    * rows). Fails loudly if the corpus exhausts mergeable pairs. */
+    * BPE-training compression), localCheckpoint'd ONCE after the word
+    * count; each round's rewrite then rides as a LAZY replace projection
+    * over that checkpoint (Catalyst collapses the stack into one
+    * projection per round's job), so a round costs exactly ONE Spark job
+    * — the argmax TakeOrdered — instead of the previous two (argmax +
+    * a per-round checkpoint materialization: 2·merges jobs of pure
+    * fixed overhead per training, measured ~2.2 s of the BPE rows'
+    * bench build phase). Replaying ≤ merges string replaces over the
+    * |vocab|-row state inside each round's scan is microseconds-scale
+    * work; lineage depth stays ≤ merges projections. The merge table
+    * returned is the model artifact (16 rows). Fails loudly if the
+    * corpus exhausts mergeable pairs. */
   def bpeVocab(docs: DataFrame, textCol: String, merges: Int): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    var words = docs
+    val base = docs
       .select(explode(split(col(textCol), " ")).as("w"))
       .groupBy(regexp_replace(bpeEscCol(col("w")), "(.)", "<$1>").as("s"))
       .agg(count(lit(1)).as("freq"))
       .localCheckpoint()
+    var words = base
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     for (it <- 1 to merges) {
       val top = words
@@ -1119,7 +1129,7 @@ object TextQueries {
       words = words.select(
         call_function("replace", col("s"),
           lit(s"<$l><$r>"), lit(s"<$l$r>")).as("s"),
-        col("freq")).localCheckpoint()
+        col("freq"))
     }
     out.toSeq.toDF("it", "l", "r", "merged", "cnt")
   }

@@ -110,18 +110,16 @@ object IncrementalIvfIndex {
     })
 
   /** The train-once coarse-quantizer model shared by [[models]] and
-    * [[modelsPQ]]: an incremental model that trains on the first build
-    * and appends NOTHING once prior state exists, so later builds read
-    * the STORED table — the property that makes a [[retrain]] swap
-    * durable across builds. */
+    * [[modelsPQ]]: a [[Materialization.TrainOnceTable]] — trained on the
+    * first build, SKIPPED (zero jobs, buildFn not invoked) once the
+    * stored table exists, so later builds read the STORED table — the
+    * property that makes a [[retrain]] swap durable across builds. The
+    * previous form (an incremental model appending an empty frame) had
+    * the same semantics but paid a prior-read, an HWM footer scan and an
+    * empty append write per post-first build. */
   private def trainOnceCentroids(trainingRef: String, dims: Int): Model =
-    Model.incremental("ivf_centroids", Seq(trainingRef),
-      Materialization.IncrementalAppend("label")) { (s, r, prior) =>
-      if (prior.isDefined)
-        Incremental.emptyFrame(s, Seq(
-          "label" -> "int", "c" -> "array<bigint>", "ncsq" -> "long"))
-      else centroids(r(trainingRef), dims)
-    }
+    Model("ivf_centroids", Seq(trainingRef),
+      Materialization.TrainOnceTable)((_, r) => centroids(r(trainingRef), dims))
 
   /** Retrain report: corpus size, how many vectors changed cluster, and
     * the retrained cluster count (empty clusters vanish). */
@@ -303,7 +301,11 @@ object IncrementalIvfIndex {
     * → one repartition(cluster) write exchange. */
   def modelsPQ(vectorsRef: String, trainingRef: String, dims: Int): Seq[Model] = Seq(
     trainOnceCentroids(trainingRef, dims),
-    Model("pq_codebook", Seq(trainingRef), Materialization.Table)((_, r) =>
+    // frozen-quantizer contract made material: the codebook is trained
+    // once on the fixed snapshot and SKIPPED on later builds — a Table
+    // here re-paid the full training pass per incremental batch for a
+    // bit-identical result (at 100 TB, a pass over the snapshot per batch)
+    Model("pq_codebook", Seq(trainingRef), Materialization.TrainOnceTable)((_, r) =>
       ProductQuantizer.entriesDf(
         r(trainingRef).select(col("vec_id"), col("q"), col("nsq")))),
     Model.incremental(
@@ -351,12 +353,16 @@ object IncrementalIvfIndex {
       vecs.join(broadcast(means), "cluster")
         .withColumn("qr", expr("zip_with(q, mc, (a, b) -> a - b)"))
     Seq(
-      Model("ivf_centroids", Seq(trainingRef), Materialization.Table)((_, r) =>
+      // all three trained artifacts are frozen with the snapshot
+      // (scaladoc above): TrainOnceTable skips them — buildFn not even
+      // invoked, so the eager centroid collects cost nothing — on every
+      // build after the first instead of re-deriving bit-identical state
+      Model("ivf_centroids", Seq(trainingRef), Materialization.TrainOnceTable)((_, r) =>
         centroids(r(trainingRef), dims)),
       Model("ivf_means", Seq(trainingRef, "ivf_centroids"),
-        Materialization.Table)((_, r) => meansOf(r)),
+        Materialization.TrainOnceTable)((_, r) => meansOf(r)),
       Model("pq_codebook", Seq(trainingRef, "ivf_centroids", "ivf_means"),
-        Materialization.Table)((_, r) =>
+        Materialization.TrainOnceTable)((_, r) =>
         ProductQuantizer.entriesDf(
           residualsOf(
             assign(r(trainingRef).select(col("vec_id"), col("q"), col("nsq")),

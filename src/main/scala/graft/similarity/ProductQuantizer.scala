@@ -1,7 +1,6 @@
 package graft.similarity
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Product quantization (PQ) — the published ANN compression scheme
@@ -103,20 +102,32 @@ object ProductQuantizer {
     * each cell's exact medoid-under-cosine-to-the-sum (ties lowest
     * vec_id). Emits `(m, code, ent, ent_nsq)` — materializable as an
     * engine Table model (the frozen-quantizer contract, like
-    * `ivf_centroids`). One shuffle on (m, code), paid once per
-    * training. */
+    * `ivf_centroids`).
+    *
+    * Shape (r21): pass 1 aggregates the ≤ M·256-row cell-sum table
+    * (one tiny exchange); pass 2 re-streams the cells through a
+    * BROADCAST join of that table and reduces each cell to its medoid
+    * with ONE partial-aggregating `max_by` — at most M·256 rows per
+    * task cross the second exchange. The previous join + row_number
+    * window paid two sorts and shuffled EVERY cell row (the whole
+    * training corpus ×M) into the window exchange; max_by over
+    * `struct(cos, -vec_id)` is the identical (cos DESC, vec_id ASC)
+    * medoid — Spark's struct max uses the same NaN-greatest double
+    * ordering as the window sort, and the vec_id negation flips the tie
+    * to lowest-id — with map-side partial merge instead of a sort. */
   def entriesDf(e: DataFrame): DataFrame = {
     val cells = cellRows(e)
     val bsum = cells.groupBy(col("m"), col("code"))
       .agg(array((1 to SubDims).map(j => sum(element_at(col("sv"), j))): _*).as("ssum"))
       .withColumn("nssum", expr("dot_i64(ssum, ssum)"))
-    val w = Window.partitionBy(col("m"), col("code")).orderBy(
-      (expr("dot_i64(sv, ssum)") /
-        sqrt(col("nsv").cast("double") * col("nssum").cast("double"))).desc,
-      col("vec_id"))
-    cells.join(bsum, Seq("m", "code"))
-      .withColumn("rnk", row_number().over(w)).filter(col("rnk") === 1)
-      .select(col("m"), col("code"), col("sv").as("ent"), col("nsv").as("ent_nsq"))
+    val cos = expr("dot_i64(sv, ssum)") /
+      sqrt(col("nsv").cast("double") * col("nssum").cast("double"))
+    cells.join(broadcast(bsum), Seq("m", "code"))
+      .groupBy(col("m"), col("code"))
+      .agg(max_by(struct(col("sv"), col("nsv")),
+        struct(cos.as("cos"), (-col("vec_id")).as("negid"))).as("med"))
+      .select(col("m"), col("code"),
+        col("med.sv").as("ent"), col("med.nsv").as("ent_nsq"))
   }
 
   /** Collect a trained `(m, code, ent, ent_nsq)` table into the dense

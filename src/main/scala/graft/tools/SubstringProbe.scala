@@ -123,6 +123,34 @@ object SubstringProbe {
       c.unpersist(); ()
     }
     t("s10_full_v1_again")(graft.SparkEntry.queries("q_dedup_substring_spans")(spark, dir))
+    // v4 (r21, the last untested lever — VERDICT task 2): pack the 8
+    // token columns into ONE BINARY key before the exact-recount
+    // exchange. An UnsafeRow ships 8 offset/length words + padding for
+    // the 8-string tuple; the packed key is one field, and BinaryType
+    // group/join comparison is raw byte compare (no collation path).
+    // Injective because tokens come from split(' '). The recount
+    // exchange itself only carries the ~9% survivors, so this targets
+    // per-row width, not row count.
+    def spansV4() = {
+      val pk = array_join(expr(s"slice(t, pos, $SpanK)"), " ")
+        .cast("binary").as("pk")
+      val hc4 = win.groupBy(col("h")).agg(count(lit(1)).as("ch"))
+        .filter(col("ch") >= 2).select(col("h"))
+      val cand4 = win.join(broadcast(hc4), Seq("h"))
+        .select(col("doc_id"), col("pos"), pk)
+      val cnt4 = cand4.groupBy(col("pk")).agg(count(lit(1)).as("c"))
+      val dup4 = cand4.join(broadcast(cnt4.filter(col("c") >= 2)), Seq("pk"))
+        .withColumn("run_key", col("pos") - org.apache.spark.sql.functions
+          .row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("doc_id")).orderBy(col("pos"))))
+      dup4.groupBy(col("doc_id"), col("run_key"))
+        .agg(min(col("pos")).cast("int").as("span_start"),
+          (max(col("pos")) + (SpanK - 1)).cast("int").as("span_end"),
+          count(lit(1)).cast("int").as("n_grams"))
+        .select(col("doc_id"), col("span_start"), col("span_end"), col("n_grams"))
+    }
+    t("s11_full_v4_packedkey")(spansV4())
+    t("s12_full_v1_again")(graft.SparkEntry.queries("q_dedup_substring_spans")(spark, dir))
     spark.stop()
   }
 }
