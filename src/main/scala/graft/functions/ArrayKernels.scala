@@ -64,13 +64,44 @@ case class QuantizeI64(child: Expression) extends UnaryExpression {
 }
 
 object QuantizeI64 {
+  /** Exact Spark semantics for `round(y, 0)` on a finite DOUBLE —
+    * `BigDecimal.valueOf(y).setScale(0, HALF_UP).doubleValue()` — WITHOUT
+    * the per-element BigDecimal allocation (r21: the BigDecimal was ~2 s
+    * of every 64×-scale quantizing scan — 8.2M allocations — measured by
+    * ClipProbe as the residue of q_media_clip_filter's fixture after the
+    * lambda removal). Equivalence argument, pinned empirically in
+    * ArrayKernelsSpec's million-value sweep against BigDecimal itself:
+    *
+    *  - HALF_UP rounds AWAY FROM ZERO, i.e. it is symmetric in
+    *    magnitude: round on `a = |y|`, then re-apply the sign.
+    *  - `fa = floor(a)` and `fra = a − fa` are EXACT in IEEE754 for
+    *    a ≥ 0: trivial below 1 (fa = 0); Sterbenz above (a < fa + 1 ≤
+    *    2·fa, so the subtraction is exact), and for a ≥ 2^52 every
+    *    double is integral so fra = 0. (The signed form `y − floor(y)`
+    *    is NOT exact across binades — −0.49999999999999994 + 1 rounds
+    *    to exactly 0.5, the bug the spec sweep caught.)
+    *  - BigDecimal.valueOf parses Double.toString(y) — the SHORTEST
+    *    decimal uniquely identifying y. The HALF_UP decision compares
+    *    that decimal against the boundary n + 0.5, which is itself
+    *    exactly representable as a double wherever fra can be 0.5; a
+    *    shortest-decimal repr strictly preserves ordering against any
+    *    exactly-representable boundary, so `fra <=> 0.5` in binary
+    *    decides identically to BigDecimal's decimal comparison.
+    *  - The tie (fra = 0.5) goes to fa + 1 — away from zero. */
+  def roundHalfUp(y: Double): Double = {
+    val a = Math.abs(y)
+    val fa = Math.floor(a)
+    val fra = a - fa
+    val ra = if (fra < 0.5) fa else fa + 1
+    if (y < 0) -ra else ra
+  }
+
   /** Exact Spark semantics for `cast(round(x * 100, 0) as bigint)`. */
   def quantizeOne(x: Double): Long = {
     val y = x * 100
     val r =
       if (java.lang.Double.isNaN(y) || java.lang.Double.isInfinite(y)) y
-      else java.math.BigDecimal.valueOf(y)
-        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
+      else roundHalfUp(y)
     r.toLong
   }
 

@@ -116,7 +116,18 @@ object ProductQuantizer {
     * ordering as the window sort, and the vec_id negation flips the tie
     * to lowest-id — with map-side partial merge instead of a sort. */
   def entriesDf(e: DataFrame): DataFrame = {
+    // The cell stream feeds BOTH passes below, so persist it
+    // (MEMORY_AND_DISK — same rationale as DedupQueries.quantizedWithNorm:
+    // recompute-from-lineage on block loss, spill not evict, reclaimed by
+    // the ContextCleaner when the plan is GC'd): unpersisted, the whole
+    // upstream — the training scan, the quantize/residual projections and
+    // the 64-plane-sign code assignment — runs once under the cell-sum
+    // aggregate and AGAIN as the join's stream side, i.e. two full passes
+    // over the training snapshot per codebook training. The snapshot is
+    // training-sample-sized by the frozen-quantizer contract, so the
+    // cached footprint is bounded by design.
     val cells = cellRows(e)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bsum = cells.groupBy(col("m"), col("code"))
       .agg(array((1 to SubDims).map(j => sum(element_at(col("sv"), j))): _*).as("ssum"))
       .withColumn("nssum", expr("dot_i64(ssum, ssum)"))

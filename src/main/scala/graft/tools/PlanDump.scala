@@ -27,9 +27,10 @@ object PlanDump {
     graft.functions.GraftFunctions.register(spark)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     def quantized: DataFrame =
+      // same construction as SimilarityQueries.quantized (the native
+      // quantize_i64 kernel), so internal-plan dumps match production
       graft.Tables.embeddings(spark, sfDir).select(
-        col("vec_id"), col("label"),
-        transform(col("embedding"), x => round(x * 100, 0).cast("long")).as("q"))
+        col("vec_id"), col("label"), expr("quantize_i64(embedding)").as("q"))
         .withColumn("nsq", expr("dot_i64(q, q)"))
     def internal(name: String): Option[DataFrame] = name match {
       case "pq_codebook_training" => Some(

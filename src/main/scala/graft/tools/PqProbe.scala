@@ -107,7 +107,7 @@ object PqProbe {
     }
     val total = out.collect { case (n, t, _) if !n.startsWith("warm_") => t }.sum
     println(out.map { case (n, t, j) =>
-      f""""$n":{"s":$t%.3f,"jobs":$j}""" }.mkString("{", ",", s""","total_s":$total%.3f}"""))
+      f""""$n":{"s":$t%.3f,"jobs":$j}""" }.mkString("{", ",", f""","total_s":$total%.3f}"""))
     spark.stop()
   }
 }

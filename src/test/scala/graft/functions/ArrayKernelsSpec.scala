@@ -58,6 +58,45 @@ class ArrayKernelsSpec extends SparkSpec {
     }
   }
 
+  test("roundHalfUp ≡ BigDecimal.setScale(0, HALF_UP) — million-value sweep incl. exact .5 ties, tie neighbors, ≥2^52") {
+    // the r21 BigDecimal-free fast path must agree with the EXACT Spark
+    // round-double semantics (BigDecimal.valueOf(y).setScale(0, HALF_UP))
+    // on every finite double — this sweep hammers the only decision
+    // boundary (the n + 0.5 tie) from both sides at full precision, plus
+    // magnitudes where doubles are integral (≥ 2^52), subnormals and
+    // signed zeros, against BigDecimal itself
+    def oracle(y: Double): Double = java.math.BigDecimal.valueOf(y)
+      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
+    def check(y: Double): Unit = {
+      val got = QuantizeI64.roundHalfUp(y)
+      val want = oracle(y)
+      assert(java.lang.Double.compare(got, want) == 0 ||
+        got == want, // -0.0 vs 0.0: toLong downstream agrees; accept ==
+        s"roundHalfUp($y) = $got, BigDecimal says $want")
+    }
+    val rnd = new scala.util.Random(1618)
+    // exact ties and their nearest neighbors across magnitudes
+    for (e <- 0 to 51; s <- Seq(1.0, -1.0)) {
+      val tie = s * (math.pow(2, e) + 0.5)
+      Seq(tie, Math.nextUp(tie), Math.nextDown(tie)).foreach(check)
+    }
+    for (n <- -1000 to 1000; d <- Seq(0.5, 0.25, 0.75)) {
+      val y = n + d
+      Seq(y, Math.nextUp(y), Math.nextDown(y)).foreach(check)
+    }
+    // the classic Math.round trap and signed zeros / subnormals
+    Seq(0.49999999999999994, -0.49999999999999994, 0.0, -0.0,
+      java.lang.Double.MIN_VALUE, -java.lang.Double.MIN_VALUE,
+      4.503599627370496e15, 9.007199254740992e15, -9.007199254740993e15,
+      1e300, -1e300).foreach(check)
+    // random sweep across magnitudes
+    var i = 0
+    while (i < 1000000) {
+      check((rnd.nextDouble() - 0.5) * math.pow(10, rnd.nextInt(19)))
+      i += 1
+    }
+  }
+
   test("quantize_i64 out-of-contract values saturate/zero (documented; the ANSI HOF raises)") {
     assert(QuantizeI64.quantizeOne(Double.NaN) == 0L)
     assert(QuantizeI64.quantizeOne(Double.PositiveInfinity) == Long.MaxValue)
