@@ -19,22 +19,23 @@ def main():
     emb = os.path.join(sf_dir, "embeddings.parquet")
     epat = f"{emb}/*.parquet" if os.path.isdir(emb) else emb
     con.execute(f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{epat}')")
+    # mirrors the BOARD oracle's CTE shape (dot/ni/nt computed once in an
+    # inner SELECT, clip_pass derived from the columns) so the DuckDB
+    # denominator is measured on the same plan shape as the board query —
+    # the previous flat SELECT inlined the dot-product lambda four times
+    # and, if DuckDB's CSE does not fully deduplicate it, inflated gate_s
+    # (ADVICE r20; both forms measured 2026-08-19: see BASELINE.md)
     gate_sql = """
-      SELECT media_id,
-             CAST(list_sum(list_transform(generate_series(1, len(iq)),
-                  i -> iq[i] * tq[i])) AS BIGINT) AS dot,
-             CAST(list_sum(list_transform(iq, x -> x * x)) AS BIGINT) AS ni,
-             CAST(list_sum(list_transform(tq, x -> x * x)) AS BIGINT) AS nt,
-             (CAST(list_sum(list_transform(generate_series(1, len(iq)),
-                  i -> iq[i] * tq[i])) AS BIGINT) > 0
-              AND CAST(list_sum(list_transform(generate_series(1, len(iq)),
-                  i -> iq[i] * tq[i])) AS HUGEINT)
-                  * CAST(list_sum(list_transform(generate_series(1, len(iq)),
-                  i -> iq[i] * tq[i])) AS BIGINT) * 10000
-                  >= CAST(list_sum(list_transform(iq, x -> x * x)) AS HUGEINT)
-                  * CAST(list_sum(list_transform(tq, x -> x * x)) AS BIGINT) * 784
-             ) AS clip_pass
-      FROM paired"""
+      WITH s AS (
+        SELECT media_id,
+               CAST(list_sum(list_transform(generate_series(1, len(iq)),
+                    i -> iq[i] * tq[i])) AS BIGINT) AS dot,
+               CAST(list_sum(list_transform(iq, x -> x * x)) AS BIGINT) AS ni,
+               CAST(list_sum(list_transform(tq, x -> x * x)) AS BIGINT) AS nt
+        FROM paired)
+      SELECT media_id, dot, ni, nt,
+             (dot > 0 AND dot::HUGEINT * dot * 10000 >= ni::HUGEINT * nt * 784) AS clip_pass
+      FROM s"""
     # the COMPLETE pair construction (quantize AND sign-flip), matching
     # ClipProbe.scala's fixture and the board oracle's e+p CTEs — an
     # iq-only form would omit half the work and inflate the

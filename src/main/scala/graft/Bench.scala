@@ -187,6 +187,11 @@ object Bench {
       val ts = samples.map(_._2).filter(_ >= 0).sorted
       val nFailed = samples.size - ts.size
       val failed = if (nFailed > 0) s""","failed":$nFailed""" else ""
+      // `med` is the UPPER median for even n (ts(n/2)) — documented so
+      // round-over-round reads are consistent: with the fixed 19/20-
+      // sample cadence n is odd in practice, and keeping the definition
+      // stable matters more to the med-vs-min contention verdict than
+      // symmetric averaging on failure-reduced sample sets (ADVICE r20)
       val base =
         if (ts.isEmpty) s""""n":0$failed"""
         else f""""n":${ts.size},"med":${ts(ts.size / 2)}%.3f,"min":${ts.min}%.3f,"max":${ts.max}%.3f$failed"""
