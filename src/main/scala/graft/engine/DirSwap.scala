@@ -64,6 +64,7 @@ object DirSwap {
   def deleteRecursively(path: String): Unit = {
     val f = new java.io.File(path)
     if (f.exists) deleteRec(f)
+    ParquetReadCache.invalidate(path)
   }
 
   /** Heal a swap torn between rename-aside and rename-into-place: if
@@ -76,6 +77,7 @@ object DirSwap {
     val old = new java.io.File(target + ".old")
     if (!dir.exists && old.exists) {
       require(old.renameTo(dir), s"recovery failed restoring $target from .old")
+      ParquetReadCache.invalidate(target)
       true
     } else false
   }
@@ -101,5 +103,6 @@ object DirSwap {
       require(new java.io.File(tmp).renameTo(dir), s"swap failed for $target")
     }
     if (old.exists) deleteRec(old)
+    ParquetReadCache.invalidate(target)
   }
 }

@@ -299,28 +299,66 @@ final class Engine(
     if (stage.isDirectory) DirSwap.deleteRecursively(stage.getPath)
   }
 
+  /** Per-GENERATION memo of model-dir reads: every fresh
+    * `spark.read.parquet` pays a schema-inference/listing Spark job at
+    * resolution time, and one build resolves the same model several
+    * times (the consumer refs, the engine's own HWM/align/merge reads).
+    * The memo holds the resolved frame until the engine WRITES that
+    * model ([[invalidateRead]] at every materialize/compact/retention
+    * commit), so a reused frame always reflects the current committed
+    * generation — exactly the dbt contract a fresh read satisfies, one
+    * resolution job cheaper. Keyed per Engine instance; a new Engine
+    * (or an external maintenance tool) starts cold. */
+  private val readCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, DataFrame)]()
+  private def invalidateRead(name: String): Unit = readCache.remove(name)
+
   /** Parquet read of a model dir, with footer schema merging exactly
     * when the model's materialization can have EVOLVED its schema
     * (IncrementalAppend + AppendNewColumns): older generations lack the
     * evolved columns, and a single-footer read would surface a
-    * generation-dependent schema. Every other model pays nothing. */
+    * generation-dependent schema. Every other model pays nothing.
+    * Memoized per committed generation (see [[readCache]]); heal-before-
+    * read runs on the cache miss, i.e. before the file listing is
+    * pinned. */
   private def readEvolved(name: String): DataFrame = {
+    // heal-before-read runs on EVERY read, hit or miss — the
+    // crash-heal-on-read contract (EngineSpec's torn-swap tests). Both
+    // heals are fs-metadata-only: a WHOLE-DIR recovery renames the .old
+    // generation back AND bumps the path epoch, so the stale pinned
+    // frame below misses; a bucket-level heal restores the exact
+    // pre-crash file paths, so a pinned listing is valid again and the
+    // hit can be served.
+    DirSwap.recover(path(name))
     if (byName.get(name).exists(
         _.materialization.isInstanceOf[Materialization.MergeUpsert]))
       healMergeBuckets(name)
-    val evolving = byName.get(name).map(_.materialization).exists {
-      case m: Materialization.IncrementalAppend =>
-        m.onSchemaChange == Materialization.SchemaChange.AppendNewColumns
-      case m: Materialization.DeleteInsert =>
-        m.onSchemaChange == Materialization.SchemaChange.AppendNewColumns
-      case m: Materialization.MergeUpsert =>
-        m.onSchemaChange == Materialization.SchemaChange.AppendNewColumns
-      case m: Materialization.Microbatch =>
-        m.onSchemaChange == Materialization.SchemaChange.AppendNewColumns
-      case _ => false
+    // epoch check: an EXTERNAL writer's swap of this dir (retrain /
+    // streaming maintenance go through DirSwap, which bumps the epoch)
+    // retires a pinned frame this instance's own writes didn't know about
+    val ep = ParquetReadCache.epoch(path(name))
+    val hit = readCache.get(name)
+    if (hit != null && hit._1 == ep) hit._2
+    else {
+      val evolving = byName.get(name).map(_.materialization).exists {
+        case m: Materialization.IncrementalAppend =>
+          m.onSchemaChange == Materialization.SchemaChange.AppendNewColumns
+        case m: Materialization.DeleteInsert =>
+          m.onSchemaChange == Materialization.SchemaChange.AppendNewColumns
+        case m: Materialization.MergeUpsert =>
+          m.onSchemaChange == Materialization.SchemaChange.AppendNewColumns
+        case m: Materialization.Microbatch =>
+          m.onSchemaChange == Materialization.SchemaChange.AppendNewColumns
+        case _ => false
+      }
+      val df =
+        if (evolving) spark.read.option("mergeSchema", "true").parquet(path(name))
+        else ParquetReadCache.read(spark, path(name))
+      // re-read the epoch AFTER construction: recover()/read() may have
+      // bumped it, and caching the pre-heal epoch would miss forever
+      readCache.put(name, (ParquetReadCache.epoch(path(name)), df))
+      df
     }
-    if (evolving) spark.read.option("mergeSchema", "true").parquet(path(name))
-    else spark.read.parquet(path(name))
   }
 
   /** Consumer view of a materialized model: merge models hide their
@@ -355,9 +393,8 @@ final class Engine(
           spark.table(bucketTable(name))
         else spark.read.parquet(path(name))
       case Some(_) =>
-        // model dirs are swap-managed (compact/expireBefore); heal a
-        // torn swap before pinning the file listing — see exists()
-        DirSwap.recover(path(name))
+        // swap healing happens inside readEvolved's cache miss, i.e.
+        // before the file listing is pinned — see exists()
         consumerView(name)
       case None => throw new UnknownRefException(name)
     }
@@ -510,6 +547,7 @@ final class Engine(
     val w = shaped.write.mode("overwrite")
     (if (pcols.nonEmpty) w.partitionBy(pcols: _*) else w).parquet(tmp)
     replaceDir(tmp, path(name))
+    invalidateRead(name) // the rewrite retired the memoized generation
     if (viewsRegistered) registerViews() // refresh pinned file listings
     stat.getLong(1)
   }
@@ -607,11 +645,11 @@ final class Engine(
     // shares it and the single-footer read is exact; only an EVOLVING
     // model pays the all-footers merge (bounded by compaction cadence —
     // the rewrite collapses generations back to few files)
-    val stored = (policy match {
-      case AppendNewColumns =>
-        spark.read.option("mergeSchema", "true").parquet(path(name))
-      case _ => spark.read.parquet(path(name))
-    }).schema
+    // readEvolved applies the same policy-conditional footer merge (the
+    // model's declared on_schema_change IS `policy` at every call site)
+    // and memoizes the resolution, so this costs no extra job when the
+    // target was already read this build
+    val stored = readEvolved(name).schema
     val storedCols = stored.map(_.name).toSet
     // type-drift guard BEFORE the fast path (identical column sets can
     // still carry a drifted type); checked against every existing column
@@ -679,10 +717,40 @@ final class Engine(
       fullRefresh: Boolean = false): Long = {
     // frozen-artifact skip BEFORE the buildFn runs: a TrainOnceTable
     // whose target exists costs zero jobs on this build — not even the
-    // buildFn's eager construction work (driver-side collects) runs
+    // buildFn's eager construction work (driver-side collects) runs.
+    // Checked BEFORE the invalidation wrapper: a skip writes nothing,
+    // so the memoized resolution stays valid for this build's consumers.
     if (m.materialization == Materialization.TrainOnceTable &&
         !fullRefresh && exists(m.name)) return 0L
-    val df = m.buildFn(spark, ref, targetIfExists(m.name, fullRefresh))
+    // the write (even a failed, partial one) retires this model's
+    // committed generation: drop the memoized resolution so the next
+    // read re-lists and re-heals
+    try materializeInner(m, batchTs, fullRefresh)
+    finally {
+      invalidateRead(m.name)
+      ParquetReadCache.invalidate(path(m.name))
+    }
+  }
+
+  private def materializeInner(m: Model, batchTs: java.sql.Timestamp,
+      fullRefresh: Boolean): Long = {
+    val prior = targetIfExists(m.name, fullRefresh)
+    // IncrementalAppend high-water mark, computed ONCE per build: the
+    // engine's own append guard needs max(watermark) over the stored
+    // target, and most incremental buildFns run the identical aggregate
+    // over the same prior frame (Incremental.hwm). Prefetch the scalar
+    // and register it on the prior frame so both consumers share one
+    // footer-stats job instead of paying it twice.
+    val prefetchedHwm: Option[org.apache.spark.sql.Row] = m.materialization match {
+      case Materialization.IncrementalAppend(wm, _, _, _)
+          if prior.exists(_.columns.contains(wm)) =>
+        val row = prior.get.agg(max(col(wm))).first()
+        Incremental.cacheHwm(prior.get, wm,
+          if (row.isNullAt(0)) None else Some(row.get(0)))
+        Some(row)
+      case _ => None
+    }
+    val df = m.buildFn(spark, ref, prior)
     // dbt model contract (`contract: enforced`): the build output's
     // column set and types must match the declaration EXACTLY, checked
     // against the ANALYZED schema before any write — a producer-side
@@ -729,8 +797,10 @@ final class Engine(
         })
         if (fullRefresh || !exists(m.name)) write(df, "overwrite")
         else {
-          // High-water mark: single scalar off parquet min/max footer stats.
-          val prev = spark.read.parquet(path(m.name)).agg(max(col(wm))).first()
+          // High-water mark: single scalar off parquet min/max footer
+          // stats — the one prefetched before the buildFn ran.
+          val prev = prefetchedHwm.getOrElse(
+            readEvolved(m.name).agg(max(col(wm))).first())
           val delta =
             if (prev.isNullAt(0)) df else df.filter(col(wm) > lit(prev.get(0)))
           val n = write(
@@ -784,8 +854,7 @@ final class Engine(
           // directory-listing read, no data scan. A stored target with
           // ZERO batches (first build saw no rows) has no frontier —
           // everything is "new", same as the initial load.
-          val fRow = spark.read.parquet(path(m.name))
-            .agg(max(col(pcol))).first()
+          val fRow = readEvolved(m.name).agg(max(col(pcol))).first()
           if (fRow.isNullAt(0))
             writeCounted(withBatch(df), _.write.mode("overwrite")
               .option("partitionOverwriteMode", "static")
@@ -814,7 +883,7 @@ final class Engine(
               // table size.
               val srcBatches = win.select(col(pcol)).distinct()
                 .collect().map(_.getDate(0))
-              val storedBatches = spark.read.parquet(path(m.name))
+              val storedBatches = readEvolved(m.name)
                 .select(col(pcol)).distinct()
                 .filter(col(pcol) >= lit(cutoff)).collect().map(_.getDate(0))
               val batches = (srcBatches ++ storedBatches).distinct.sortBy(_.getTime)
@@ -862,23 +931,25 @@ final class Engine(
           healMergeBuckets(m.name)
           try {
             val delta = spark.read.parquet(staging)
-            // ANSI MERGE "multiple source rows matched": a delta with a
-            // duplicated non-null key would make the upsert order-defined
-            val dup = delta.filter(col(key).isNotNull).groupBy(col(key))
-              .count().filter(col("count") > 1).limit(1).count()
-            require(dup == 0,
+            // ONE pass over the staged delta answers both pre-merge
+            // questions (they used to be two jobs): per-bucket max
+            // key-multiplicity — >1 for any NON-NULL key is ANSI MERGE's
+            // "multiple source rows matched" (null keys never match, so
+            // their lumped group counts as 1) — and the touched-bucket
+            // list (≤ buckets scalars, bounded by the layout).
+            val bucketStats = delta.groupBy(col(bcol), col(key)).count()
+              .groupBy(col(bcol))
+              .agg(max(when(col(key).isNotNull, col("count"))
+                .otherwise(lit(1L))).as("maxk"))
+              .collect()
+            require(bucketStats.forall(_.getLong(1) <= 1L),
               s"${m.name}: merge delta has duplicate '$key' values — " +
                 "ANSI MERGE rejects multiple source rows per target row")
-            // ≤ buckets scalars — bounded by the layout, not the data
-            val touched = delta.select(col(bcol)).distinct()
-              .collect().map(_.getInt(0)).toSeq
-            // partition-pruned read of exactly the touched buckets; never
-            // merge footers here — align already reconciled the delta
-            // against the CURRENT merged schema, and kept rows may simply
-            // lack evolved columns (union fills them below)
-            val stored = spark.read.option("mergeSchema",
-              schemaPolicy == Materialization.SchemaChange.AppendNewColumns)
-              .parquet(path(m.name))
+            val touched = bucketStats.map(_.getInt(0)).toSeq
+            // partition-pruned read of exactly the touched buckets
+            // (readEvolved applies the same policy-conditional footer
+            // merge and reuses this build's resolved frame)
+            val stored = readEvolved(m.name)
               .filter(col(bcol).isin(touched: _*))
             // displaced = stored rows whose key appears in the delta;
             // EqualTo (not null-safe) keeps ANSI null semantics

@@ -823,8 +823,10 @@ object PipelineQueries {
           (_, _, prior) =>
             val base = prior.map(_.agg(max(col("end_tok"))).first())
               .filter(!_.isNullAt(0)).map(_.getLong(0)).getOrElse(0L)
-            val hwm = prior.map(_.agg(max(col("doc_id"))).first())
-              .filter(!_.isNullAt(0)).map(_.getLong(0)).getOrElse(Long.MinValue)
+            // doc_id is the model's declared watermark, so the engine
+            // already prefetched this scalar (Incremental.hwm registry)
+            // — no second footer job; -1 ≡ MinValue for nonneg doc_ids
+            val hwm = graft.engine.Incremental.hwm(prior, "doc_id")
             val delta = src.filter(col("doc_id") > hwm)
             packOffsets(delta, "doc_id", col("n_tokens"))
               .select(col("doc_id"), col("n_tokens"),
@@ -834,7 +836,7 @@ object PipelineQueries {
       val r0 = e.build(); require(r0.ok, r0.results.mkString("; "))
       src = docs
       val r1 = e.build(); require(r1.ok, r1.results.mkString("; "))
-      packSpans(s.read.parquet(s"$wh/pack_offsets"), "doc_id", CtxLen)
+      packSpans(graft.engine.ParquetReadCache.read(s, s"$wh/pack_offsets"), "doc_id", CtxLen)
     },
 
     // ---- cross-document repeated-n-gram coverage (boilerplate signal)
@@ -1162,7 +1164,7 @@ object PipelineQueries {
       build(docs.filter(col("doc_id") <= mid))
       build(docs)
       graft.dedup.IncrementalBlockDedup.cleanedDocs(
-        docs, s.read.parquet(s"$wh/block_first"), BlockTokens)
+        docs, graft.engine.ParquetReadCache.read(s, s"$wh/block_first"), BlockTokens)
     },
 
     // ---- incremental decontamination as an engine model: two builds
@@ -1203,7 +1205,7 @@ object PipelineQueries {
       }
       build(train.filter(col("doc_id") <= mid))
       build(train)
-      s.read.parquet(s"$wh/contam_flags")
+      graft.engine.ParquetReadCache.read(s, s"$wh/contam_flags")
     }
   )
 }

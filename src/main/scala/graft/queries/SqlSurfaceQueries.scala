@@ -97,7 +97,7 @@ object SqlSurfaceQueries {
       }
       build(ev.filter(col("event_id") <= mid))
       build(ev)
-      s.read.parquet(s"$wh/uv_sketch")
+      graft.engine.ParquetReadCache.read(s, s"$wh/uv_sketch")
         .groupBy(col("day"))
         .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("uv"))
     },

@@ -572,7 +572,7 @@ object TextQueries {
       }
       build(docs.filter(col("doc_id") <= mid))
       build(docs)
-      val state = s.read.parquet(s"$wh/bm25_stats")
+      val state = graft.engine.ParquetReadCache.read(s, s"$wh/bm25_stats")
       val dfreq = graft.text.IncrementalBm25.termDf(state)
         .filter(col("term").isin(BM25Terms: _*))
       val stats = graft.text.IncrementalBm25.corpusStats(state)
@@ -713,7 +713,7 @@ object TextQueries {
       val wh = graft.engine.Scratch.dir("graft_bpe_vocab")
       bpeVocab(docs.filter(col("doc_id") % 2 === 0), "text", BpeMerges)
         .coalesce(1).write.mode("overwrite").parquet(s"$wh/bpe_vocab")
-      val vocab = s.read.parquet(s"$wh/bpe_vocab")
+      val vocab = graft.engine.ParquetReadCache.read(s, s"$wh/bpe_vocab")
       bpeEncodeFromVocab(vocab, docs.filter(col("doc_id") % 2 === 0),
           "doc_id", "text")
         .union(bpeEncodeFromVocab(vocab, docs.filter(col("doc_id") % 2 =!= 0),
@@ -1106,6 +1106,26 @@ object TextQueries {
       .groupBy(regexp_replace(bpeEscCol(col("w")), "(.)", "<$1>").as("s"))
       .agg(count(lit(1)).as("freq"))
       .localCheckpoint()
+    // SIZE-GATED driver-side training (the union-find gate idiom): the
+    // loop state is the distinct-word frequency table — the standard
+    // in-memory BPE trainer state, Heaps-law-bounded (vocabulary grows
+    // sublinearly in corpus size; every published BPE trainer holds it
+    // in memory). Under the gate (1M words ≈ 150 MB at ~150 B/row,
+    // inside the default 1g maxResultSize), the whole `merges`-round
+    // loop runs on the driver: ONE collect job instead of one argmax
+    // TakeOrdered job PER ROUND — `merges`+1 jobs of pure fixed
+    // overhead become 1 (measured ~1.5 s of every BPE bench row's build
+    // phase). Arithmetic and ordering are bit-identical to the
+    // distributed loop below: pair counts are exact long sums, the
+    // argmax tie order (cnt DESC, l ASC, r ASC) compares strings as
+    // unsigned UTF-8 bytes — exactly Spark's StringType binary order —
+    // and the rewrite is Java's literal left-to-right non-overlapping
+    // String.replace, the same semantics as the SQL replace(). Above
+    // the gate the distributed loop runs unchanged.
+    val headRows = base.select(col("s"), col("freq"))
+      .as[(String, Long)].head(BpeDriverGate + 1)
+    if (headRows.length <= BpeDriverGate)
+      return bpeTrainDriver(s, headRows, merges)
     var words = base
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     for (it <- 1 to merges) {
@@ -1130,6 +1150,71 @@ object TextQueries {
         call_function("replace", col("s"),
           lit(s"<$l><$r>"), lit(s"<$l$r>")).as("s"),
         col("freq"))
+    }
+    out.toSeq.toDF("it", "l", "r", "merged", "cnt")
+  }
+
+  /** Driver-size gate for [[bpeVocab]]'s in-memory trainer: max
+    * distinct-word rows collected (~150 MB at ~150 B/row — inside the
+    * default driver maxResultSize with headroom). */
+  private val BpeDriverGate = 1000000
+
+  /** Strict-weak UTF-8 binary order — Spark StringType's sort order
+    * (UTF8String compares unsigned bytes), reproduced for the driver
+    * trainer's tie-breaking so its argmax is bit-identical to the
+    * distributed `orderBy(l, r)`. */
+  private def utf8Less(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** The in-memory BPE training loop over the collected (wrapped word,
+    * freq) table — semantics documented at the call site in [[bpeVocab]]. */
+  private def bpeTrainDriver(s: org.apache.spark.sql.SparkSession,
+      collected: Array[(String, Long)], merges: Int): DataFrame = {
+    import s.implicits._
+    var words = collected
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    for (it <- 1 to merges) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (w, f) =>
+        // skip the empty word (a doubled/leading space tokenizes to ""
+        // and wraps to "" — the distributed loop's size>=2 filter drops
+        // it the same way); strip the outer wrapper, split on the
+        // symbol boundary (merged symbols never contain '<'/'>' — the
+        // escape pass guarantees it)
+        if (w.length >= 2) {
+          val sy = w.substring(1, w.length - 1).split("><", -1)
+          var i = 0
+          while (i < sy.length - 1) {
+            val k = (sy(i), sy(i + 1))
+            counts.update(k, counts.getOrElse(k, 0L) + f)
+            i += 1
+          }
+        }
+      }
+      require(counts.nonEmpty,
+        s"bpeVocab: corpus exhausted mergeable pairs at round $it of $merges")
+      var best: ((String, String), Long) = null
+      counts.foreach { e =>
+        if (best == null || e._2 > best._2 ||
+            (e._2 == best._2 && (utf8Less(e._1._1, best._1._1) ||
+              (e._1._1 == best._1._1 && utf8Less(e._1._2, best._1._2)))))
+          best = e
+      }
+      val ((l, r), cnt) = best
+      out += ((it, l, r, l + r, cnt))
+      val from = s"<$l><$r>"
+      val to = s"<$l$r>"
+      words = words.map { case (w, f) => (w.replace(from, to), f) }
     }
     out.toSeq.toDF("it", "l", "r", "merged", "cnt")
   }

@@ -36,11 +36,29 @@ object CentroidAssign {
     * k ∝ corpus/10⁵ — so this moves the same bytes the declarative plan
     * broadcast; at k = 10⁵, 64 dims it is ~50 MB, the standard broadcast
     * budget. */
+  /** Identity-keyed memo of collected centroid tables: one engine build
+    * resolves `ivf_centroids` to ONE memoized DataFrame (the engine's
+    * per-generation read cache), and several nodes of the same DAG —
+    * means, codebook, index — each collect it, paying k-row collect jobs
+    * for an identical immutable array. Weak keys (Dataset keeps identity
+    * equality) so retired frames never pin entries; a fresh read is a
+    * fresh key, so a new generation always re-collects. Callers treat
+    * the array as read-only (they already did — it is shared through
+    * broadcasts). */
+  private val collected = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[DataFrame, Array[(Int, Array[Long], Long)]]())
+
   def collectCentroids(cent: DataFrame): Array[(Int, Array[Long], Long)] = {
-    val s = cent.sparkSession
-    import s.implicits._
-    cent.selectExpr("cast(label as int) label", "c", "ncsq")
-      .as[(Int, Array[Long], Long)].collect().sortBy(_._1)
+    val hit = collected.get(cent)
+    if (hit != null) hit
+    else {
+      val s = cent.sparkSession
+      import s.implicits._
+      val arr = cent.selectExpr("cast(label as int) label", "c", "ncsq")
+        .as[(Int, Array[Long], Long)].collect().sortBy(_._1)
+      collected.put(cent, arr)
+      arr
+    }
   }
 
   /** PROBED (ANN-assisted, approximate) assignment kernel — the same

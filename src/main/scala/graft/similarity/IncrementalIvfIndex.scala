@@ -181,7 +181,7 @@ object IncrementalIvfIndex {
     val centDir = s"$warehouse/ivf_centroids"
     graft.engine.DirSwap.recover(idxDir)
     graft.engine.DirSwap.recover(centDir)
-    val rows = spark.read.parquet(idxDir)
+    val rows = graft.engine.ParquetReadCache.read(spark, idxDir)
     val data = rows.filter(col("q").isNotNull)
     val markers = rows.filter(col("q").isNull)
     // 1. centroid update from stored membership (eager, k rows)
@@ -259,8 +259,8 @@ object IncrementalIvfIndex {
     val centDir = s"$warehouse/ivf_centroids"
     graft.engine.DirSwap.recover(idxDir)
     graft.engine.DirSwap.recover(centDir)
-    val stored = CentroidAssign.collectCentroids(spark.read.parquet(centDir))
-    val data = spark.read.parquet(idxDir).filter(col("q").isNotNull)
+    val stored = CentroidAssign.collectCentroids(graft.engine.ParquetReadCache.read(spark, centDir))
+    val data = graft.engine.ParquetReadCache.read(spark, idxDir).filter(col("q").isNotNull)
     val updated = CentroidAssign.collectCentroids(centroids(
       data.select(col("vec_id"), col("cluster").cast("int").as("label"),
         col("q"), col("nsq")), dims))
@@ -642,11 +642,21 @@ object IncrementalIvfIndex {
     * [[graft.streaming.Streaming.vectorSearchStreamPQ]] take (same
     * budget contract as [[CentroidAssign.collectCentroids]]). */
   def collectMeans(means: DataFrame): Map[Int, Array[Long]] = {
+    val hit = collectedMeans.get(means)
+    if (hit != null) return hit
     val s = means.sparkSession
     import s.implicits._
-    means.select(col("cluster"), col("mc"))
+    val m = means.select(col("cluster"), col("mc"))
       .as[(Int, Array[Long])].collect().toMap
+    collectedMeans.put(means, m)
+    m
   }
+
+  /** Identity-keyed memo for [[collectMeans]] — the
+    * CentroidAssign.collectCentroids idiom: immutable k-row state
+    * collected more than once from the same resolved frame. */
+  private val collectedMeans = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[DataFrame, Map[Int, Array[Long]]]())
 
   /** SCAN-LOCAL ADC probe of a PQ or residual-PQ index for EXTERNAL
     * query vectors `(vec_id, q, nsq)` — the PQ analogue of

@@ -141,10 +141,20 @@ object ProductQuantizer {
         col("med.sv").as("ent"), col("med.nsv").as("ent_nsq"))
   }
 
+  /** Identity-keyed memo of collected codebooks — same rationale as
+    * CentroidAssign.collectCentroids's: one build/probe resolves the
+    * codebook to ONE frame (the engine read cache / a localCheckpoint)
+    * and collects it from several consumers; the array is immutable and
+    * generation-stable, weak keys keep retired frames collectable. */
+  private val collected = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[DataFrame, Codebook]())
+
   /** Collect a trained `(m, code, ent, ent_nsq)` table into the dense
     * driver-side [[Codebook]] (≤ M×256 entries ≈ 128 KB — the
     * broadcast-state contract). */
   def collectCodebook(entries: DataFrame): Codebook = {
+    val hit = collected.get(entries)
+    if (hit != null) return hit
     val s = entries.sparkSession
     import s.implicits._
     val ent = Array.fill(M, CodebookSize)(Array.fill(SubDims)(0L))
@@ -153,7 +163,9 @@ object ProductQuantizer {
       .as[(Int, Int, Array[Long], Long)].collect().foreach {
         case (m, c, sv, nsv) => ent(m)(c) = sv; nsq(m)(c) = nsv
       }
-    Codebook(ent, nsq)
+    val cb = Codebook(ent, nsq)
+    collected.put(entries, cb)
+    cb
   }
 
   /** [[entriesDf]] + [[collectCodebook]] in one step. */

@@ -378,7 +378,7 @@ object Streaming {
       tombstones: Option[DataFrame] = None,
       keepFrom: Long = Long.MaxValue): Long = {
     graft.engine.DirSwap.recover(targetDir) // heal a torn prior swap first
-    val all = spark.read.parquet(targetDir)
+    val all = graft.engine.ParquetReadCache.read(spark, targetDir)
     val cur = tombstones.fold(all) { t =>
       all.join(broadcast(t.select(col("vec_id")).distinct()),
         Seq("vec_id"), "left_anti")
@@ -427,7 +427,7 @@ object Streaming {
       keepFrom: Long = Long.MaxValue): (Long, Array[(Int, Array[Long], Long)]) = {
     graft.engine.DirSwap.recover(targetDir)
     graft.functions.GraftFunctions.register(spark)
-    val all = spark.read.parquet(targetDir)
+    val all = graft.engine.ParquetReadCache.read(spark, targetDir)
     // partition data vs null-q marker rows (mirroring the engine-side
     // retrain): the streaming layout stores no markers TODAY, but the
     // assignment kernel must never see a null vector, and any marker a
@@ -484,7 +484,7 @@ object Streaming {
     // restates) must not feed the drift aggregate — the same filter
     // retrainVectorIndex and IncrementalIvfIndex.retrainIfNeeded apply;
     // without it a marker's null label crashes the typed collect
-    val all = spark.read.parquet(targetDir).filter(col("q").isNotNull)
+    val all = graft.engine.ParquetReadCache.read(spark, targetDir).filter(col("q").isNotNull)
     val updated = graft.similarity.CentroidAssign.collectCentroids(
       graft.similarity.IncrementalIvfIndex.centroids(
         all.select(col("vec_id"), col("cluster").cast("int").as("label"),
@@ -616,7 +616,7 @@ object Streaming {
         // concurrent with a RUNNING batch can still lose the race — that
         // batch fails and the restart replays it idempotently.)
         graft.engine.DirSwap.recover(indexDir)
-        val index = batch.sparkSession.read.parquet(indexDir)
+        val index = graft.engine.ParquetReadCache.read(batch.sparkSession, indexDir)
         graft.similarity.IncrementalIvfIndex
           .searchTopKFor(index, batch, cents, topK, nprobe, candFilter)
           .withColumn("batch_id", lit(batchId))
@@ -680,7 +680,7 @@ object Streaming {
         // per-batch index resolution — same maintenance-concurrency
         // contract as [[vectorSearchStream]]'s foreachBatch
         graft.engine.DirSwap.recover(indexDir)
-        val index = batch.sparkSession.read.parquet(indexDir)
+        val index = graft.engine.ParquetReadCache.read(batch.sparkSession, indexDir)
         graft.similarity.IncrementalIvfIndex
           .searchTopKPQFor(index, batch, cents, cb, means, topK, shortK,
             nprobe, candFilter)
