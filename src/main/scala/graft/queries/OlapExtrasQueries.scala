@@ -80,12 +80,21 @@ object OlapExtrasQueries {
         |       round(quantile_cont(l_extendedprice, 0.75), 4) AS p75_price
         |FROM lineitem GROUP BY l_returnflag""".stripMargin
     ) { (s, dir) =>
+      // ONE exact-percentile buffer for both price quantiles: Spark's
+      // Percentile is an ObjectAggregate that materializes a per-group
+      // value-count map and ships it through the exchange — two scalar
+      // percentile calls over the same column build and serialize that
+      // map twice; the array form computes both quantiles from one
+      // buffer (identical interpolation arithmetic, same values).
       Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"))
         .agg(
           round(median(col("l_quantity")), 4).as("med_qty"),
-          round(percentile(col("l_extendedprice"), lit(0.25)), 4).as("p25_price"),
-          round(percentile(col("l_extendedprice"), lit(0.75)), 4).as("p75_price"))
+          percentile(col("l_extendedprice"),
+            array(lit(0.25), lit(0.75))).as("pcts"))
+        .select(col("l_returnflag"), col("med_qty"),
+          round(element_at(col("pcts"), 1), 4).as("p25_price"),
+          round(element_at(col("pcts"), 2), 4).as("p75_price"))
     },
 
     // ---- PIVOT: long → wide on a fixed value set (Spark .pivot;

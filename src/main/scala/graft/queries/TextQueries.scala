@@ -1394,15 +1394,40 @@ object TextQueries {
     * token_entropy (rounded, so downstream thresholds compare equal
     * across engines). Reused by PipelineQueries.curationFunnel. */
   def tokenEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tf = docs
-      .select(col(idCol), explode(split(col(textCol), " ")).as("term"))
-      .repartition(col(idCol))
-      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("c"))
-    tf.groupBy(col(idCol)).agg(
-      sum(col("c")).as("n_tokens"),
-      round(log(sum(col("c")).cast("double"))
-        - sum(col("c") * log(col("c").cast("double"))) / sum(col("c")), 4)
-        .as("token_entropy"))
+    // SCAN-LOCAL kernel (the simhash-kernel idiom): the entropy is a
+    // PER-DOCUMENT quantity — term counts never need to leave the row —
+    // yet the previous formulation exploded every token of the corpus
+    // into a doc_id exchange and ran a two-level aggregate over it: a
+    // corpus-sized shuffle (every token crossing the wire) for in-row
+    // math. One typed pass replaces both exchanges: count terms in a
+    // per-row hash map, fold Σ c·ln(c) with the same IEEE double ops,
+    // round exactly like Spark's round() (BigDecimal HALF_UP). The
+    // summation ORDER differs from the old hash-aggregate's (itself
+    // partition-order-dependent); both engines round to 4 decimals,
+    // which is the cross-order contract the oracle already relies on.
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val counts = new java.util.HashMap[String, Long]()
+          var n = 0L
+          text.split(" ", -1).foreach { t =>
+            counts.merge(t, 1L, (a, b) => a + b)
+            n += 1
+          }
+          var s2 = 0.0
+          val vs = counts.values().iterator()
+          while (vs.hasNext) {
+            val c = vs.next().toDouble
+            s2 += c * math.log(c)
+          }
+          val h = math.log(n.toDouble) - s2 / n
+          (id, n, java.math.BigDecimal.valueOf(h)
+            .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue())
+        }
+      }.toDF(idCol, "n_tokens", "token_entropy")
   }
 
   /** Gopher repetition-rule battery (Rae et al. 2021 §A1.1 quality

@@ -177,14 +177,16 @@ class PlanSpec extends SparkSpec {
     assert(acct == 2, s"expected 2 account_id exchanges, got $acct in:\n$p")
   }
 
-  test("token entropy reuses ONE doc_id exchange for both aggregates") {
-    // repartition(doc_id) → (doc_id, term) count → (doc_id) rollup: hash
-    // on doc_id clusters both grouping keys, so the two hash aggregates
-    // share a single exchange. A regression to bare groupBy(doc_id, term)
-    // would shuffle on both keys and again on doc_id for the rollup.
+  test("token entropy is scan-local: ZERO exchanges, per-row kernel") {
+    // entropy is a per-document quantity — term counts never leave the
+    // row. The r21 kernel form computes it inside the scan task
+    // (MapPartitions over (doc_id, text)): no token ever crosses the
+    // wire. A regression to any exploded-token formulation shows an
+    // Exchange (the old shape paid a corpus-sized doc_id repartition).
     val p = plan("q_text_token_entropy").split("== Initial Plan ==")(0)
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
-    assert(exchanges == 1, s"expected 1 exchange, got $exchanges in:\n$p")
+    assert(exchanges == 0, s"expected 0 exchanges, got $exchanges in:\n$p")
+    assert(p.contains("MapPartitions"), s"expected the scan-local kernel in:\n$p")
   }
 
   test("repeated-ngrams is two exchanges, no join, hashed gram keys") {
